@@ -1,0 +1,149 @@
+"""WavCodec: the WavTokenizer-compatible neural codec API.
+
+TPU counterpart of WavTokenizer/decoder/pretrained.py:32-239.  Public
+surface mirrors the reference:
+
+- ``codes_to_features(codes)``  (pretrained.py:209-239)
+- ``decode(features, bandwidth_id)``  (pretrained.py:192-207)
+- ``decode_codes(codes)`` — fused lookup + decode, the serving hot path
+- ``encode_infer(wav)``  (pretrained.py:187-189) — once the SEANet
+  encoder params are present
+
+Chunk synthesis is jitted per *bucket* length: the streaming scheduler's
+x3 dump-size ladder is a fixed set of chunk sizes per config
+(streaming_server.py:373-376), so each bucket compiles exactly once and
+every later chunk reuses the compiled program; ragged chunks are padded
+to the next bucket and trimmed host-side.
+"""
+from __future__ import annotations
+
+import bisect
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmvox_tpu.codec import backbone as bb
+from llmvox_tpu.codec import heads, seanet
+from llmvox_tpu.codec import vq
+from llmvox_tpu.utils.config import CodecConfig
+
+DEFAULT_BUCKETS = (16, 32, 96, 288, 512, 896, 1280)
+
+
+def init_codec_params(key: jax.Array, cfg: CodecConfig,
+                      with_encoder: bool = False) -> Dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "codebooks": vq.init_codebooks(k1, cfg.num_quantizers, cfg.vq_bins,
+                                       cfg.vq_dim),
+        "backbone": bb.init_backbone(k2, cfg),
+        "head": heads.init_istft_head(k3, cfg),
+    }
+    if with_encoder:
+        params["encoder"] = seanet.init_seanet_encoder(k4, cfg)
+    return params
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _decode_codes(params: Dict, codes: jnp.ndarray, bandwidth_id: jnp.ndarray,
+                  valid_len: jnp.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    feats = vq.codes_to_features(params["codebooks"], codes)
+    h = bb.apply_backbone(params["backbone"], feats, bandwidth_id, cfg,
+                          valid_len)
+    return heads.apply_istft_head(params["head"], h, cfg, valid_len)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _decode_features(params: Dict, feats: jnp.ndarray, bandwidth_id: jnp.ndarray,
+                     cfg: CodecConfig) -> jnp.ndarray:
+    h = bb.apply_backbone(params["backbone"], feats, bandwidth_id, cfg)
+    return heads.apply_istft_head(params["head"], h, cfg)
+
+
+class WavCodec:
+    """Parameter bundle + compiled decode programs for one device."""
+
+    def __init__(self, params: Dict, cfg: Optional[CodecConfig] = None,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 device: Optional[jax.Device] = None):
+        self.cfg = cfg or CodecConfig()
+        if device is not None:
+            params = jax.device_put(params, device)
+        self.params = params
+        self.device = device
+        self.buckets = sorted(buckets)
+
+    # -- factory ----------------------------------------------------------
+    @classmethod
+    def from_random(cls, seed: int = 0, cfg: Optional[CodecConfig] = None,
+                    with_encoder: bool = False, **kw) -> "WavCodec":
+        cfg = cfg or CodecConfig()
+        params = init_codec_params(jax.random.PRNGKey(seed), cfg,
+                                   with_encoder=with_encoder)
+        return cls(params, cfg, **kw)
+
+    @classmethod
+    def from_pretrained(cls, path: str, cfg: Optional[CodecConfig] = None,
+                        **kw) -> "WavCodec":
+        """Load converted parameters (.npz from tools/convert_wavtokenizer)."""
+        from llmvox_tpu.train.checkpoint import load_params_npz
+        params = load_params_npz(path)
+        return cls(params, cfg, **kw)
+
+    # -- inference API ----------------------------------------------------
+    def codes_to_features(self, codes) -> jnp.ndarray:
+        """(B, L) codes -> (B, L, 512) features."""
+        codes = jnp.asarray(codes, dtype=jnp.int32)
+        return vq.codes_to_features(self.params["codebooks"], codes)
+
+    def bucket_for(self, n: int) -> int:
+        i = bisect.bisect_left(self.buckets, n)
+        return self.buckets[i] if i < len(self.buckets) else self.buckets[-1]
+
+    def decode_codes(self, codes: np.ndarray, bandwidth_id: int = 0,
+                     pad_to_bucket: bool = True) -> np.ndarray:
+        """(B, L) int codes -> (B, hop*L) float32 waveform (host numpy).
+
+        Ragged L is zero-padded to the next bucket so XLA reuses one
+        compiled program per bucket; ``valid_len`` masking inside the
+        backbone/head makes the kept samples bit-equivalent to an
+        exact-length decode.
+        """
+        codes = np.asarray(codes, dtype=np.int32)
+        b, l = codes.shape
+        lpad = self.bucket_for(l) if pad_to_bucket else l
+        if lpad > l:
+            codes = np.concatenate(
+                [codes, np.zeros((b, lpad - l), np.int32)], axis=1)
+        wav = _decode_codes(self.params, jnp.asarray(codes),
+                            jnp.int32(bandwidth_id), jnp.int32(l), self.cfg)
+        wav = np.asarray(wav)
+        return wav[:, : l * self.cfg.hop_length]
+
+    def decode(self, features: jnp.ndarray, bandwidth_id: int = 0) -> jnp.ndarray:
+        """(B, L, 512) features -> (B, hop*L) waveform (device array)."""
+        return _decode_features(self.params, features,
+                                jnp.int32(bandwidth_id), self.cfg)
+
+    def encode_infer(self, wav, bandwidth_id: int = 0):
+        """(B, T) waveform -> ((B, L, 512) features, (B, L) codes).
+
+        Mirrors encode_infer -> feature_extractor.infer with n_q forced to 1
+        (pretrained.py:187, feature_extractors.py:130-141, vq.py:115-140).
+        """
+        if "encoder" not in self.params:
+            raise ValueError("codec params have no SEANet encoder weights")
+        wav = jnp.asarray(wav, dtype=jnp.float32)
+        emb = seanet.apply_seanet_encoder(self.params["encoder"], wav, self.cfg)
+        codes = vq.nearest_code(self.params["codebooks"][0], emb)
+        feats = vq.codes_to_features(self.params["codebooks"], codes)
+        return feats, codes
+
+    def warmup(self, batch_size: int = 1) -> None:
+        """Compile all bucket programs ahead of serving."""
+        for n in self.buckets:
+            self.decode_codes(np.zeros((batch_size, n), np.int32),
+                              pad_to_bucket=False)

@@ -1,0 +1,250 @@
+"""The LLMVoX speech-token decoder: a tiny GPT over fused text+speech embeddings.
+
+Architecture parity with the reference (src/model.py:149-237): learned
+absolute position embeddings ``wpe`` (no token-embedding table — inputs are
+pre-built continuous embeddings), pre-LN transformer blocks with
+tanh-approximate GELU MLPs, LayerNorm eps 1e-5, an lm_head onto 4096
+WavTokenizer codes, and cross-entropy with ignore_index -1000.
+
+TPU-first design (not a translation):
+
+- parameters are plain pytrees with all transformer layers *stacked* along
+  a leading axis, so both training and decode run the layer stack as one
+  ``lax.scan`` body — one compiled block regardless of depth.
+- decode uses a persistent, pre-allocated KV cache ``(L, S, C)`` plus a
+  position index — replacing the reference's O(n^2) concat cache
+  (src/model.py:74-79) and its 4 device round-trips per token
+  (streaming_server.py:323-346).
+- ``decode_block`` fuses the *entire* per-token pipeline on device —
+  text-byte embedding lookup, previous-speech-token codebook lookup,
+  concat + L2-normalize, transformer step, argmax, EOA detection — and
+  scans it ``block`` tokens per device call.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from llmvox_tpu.ops import nn
+from llmvox_tpu.ops.attention import causal_attention, decode_attention
+from llmvox_tpu.utils.config import DecoderConfig
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Dict:
+    """GPT-2-style init (src/model.py:193-199): normal(0.02), residual
+    projections scaled by 1/sqrt(2*n_layer), zeros for biases."""
+    l, c = cfg.n_layer, cfg.n_embd
+    ks = jax.random.split(key, 8)
+
+    def norm(k, shape, std=0.02):
+        return std * jax.random.normal(k, shape, jnp.float32)
+
+    resid_std = 0.02 / math.sqrt(2 * l)
+    h = {
+        "ln1_s": jnp.ones((l, c)),
+        "wqkv": norm(ks[0], (l, c, 3 * c)),
+        "wo": norm(ks[1], (l, c, c), resid_std),
+        "ln2_s": jnp.ones((l, c)),
+        "wfc": norm(ks[2], (l, c, 4 * c)),
+        "wproj": norm(ks[3], (l, 4 * c, c), resid_std),
+    }
+    if cfg.bias:
+        h.update({
+            "ln1_b": jnp.zeros((l, c)), "bqkv": jnp.zeros((l, 3 * c)),
+            "bo": jnp.zeros((l, c)), "ln2_b": jnp.zeros((l, c)),
+            "bfc": jnp.zeros((l, 4 * c)), "bproj": jnp.zeros((l, c)),
+        })
+    params = {
+        "wpe": norm(ks[4], (cfg.block_size, c)),
+        "h": h,
+        "lnf_s": jnp.ones((c,)),
+        "head": norm(ks[5], (c, cfg.vocab_size)),
+    }
+    if cfg.bias:
+        params["lnf_b"] = jnp.zeros((c,))
+    return params
+
+
+def num_params(params: Dict, non_embedding: bool = True) -> int:
+    n = sum(x.size for x in jax.tree.leaves(params))
+    if non_embedding:
+        n -= params["wpe"].size
+    return n
+
+
+def _get(p: Dict, key: str):
+    return p.get(key, None)
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward (training / eval)
+# ---------------------------------------------------------------------------
+
+def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
+                  *, dropout_rng: Optional[jax.Array] = None,
+                  train: bool = False) -> jnp.ndarray:
+    """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal."""
+    b, t, c = emb.shape
+    x = emb + params["wpe"][:t].astype(emb.dtype)
+    if train and cfg.dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - cfg.dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+
+    def block(x, p):
+        hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+        qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = cfg.head_dim
+        q = q.reshape(b, t, cfg.n_head, hd)
+        k = k.reshape(b, t, cfg.n_head, hd)
+        v = v.reshape(b, t, cfg.n_head, hd)
+        a = causal_attention(q, k, v).reshape(b, t, c)
+        x = x + nn.linear(a, p["wo"], _get(p, "bo"))
+        hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        m = nn.linear(hnorm, p["wfc"], _get(p, "bfc"))
+        m = nn.gelu_tanh(m)
+        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
+        return x, None
+
+    x, _ = lax.scan(block, x, params["h"])
+    x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
+    return nn.linear(x, params["head"]).astype(jnp.float32)
+
+
+def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
+                 cfg: DecoderConfig, *,
+                 dropout_rng: Optional[jax.Array] = None,
+                 train: bool = True) -> jnp.ndarray:
+    """Cross-entropy with ignore_index (src/model.py:229-230)."""
+    logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
+                           train=train)
+    valid = targets != cfg.ignore_index
+    safe_targets = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+# ---------------------------------------------------------------------------
+# streaming decode
+# ---------------------------------------------------------------------------
+
+class DecodeState(NamedTuple):
+    """Per-stream decode state; reset at every sentence boundary
+    (the scheduler's 'infinite dialogue' mechanism, streaming_server.py:406-417)."""
+
+    k_cache: jnp.ndarray   # (L, S, C)
+    v_cache: jnp.ndarray   # (L, S, C)
+    pos: jnp.ndarray       # scalar int32, tokens generated so far
+    prev_token: jnp.ndarray  # scalar int32
+    done: jnp.ndarray      # scalar bool — EOA emitted
+
+
+def init_decode_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
+    l, s, c = cfg.n_layer, cfg.block_size, cfg.n_embd
+    return DecodeState(
+        k_cache=jnp.zeros((l, s, c), dtype),
+        v_cache=jnp.zeros((l, s, c), dtype),
+        pos=jnp.int32(0),
+        prev_token=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+
+
+def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
+                state: DecodeState):
+    """One transformer step for one new position; x is (C,)."""
+    pos = state.pos
+    x = x + params["wpe"][pos].astype(x.dtype)
+
+    def block(carry, inp):
+        h_x = carry
+        p, kc, vc = inp
+        hnorm = nn.layer_norm(h_x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+        qkv = nn.linear(hnorm[None], p["wqkv"], _get(p, "bqkv"))[0]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        kc = lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (pos, 0))
+        vc = lax.dynamic_update_slice(vc, v[None].astype(vc.dtype), (pos, 0))
+        a = decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
+        h_x = h_x + nn.linear(a[None], p["wo"], _get(p, "bo"))[0]
+        hnorm = nn.layer_norm(h_x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        m = nn.gelu_tanh(nn.linear(hnorm[None], p["wfc"], _get(p, "bfc")))
+        h_x = h_x + nn.linear(m, p["wproj"], _get(p, "bproj"))[0]
+        return h_x, (kc, vc)
+
+    x, (new_k, new_v) = lax.scan(
+        block, x, (params["h"], state.k_cache, state.v_cache))
+    x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
+    logits = nn.linear(x[None], params["head"])[0].astype(jnp.float32)
+    token = jnp.argmax(logits).astype(jnp.int32)
+    return token, new_k, new_v
+
+
+@partial(jax.jit, static_argnames=("cfg", "block"))
+def decode_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
+                 state: DecodeState, text_ids: jnp.ndarray,
+                 text_len: jnp.ndarray, limit: jnp.ndarray,
+                 cfg: DecoderConfig, block: int = 32):
+    """Generate up to ``block`` speech tokens fully on device.
+
+    Per step (mirrors streaming_server.py:323-354 semantics): the text id
+    for position ``pos`` is ``text_ids[pos]`` while ``pos < text_len`` and
+    PAD (384) afterwards; the speech feature is the codebook embedding of
+    the previous token (zeros at position 0); both are concatenated and
+    L2-normalized (src/data.py:281-287) before the transformer step; the
+    next token is the argmax over 4096 codes; EOA (453) sets ``done``.
+
+    Args:
+      text_table: (text_vocab, 256) byte-embedding table.
+      codebook: (vq_bins, 512) speech codebook.
+      text_ids: (Tmax,) int32 text ids known so far (385 appended at
+        sentence end by the scheduler).
+      text_len: scalar int32 — number of valid entries in text_ids.
+      limit: scalar int32 — pacing: max tokens to generate this call
+        (min(block, text available) while the sentence is still streaming).
+
+    Returns:
+      (tokens (block,) int32 with -1 at inactive slots, n_generated, state)
+    """
+    tmax = text_ids.shape[0]
+    compute_dtype = state.k_cache.dtype
+
+    def step(carry, i):
+        st = carry
+        active = jnp.logical_and(i < limit, jnp.logical_not(st.done))
+
+        tid = jnp.where(st.pos < text_len,
+                        text_ids[jnp.minimum(st.pos, tmax - 1)],
+                        cfg.pad_token_id)
+        temb = text_table[tid]
+        sfeat = jnp.where(st.pos == 0, jnp.zeros((cfg.speech_embed_dim,)),
+                          codebook[st.prev_token])
+        x = nn.l2_normalize(jnp.concatenate([temb, sfeat]))
+        x = x.astype(compute_dtype)
+
+        token, new_k, new_v = _decode_one(params, cfg, x, st)
+
+        # The cache write at ``pos`` is committed unconditionally: on an
+        # inactive step ``pos`` does not advance, so the next active step
+        # overwrites the same row before anything attends to it.  This keeps
+        # the step free of full-cache selects.
+        pos = jnp.where(active, st.pos + 1, st.pos)
+        prev = jnp.where(active, token, st.prev_token)
+        done = jnp.logical_or(
+            st.done, jnp.logical_and(active, token == cfg.eoa_token_id))
+        out = jnp.where(active, token, jnp.int32(-1))
+        return DecodeState(new_k, new_v, pos, prev, done), out
+
+    state, tokens = lax.scan(step, state, jnp.arange(block, dtype=jnp.int32))
+    n = jnp.sum((tokens >= 0).astype(jnp.int32))
+    return tokens, n, state

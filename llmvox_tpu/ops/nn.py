@@ -1,0 +1,138 @@
+"""Small neural-net building ops shared by the decoder and the codec.
+
+All tensors are channel-last ``(B, L, C)`` — the TPU-friendly layout (the
+lane dimension maps to channels).  The reference uses torch channel-first
+``(B, C, L)``; semantics here are verified against torch in tests.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def layer_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],
+               bias: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
+    """LayerNorm over the last axis (biased variance, like F.layer_norm)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int, eps: float,
+               valid_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """GroupNorm for (B, L, C): stats over (L, channels-in-group).
+
+    Matches torch.nn.GroupNorm applied to (B, C, L) (reference
+    WavTokenizer/decoder/models.py:15-16).  With ``valid_len``, statistics
+    are computed over positions [0, valid_len) only and padding positions
+    are zeroed — bit-equivalent to running at the exact unpadded length
+    (used for static-shape ragged-chunk decode).
+    """
+    b, l, c = x.shape
+    g = num_groups
+    x32 = x.astype(jnp.float32).reshape(b, l, g, c // g)
+    if valid_len is None:
+        mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
+        mask = None
+    else:
+        mask = (lax.broadcasted_iota(jnp.int32, (1, l, 1, 1), 1)
+                < valid_len).astype(jnp.float32)
+        denom = valid_len.astype(jnp.float32) * (c // g)
+        x32 = x32 * mask
+        mean = jnp.sum(x32, axis=(1, 3), keepdims=True) / denom
+        xc = (x32 - mean) * mask
+        var = jnp.sum(jnp.square(xc), axis=(1, 3), keepdims=True) / denom
+    y = ((x32 - mean) * lax.rsqrt(var + eps)).reshape(b, l, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if mask is not None:
+        y = y * mask.reshape(1, l, 1)
+    return y.astype(x.dtype)
+
+
+def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+           *, stride: int = 1, padding="SAME", dilation: int = 1,
+           groups: int = 1) -> jnp.ndarray:
+    """1-D convolution on (B, L, C) with kernel (K, Cin/groups, Cout)."""
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv1d_transpose(x: jnp.ndarray, w: jnp.ndarray,
+                     b: Optional[jnp.ndarray] = None, *, stride: int = 1,
+                     padding="VALID") -> jnp.ndarray:
+    """Transposed 1-D convolution on (B, L, C), kernel (K, Cout, Cin).
+
+    Matches torch.nn.ConvTranspose1d with padding=0 when ``padding='VALID'``
+    (trimming is done by the caller, as in the reference SEANet decoder).
+    """
+    k, cout, cin = w.shape
+    # lax.conv_transpose expects (K, Cin, Cout) with 'WIO'.
+    wt = jnp.transpose(w, (0, 2, 1)).astype(x.dtype)
+    y = lax.conv_transpose(
+        x, wt, strides=(stride,), padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        transpose_kernel=True,
+        precision=lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray,
+           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense layer; w is (Cin, Cout) — torch Linear.weight transposed."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype,
+                precision=lax.Precision.HIGHEST)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """Tanh-approximate GELU — the decoder activation (src/model.py:21-26)."""
+    x32 = x.astype(jnp.float32)
+    c = math.sqrt(2.0 / math.pi)
+    y = 0.5 * x32 * (1.0 + jnp.tanh(c * (x32 + 0.044715 * x32 ** 3)))
+    return y.astype(x.dtype)
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact GELU — the codec ConvNeXt activation (decoder/modules.py:35)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(x) — the codec pos_net activation (decoder/models.py:10-12)."""
+    return x * jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """F.normalize(p=2, dim=-1, eps=eps): x / max(||x||_2, eps)."""
+    x32 = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
+    return (x32 / jnp.maximum(norm, eps)).astype(x.dtype)

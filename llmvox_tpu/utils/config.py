@@ -1,0 +1,293 @@
+"""Typed configuration system for LLMVoX-TPU.
+
+One dataclass-based config serves training and serving, replacing the
+reference's plain dicts merged with argparse (reference:
+configs/inference_config.py:4-54, configs/train_config.py:10-69,
+train.py:139-147).  Every reference knob has a counterpart here, and CLI
+overrides follow the same rule: only flags the user actually passed
+override the defaults.  The reference's `type=bool` argparse bug (any
+non-empty string is truthy) is fixed with a real str2bool.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+def _str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("1", "true", "t", "yes", "y", "on"):
+        return True
+    if s in ("0", "false", "f", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Architecture of the GPT-style speech-token decoder.
+
+    Deployed values mirror the reference (configs/train_config.py:17-22,
+    src/model.py:135-147): 4 layers, 8 heads, width 768, block 8192,
+    no biases, 4096 speech codes.
+    """
+
+    n_layer: int = 4
+    n_head: int = 8
+    n_embd: int = 768
+    block_size: int = 8192
+    vocab_size: int = 4096
+    dropout: float = 0.0
+    bias: bool = False
+
+    # Input-embedding scheme: concat(text byte-embedding, speech feature)
+    # then L2-normalize (reference src/data.py:281-287).
+    text_embed_dim: int = 256
+    speech_embed_dim: int = 512
+
+    # Special token-id conventions (reference src/data.py:24-26,
+    # configs/inference_config.py:40-41).
+    text_vocab_size: int = 386   # 384 byte/special ids + [PAD]=384 + EOS=385
+    pad_token_id: int = 384
+    text_eos_id: int = 385
+    eoa_token_id: int = 453
+    ignore_index: int = -1000
+
+    ln_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_embd % self.n_head == 0
+        return self.n_embd // self.n_head
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """WavTokenizer codec architecture (deployed: large-speech-320-24k).
+
+    Mirrors WavTokenizer/configs/wavtokenizer_smalldata_frame75_...yaml:39-65
+    and decoder/feature_extractors.py:54-95.
+    """
+
+    sample_rate: int = 24000
+    # SEANet encoder
+    downsamples: Tuple[int, ...] = (8, 5, 4, 2)   # 320x total -> 75 frames/s
+    n_filters: int = 32
+    seanet_dimension: int = 512
+    seanet_kernel_size: int = 7
+    seanet_last_kernel_size: int = 7
+    seanet_residual_kernel_size: int = 3
+    seanet_dilation_base: int = 2
+    seanet_n_residual_layers: int = 1
+    seanet_lstm_layers: int = 2
+    seanet_compress: int = 2
+    # Vector quantizer
+    vq_bins: int = 4096
+    vq_dim: int = 512
+    num_quantizers: int = 1
+    vq_kmeans_iters: int = 200
+    vq_decay: float = 0.99
+    # ConvNeXt backbone
+    backbone_input_channels: int = 512
+    backbone_dim: int = 768
+    backbone_intermediate_dim: int = 2304
+    backbone_num_layers: int = 12
+    adanorm_num_embeddings: int = 4
+    # ISTFT head
+    n_fft: int = 1280
+    hop_length: int = 320
+    padding: str = "same"
+
+    ln_eps: float = 1e-6
+    groupnorm_groups: int = 32
+    groupnorm_eps: float = 1e-6
+
+    @property
+    def total_downsample(self) -> int:
+        out = 1
+        for r in self.downsamples:
+            out *= r
+        return out
+
+    @property
+    def samples_per_token(self) -> int:
+        # 24000/320 = 75 tokens/s; 320 samples per token at hop 320.
+        return self.hop_length
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Serving/runtime knobs, mirroring configs/inference_config.py:4-54."""
+
+    chat_type: str = "text"  # ['text','voice','multimodal','visual_speech']
+
+    # Model/checkpoint paths (converted .npz / orbax; see tools/convert)
+    wav_config_path: str = ""
+    wav_model_path: str = ""
+    encoder_model_path: str = "charsiu/g2p_multilingual_byT5_tiny_16_layers_100"
+    tokenizer_path: str = "google/byt5-small"
+    llmvox_checkpoint_path: str = ""
+
+    # LLM settings (external text-stream source)
+    llm_checkpoint: str = "meta-llama/Llama-3.1-8B-Instruct"
+    llm_device: str = "cpu"
+    llm_max_tokens: int = 1000
+    llm_temperature: float = 0.7
+    llm_top_p: float = 0.95
+    llm_top_k: int = 40
+
+    # TTS replica placement: indices into jax.devices()
+    tts_device_1: int = 0
+    tts_device_2: int = 0
+
+    # Streaming scheduler knobs (configs/inference_config.py:29-33)
+    system_prompt: str = (
+        "You are a friendly voicebot that answers questions in a concise way "
+        "and do not use abbreviation.Give short responses"
+    )
+    initial_dump_size_1: int = 10
+    initial_dump_size_2: int = 160
+    max_dump_size: int = 1280
+    max_audio_length: int = 8000
+    dump_growth_factor: int = 3
+
+    # Special tokens
+    eos_token: str = "<|eot_id|>"
+    pad_token_id: int = 384
+    eoa_token_id: int = 453
+
+    # API settings
+    api_host: str = "0.0.0.0"
+    api_port: int = 5003
+
+    # ASR settings
+    asr_model: str = "small"
+    asr_device: str = "cpu"
+    asr_sample_rate: float = 16000.0
+    asr_max_audio_length: int = 60
+    asr_default_language: str = "english"
+    asr_enable_translation: bool = False
+
+    # TPU runtime knobs (new; no reference counterpart)
+    decode_block: int = 32        # tokens generated per device call
+    compute_dtype: str = "bfloat16"
+    chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
+
+    def dump_size_ladder(self, initial: int) -> List[int]:
+        """The ×3-growth chunk schedule (streaming_server.py:373-376)."""
+        sizes, d = [], initial
+        while True:
+            sizes.append(d)
+            if d >= self.max_dump_size:
+                break
+            d = min(d * self.dump_growth_factor, self.max_dump_size)
+        return sizes
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Decoder-training knobs, mirroring configs/train_config.py:10-69."""
+
+    # System
+    dtype: str = "bfloat16"
+    seed: int = 1337
+
+    # Model init
+    init_from: str = "scratch"  # ['scratch','resume','gpt2',...]
+    out_dir: str = "results"
+    checkpoint_filename: str = "ckpt"
+
+    # Paths
+    encoder_model_path: str = "charsiu/g2p_multilingual_byT5_tiny_16_layers_100"
+    tokenizer_path: str = "google/byt5-small"
+    wav_config_path: str = ""
+    wav_model_path: str = ""
+    data_path: str = ""
+    speech_data_folder: str = ""
+
+    # Control
+    eval_interval: int = 100
+    log_interval: int = 1
+    eval_iters: int = 1
+    eval_only: bool = False
+    always_save_checkpoint: bool = False
+
+    # Logging
+    wandb_log: bool = False
+    wandb_project: str = "llmvox_tpu"
+    wandb_run_name: str = "run"
+
+    # Hyperparameters
+    gradient_accumulation_steps: int = 4
+    batch_size: int = 2
+    learning_rate: float = 3e-4
+    max_iters: int = 2_600_000
+    weight_decay: float = 1e-1
+    beta1: float = 0.9
+    beta2: float = 0.95
+    adam_eps: float = 1e-5
+    grad_clip: float = 1.0
+
+    # LR schedule
+    decay_lr: bool = True
+    warmup_iters: int = 500
+    lr_decay_iters: int = 2_600_000
+    min_lr: float = 3e-6
+
+    # Parallelism (new): data-parallel size -1 means "all devices"
+    dp_size: int = -1
+    tp_size: int = 1
+
+
+# ---------------------------------------------------------------------------
+# CLI override machinery
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPES = (int, float, str, bool)
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    """Register one optional CLI flag per dataclass field.
+
+    Defaults are ``None`` so that only user-provided flags override config
+    values (the reference preserves defaults the same way,
+    streaming_server.py:79-87).
+    """
+    for f in dataclasses.fields(cls):
+        if f.type in ("bool", bool) or isinstance(f.default, bool):
+            parser.add_argument(f"--{f.name}", type=_str2bool, default=None)
+        elif isinstance(f.default, _SIMPLE_TYPES):
+            parser.add_argument(f"--{f.name}", type=type(f.default), default=None)
+        elif isinstance(f.default, tuple) or (
+            f.default_factory is not dataclasses.MISSING  # type: ignore[misc]
+        ):
+            parser.add_argument(f"--{f.name}", type=json.loads, default=None)
+
+
+def apply_cli_overrides(config, args: argparse.Namespace):
+    """Return a copy of ``config`` with non-None CLI args applied."""
+    updates = {}
+    for f in dataclasses.fields(config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            if isinstance(f.default, tuple) and isinstance(v, list):
+                v = tuple(v)
+            updates[f.name] = v
+    return dataclasses.replace(config, **updates)
+
+
+def config_from_cli(cls, argv: Optional[Sequence[str]] = None,
+                    description: str = ""):
+    parser = argparse.ArgumentParser(description=description)
+    add_dataclass_args(parser, cls)
+    args = parser.parse_args(argv)
+    return apply_cli_overrides(cls(), args)
+
+
+def to_dict(config) -> dict:
+    return dataclasses.asdict(config)
