@@ -192,40 +192,42 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg", "block"))
 def decode_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
-                 state: DecodeState, text_ids: jnp.ndarray,
+                 state: DecodeState, text_window: jnp.ndarray,
                  text_len: jnp.ndarray, limit: jnp.ndarray,
                  cfg: DecoderConfig, block: int = 32):
     """Generate up to ``block`` speech tokens fully on device.
 
     Per step (mirrors streaming_server.py:323-354 semantics): the text id
-    for position ``pos`` is ``text_ids[pos]`` while ``pos < text_len`` and
-    PAD (384) afterwards; the speech feature is the codebook embedding of
-    the previous token (zeros at position 0); both are concatenated and
-    L2-normalized (src/data.py:281-287) before the transformer step; the
-    next token is the argmax over 4096 codes; EOA (453) sets ``done``.
+    for position ``pos`` is the next unconsumed text id while
+    ``pos < text_len`` and PAD (384) afterwards; the speech feature is the
+    codebook embedding of the previous token (zeros at position 0); both
+    are concatenated and L2-normalized (src/data.py:281-287) before the
+    transformer step; the next token is the argmax over 4096 codes;
+    EOA (453) sets ``done``.
 
     Args:
       text_table: (text_vocab, 256) byte-embedding table.
       codebook: (vq_bins, 512) speech codebook.
-      text_ids: (Tmax,) int32 text ids known so far (385 appended at
-        sentence end by the scheduler).
-      text_len: scalar int32 — number of valid entries in text_ids.
+      text_window: (block,) int32 — ``text_ids[state.pos : state.pos+block]``
+        host-side slice (385 already appended at sentence end by the
+        scheduler; PAD-filled past the end).  Window-sized so each device
+        call ships ~block*4 bytes, not the whole transcript.
+      text_len: scalar int32 — absolute number of valid text ids.
       limit: scalar int32 — pacing: max tokens to generate this call
         (min(block, text available) while the sentence is still streaming).
 
     Returns:
       (tokens (block,) int32 with -1 at inactive slots, n_generated, state)
     """
-    tmax = text_ids.shape[0]
     compute_dtype = state.k_cache.dtype
 
     def step(carry, i):
         st = carry
         active = jnp.logical_and(i < limit, jnp.logical_not(st.done))
 
-        tid = jnp.where(st.pos < text_len,
-                        text_ids[jnp.minimum(st.pos, tmax - 1)],
-                        cfg.pad_token_id)
+        # While active, pos == initial_pos + i, so window index i is the
+        # text id for this position.
+        tid = jnp.where(st.pos < text_len, text_window[i], cfg.pad_token_id)
         temb = text_table[tid]
         sfeat = jnp.where(st.pos == 0, jnp.zeros((cfg.speech_embed_dim,)),
                           codebook[st.prev_token])

@@ -58,6 +58,7 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
       (C,) attention output.
     """
     s, c = k_cache.shape
+    chunk = min(chunk, s)
     assert s % chunk == 0, "cache capacity must be a multiple of chunk"
     h, d = n_head, c // n_head
     qh = q.reshape(h, d).astype(jnp.float32)

@@ -1,0 +1,114 @@
+"""TTSEngine: one TTS replica — decoder decode loop + codec — on one device.
+
+The counterpart of the reference ``ModelHandler`` + per-token consumer math
+(inference/model_handler.py:45-166, streaming_server.py:323-370), re-cut
+for TPU: the per-token pipeline (byte-embedding, codebook feature, concat,
+normalize, transformer step, argmax) is one compiled program generating
+``decode_block`` tokens per device call, and chunk synthesis runs at a few
+static bucket shapes with valid-length masking.  The reference instead did
+4 host<->device round trips *per token* and recompiled nothing because
+eager torch has no shapes to lock.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmvox_tpu.codec.codec import WavCodec
+from llmvox_tpu.models import decoder as dec
+from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
+
+
+class TTSEngine:
+    """Decoder params + text table + codec, pinned to one device."""
+
+    def __init__(self, decoder_params: Dict, text_table: np.ndarray,
+                 codec: WavCodec, dcfg: Optional[DecoderConfig] = None,
+                 scfg: Optional[ServeConfig] = None,
+                 device: Optional[jax.Device] = None,
+                 cache_dtype=jnp.bfloat16):
+        self.dcfg = dcfg or DecoderConfig()
+        self.scfg = scfg or ServeConfig()
+        self.codec = codec
+        self.cache_dtype = cache_dtype
+        self.block = self.scfg.decode_block
+        if device is not None:
+            decoder_params = jax.device_put(decoder_params, device)
+            text_table = jax.device_put(jnp.asarray(text_table), device)
+        self.params = decoder_params
+        self.text_table = jnp.asarray(text_table)
+        self.device = device
+        # the decoder consumes the first codebook level (n_q=1 deployed)
+        self.codebook = codec.params["codebooks"][0]
+
+    # -- decode --------------------------------------------------------
+    def new_state(self) -> dec.DecodeState:
+        state = dec.init_decode_state(self.dcfg, dtype=self.cache_dtype)
+        if self.device is not None:
+            state = jax.device_put(state, self.device)
+        return state
+
+    def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
+                     text_len: int, limit: int
+                     ) -> Tuple[List[int], dec.DecodeState]:
+        """Generate up to ``limit`` (<= block) tokens; returns host tokens."""
+        tokens, _, state = dec.decode_block(
+            self.params, self.text_table, self.codebook, state,
+            jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
+            jnp.int32(limit), self.dcfg, block=self.block)
+        toks = np.asarray(tokens)
+        return [int(t) for t in toks if t >= 0], state
+
+    # -- synthesis -----------------------------------------------------
+    def synthesize(self, codes: Sequence[int]) -> bytes:
+        """Speech tokens -> raw float32 little-endian PCM bytes @24 kHz."""
+        arr = np.asarray(codes, np.int32)[None]
+        wav = self.codec.decode_codes(arr)[0]
+        return np.asarray(wav, dtype="<f4").tobytes()
+
+    def warmup(self) -> None:
+        """Compile decode + all codec buckets before serving traffic."""
+        state = self.new_state()
+        window = np.full(self.block, self.dcfg.pad_token_id, np.int32)
+        self.decode_block(state, window, 1, 1)
+        self.codec.warmup()
+
+    # -- offline TTS ---------------------------------------------------
+    def tts(self, text: str, max_tokens: Optional[int] = None
+            ) -> Tuple[np.ndarray, List[int]]:
+        """Non-streaming text -> (waveform float32, speech tokens).
+
+        The minimal end-to-end slice (BASELINE config #1): tokenize bytes,
+        run the decode loop until EOA or the cap, synthesize in one shot.
+        """
+        from llmvox_tpu.text.byt5 import ByT5Tokenizer
+        cap = max_tokens or self.scfg.max_audio_length
+        tok = ByT5Tokenizer()
+        ids = tok.encode(text.strip()) + [self.dcfg.text_eos_id]
+        text_len = len(ids)
+        buf = np.full(text_len + cap + self.block,
+                      self.dcfg.pad_token_id, np.int32)
+        buf[:text_len] = ids
+
+        state = self.new_state()
+        tokens: List[int] = []
+        while len(tokens) < cap:
+            pos = int(state.pos)
+            got, state = self.decode_block(
+                state, buf[pos:pos + self.block], text_len,
+                min(self.block, cap - len(tokens)))
+            tokens.extend(got)
+            if bool(state.done) or not got:
+                break
+        if tokens and tokens[-1] == self.dcfg.eoa_token_id:
+            synth = tokens[:-1]
+        else:
+            synth = tokens
+        if not synth:
+            return np.zeros(0, np.float32), tokens
+        wav = self.codec.decode_codes(np.asarray(synth, np.int32)[None])[0]
+        return wav, tokens

@@ -1,0 +1,256 @@
+"""The multi-queue dual-replica streaming scheduler.
+
+Behavior-compatible rebuild of the reference's producer / 2-consumer /
+async-mux state machine (streaming_server.py:184-469), re-cut as asyncio
+tasks instead of daemon threads:
+
+- the **producer** routes cleaned LLM text deltas into two text queues,
+  flipping the active queue whenever a delta ends with '.' (sentence
+  boundary) and flagging generation end on the LLM eos token;
+- each **consumer** drives one TTS replica: it consumes deltas, appends
+  the text-EOS (385) at sentence end, then feeds PAD embeddings; speech
+  tokens accumulate until ``dump_size`` (x3 growth, capped) and each chunk
+  is codec-synthesized to float32 bytes; EOA (453) or the
+  ``max_audio_length`` cap terminates the sentence, emits a control signal
+  (``"end"`` if the LLM finished, else the index of the other replica) and
+  resets all per-sentence state including the KV cache — the
+  "infinite-length dialogue" mechanism;
+- the **mux** interleaves the two audio queues into one byte stream,
+  switching on 0/1 control signals and finishing on "end".
+
+Fixes over the reference (SURVEY §2.7 known defects): consumers terminate
+and queues are garbage-collected per request (the reference leaks both,
+streaming_server.py:287,425); the unreachable ``active_model`` flag is
+gone; eos stripping removes the token substring instead of ``rstrip``'s
+character-set behavior (which eats trailing letters, e.g.
+"Hide<|eot_id|>".rstrip(eos) -> "H"); a text stream that ends without an
+eos token still terminates the request.
+"""
+from __future__ import annotations
+
+import asyncio
+from dataclasses import dataclass, field
+from typing import AsyncIterator, List, Optional, Union
+
+import numpy as np
+
+from llmvox_tpu.serve.engine import TTSEngine
+from llmvox_tpu.text.byt5 import ByT5Tokenizer
+from llmvox_tpu.text.cleaning import clean_text
+from llmvox_tpu.utils.config import ServeConfig
+from llmvox_tpu.utils.trace import Trace
+
+# Control-signal protocol on the audio queues (streaming_server.py:397-404):
+# bytes = audio chunk; int 0/1 = switch mux to that replica; "end" = finish.
+END = "end"
+_STREAM_CLOSED = object()  # producer sentinel: LLM stream exhausted
+
+
+@dataclass
+class _SentenceState:
+    """Per-sentence consumer state, reset at every boundary
+    (streaming_server.py:406-417)."""
+    text_ids: List[int] = field(default_factory=list)
+    sentence_done: bool = False
+    end_generation: bool = False
+    buffer: List[int] = field(default_factory=list)
+    n_generated: int = 0
+
+
+class StreamingScheduler:
+    """One instance per server; ``run()`` serves one request."""
+
+    def __init__(self, engines: List[TTSEngine],
+                 cfg: Optional[ServeConfig] = None):
+        assert len(engines) == 2, "dual-replica scheduler needs 2 engines"
+        self.engines = engines
+        self.cfg = cfg or ServeConfig()
+        self.tokenizer = ByT5Tokenizer()
+
+    # ------------------------------------------------------------------
+    async def run(self, text_stream: AsyncIterator[str],
+                  trace: Optional[Trace] = None) -> AsyncIterator[bytes]:
+        """text deltas in -> 24 kHz float32 PCM chunks out."""
+        trace = trace or Trace("request")
+        text_qs = [asyncio.Queue(), asyncio.Queue()]
+        audio_qs = [asyncio.Queue(), asyncio.Queue()]
+
+        tasks = [
+            asyncio.create_task(self._producer(text_stream, text_qs)),
+            asyncio.create_task(self._consumer(
+                0, self.engines[0], text_qs[0], audio_qs[0],
+                self.cfg.initial_dump_size_1, trace)),
+            asyncio.create_task(self._consumer(
+                1, self.engines[1], text_qs[1], audio_qs[1],
+                self.cfg.initial_dump_size_2, trace)),
+        ]
+        try:
+            current = 0
+            while True:
+                item = await audio_qs[current].get()
+                if isinstance(item, bytes):
+                    if trace.first("first_audio") is None:
+                        trace.mark("first_audio")
+                    yield item
+                elif item == END:
+                    trace.mark("end")
+                    return
+                elif item in (0, 1):
+                    current = item
+                elif item is None:
+                    return
+        finally:
+            for t in tasks:
+                t.cancel()
+            for t in tasks:
+                try:
+                    await t
+                except (asyncio.CancelledError, Exception):
+                    pass
+
+    # ------------------------------------------------------------------
+    async def _producer(self, text_stream: AsyncIterator[str],
+                        text_qs: List[asyncio.Queue]) -> None:
+        """Route deltas, ping-ponging at sentence ends
+        (streaming_server.py:184-248)."""
+        eos = self.cfg.eos_token
+        active = 0
+        saw_eos = False
+        async for output in text_stream:
+            if output in ("", "-"):
+                continue
+            output = output.strip()
+            if output != eos:
+                output = clean_text(output, eos)
+            if not output:
+                continue
+            await text_qs[active].put(output)
+            if eos in output:
+                saw_eos = True
+            if output.endswith("."):
+                active = 1 - active
+        if not saw_eos:
+            # robustness fix: a stream that ends without its eos token would
+            # hang the reference; inject a close marker for the active queue.
+            await text_qs[active].put(_STREAM_CLOSED)
+
+    # ------------------------------------------------------------------
+    async def _consumer(self, index: int, engine: TTSEngine,
+                        text_q: asyncio.Queue, audio_q: asyncio.Queue,
+                        dump_size: int, trace: Trace) -> None:
+        """Drive one replica (streaming_server.py:250-426)."""
+        cfg = self.cfg
+        eos = cfg.eos_token
+        dcfg = engine.dcfg
+        block = engine.block
+
+        st = _SentenceState()
+        dec_state = engine.new_state()
+
+        def grow_dump():
+            nonlocal dump_size
+            if dump_size < cfg.max_dump_size:
+                dump_size = min(dump_size * cfg.dump_growth_factor,
+                                cfg.max_dump_size)
+
+        async def synthesize(codes: List[int]) -> None:
+            with trace.span(f"synth_r{index}"):
+                chunk = await asyncio.to_thread(engine.synthesize, codes)
+            await audio_q.put(chunk)
+
+        while True:
+            terminated = False
+
+            # -- text intake until the sentence is complete ---------------
+            if not st.sentence_done:
+                delta = await text_q.get()
+                if delta is _STREAM_CLOSED:
+                    if st.n_generated == 0 and not st.text_ids:
+                        await audio_q.put(END)
+                        return
+                    st.end_generation = True
+                    st.sentence_done = True
+                    st.text_ids.append(dcfg.text_eos_id)
+                else:
+                    if eos in delta:
+                        st.end_generation = True
+                        delta = delta.replace(eos, "")
+                        st.sentence_done = True
+                    elif delta.endswith("."):
+                        st.sentence_done = True
+                    # Every delta is byte-tokenized with its ByT5 </s>
+                    # (streaming_server.py:305-306); an empty eos remainder
+                    # still contributes the bare </s>, like the reference.
+                    st.text_ids.extend(self.tokenizer.encode(delta.strip()))
+                    if st.sentence_done:
+                        st.text_ids.append(dcfg.text_eos_id)
+
+            # -- generate as far as pacing allows -------------------------
+            while True:
+                if st.sentence_done:
+                    limit = block
+                else:
+                    limit = min(block, len(st.text_ids) - st.n_generated)
+                    if limit <= 0:
+                        break
+
+                pos = st.n_generated
+                window = np.full(block, dcfg.pad_token_id, np.int32)
+                avail = st.text_ids[pos:pos + block]
+                window[:len(avail)] = avail
+
+                with trace.span(f"decode_r{index}"):
+                    tokens, dec_state = await asyncio.to_thread(
+                        engine.decode_block, dec_state, window,
+                        len(st.text_ids), limit)
+                st.n_generated += len(tokens)
+
+                # Per-token bookkeeping, exactly the reference's inner-loop
+                # order (streaming_server.py:347-422).
+                for tok in tokens:
+                    st.buffer.append(tok)
+                    if len(st.buffer) >= dump_size:
+                        chunk, st.buffer = (st.buffer[:dump_size],
+                                            st.buffer[dump_size:])
+                        await synthesize(chunk)
+                        grow_dump()
+                    elif dcfg.eoa_token_id in st.buffer:
+                        chunk, st.buffer = st.buffer, []
+                        await synthesize(chunk)
+                        grow_dump()
+                    if (tok == dcfg.eoa_token_id
+                            or len(st.buffer) > cfg.max_audio_length):
+                        if st.end_generation:
+                            await audio_q.put(END)
+                            return
+                        await audio_q.put(1 - index)
+                        # reset for the next sentence on this replica
+                        st = _SentenceState()
+                        dec_state = engine.new_state()
+                        grow_dump()
+                        terminated = True
+                        break
+                if terminated or (st.sentence_done
+                                  and bool(np.asarray(dec_state.done))):
+                    break
+                if not tokens:
+                    break
+
+            if terminated:
+                continue
+
+            if st.sentence_done:
+                # Defensive: generation stalled without EOA termination
+                # (unreachable in normal operation — done implies the EOA
+                # token was processed above).  Close out the sentence so the
+                # request can never deadlock.
+                if st.buffer:
+                    await synthesize(st.buffer)
+                if st.end_generation:
+                    await audio_q.put(END)
+                    return
+                await audio_q.put(1 - index)
+                st = _SentenceState()
+                dec_state = engine.new_state()
+                grow_dump()
+            # otherwise: loop back to await more text.

@@ -1,0 +1,181 @@
+"""Decoder training loop: pjit data-parallel over a TPU mesh.
+
+The reference stack (train.py:255-428) is torchrun DDP + AMP GradScaler +
+torch.compile.  Here the whole step — device-side input construction from
+int32 ids, bf16 forward/backward, AdamW update — is one jitted program
+over a (dp, tp) mesh; GSPMD inserts the gradient all-reduce that DDP/NCCL
+did (train.py:363-365).  bf16 needs no loss scaling (GradScaler has no
+counterpart).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from llmvox_tpu.models import decoder as dec
+from llmvox_tpu.parallel import mesh as pmesh
+from llmvox_tpu.parallel.sharding import batch_sharding, replicated
+from llmvox_tpu.train import checkpoint as ckpt
+from llmvox_tpu.train.data import build_decoder_inputs
+from llmvox_tpu.train.optim import make_optimizer
+from llmvox_tpu.utils.config import DecoderConfig, TrainConfig
+
+# v5e bf16 peak; the reference hardcodes A100 312e12 (src/model.py:377-379)
+TPU_PEAK_FLOPS = float(os.environ.get("LLMVOX_TPU_PEAK_FLOPS", 197e12))
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16):
+    """Returns train_step(state, text_table, codebook, text_ids, targets, rng)."""
+
+    def loss_fn(params, text_table, codebook, text_ids, targets, rng):
+        emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
+        emb = emb.astype(compute_dtype)
+        return dec.decoder_loss(params, emb, targets, cfg,
+                                dropout_rng=rng, train=True)
+
+    def train_step(state: TrainState, text_table, codebook,
+                   text_ids, targets, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, text_table, codebook, text_ids, targets, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16):
+    def eval_step(params, text_table, codebook, text_ids, targets):
+        emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
+        return dec.decoder_loss(params, emb.astype(compute_dtype), targets,
+                                cfg, train=False)
+    return eval_step
+
+
+def estimate_mfu(cfg: DecoderConfig, n_params: int, tokens_per_iter: int,
+                 dt: float, peak: float = TPU_PEAK_FLOPS) -> float:
+    """PaLM-style MFU (reference src/model.py:367-381), vs TPU peak."""
+    l, h, q = cfg.n_layer, cfg.n_head, cfg.head_dim
+    t = cfg.block_size
+    flops_per_token = 6 * n_params + 12 * l * h * q * t
+    return flops_per_token * tokens_per_iter / dt / peak
+
+
+class Trainer:
+    """End-to-end training driver (the counterpart of train.py:255-428)."""
+
+    def __init__(self, tcfg: TrainConfig, mcfg: DecoderConfig,
+                 text_table: np.ndarray, codebook: np.ndarray,
+                 mesh=None, compute_dtype=jnp.bfloat16):
+        self.tcfg, self.mcfg = tcfg, mcfg
+        self.mesh = mesh or pmesh.create_mesh(tcfg.dp_size, tcfg.tp_size)
+        self.compute_dtype = compute_dtype
+        self.rng = jax.random.PRNGKey(tcfg.seed + jax.process_index())
+
+        key, self.rng = jax.random.split(self.rng)
+        params = dec.init_decoder_params(key, mcfg)
+        self.tx = make_optimizer(tcfg, params)
+
+        rep = replicated(self.mesh)
+        self.bsh = batch_sharding(self.mesh)
+        params = jax.device_put(params, rep)
+        opt_state = jax.jit(self.tx.init, out_shardings=rep)(params)
+        self.state = TrainState(params, opt_state, jnp.int32(0))
+        self.text_table = jax.device_put(jnp.asarray(text_table), rep)
+        self.codebook = jax.device_put(jnp.asarray(codebook), rep)
+
+        self._step = jax.jit(
+            make_train_step(mcfg, self.tx, compute_dtype),
+            donate_argnums=(0,))
+        self._eval = jax.jit(make_eval_step(mcfg, compute_dtype))
+        self.n_params = dec.num_params(params)
+        self.iter_num = 0
+
+    # -- checkpointing ---------------------------------------------------
+    def save_checkpoint(self, tag: Optional[str] = None) -> str:
+        out = self.tcfg.out_dir
+        name = tag or self.tcfg.checkpoint_filename
+        path = os.path.join(out, f"{name}.npz")
+        if pmesh.is_master():
+            ckpt.save_params_npz(path, jax.device_get(self.state.params),
+                                 meta={"iter_num": self.iter_num,
+                                       "model_args": self.mcfg.__dict__,
+                                       "config": self.tcfg.__dict__})
+            ckpt.save_opaque(os.path.join(out, f"{name}.opt.npz"),
+                             jax.device_get(self.state.opt_state))
+        return path
+
+    def load_checkpoint(self, path: str) -> None:
+        params = ckpt.load_params_npz(path)
+        meta = ckpt.load_meta(path)
+        self.iter_num = int(meta.get("iter_num", 0))
+        params = jax.device_put(params, replicated(self.mesh))
+        opt_path = path.replace(".npz", ".opt.npz")
+        if os.path.exists(opt_path):
+            opt_state = ckpt.fill_like(jax.device_get(self.state.opt_state),
+                                       opt_path)
+            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+        else:
+            opt_state = jax.jit(self.tx.init,
+                                out_shardings=replicated(self.mesh))(params)
+        self.state = TrainState(params, opt_state, jnp.int32(self.iter_num))
+
+    # -- steps -----------------------------------------------------------
+    def step(self, text_ids: np.ndarray, targets: np.ndarray) -> float:
+        key, self.rng = jax.random.split(self.rng)
+        text_ids = jax.device_put(jnp.asarray(text_ids), self.bsh)
+        targets = jax.device_put(jnp.asarray(targets), self.bsh)
+        self.state, loss = self._step(self.state, self.text_table,
+                                      self.codebook, text_ids, targets, key)
+        self.iter_num += 1
+        return float(loss)
+
+    def estimate_loss(self, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+                      eval_iters: int) -> float:
+        """Mean loss over eval_iters batches (src/utils.py:83-102)."""
+        losses = []
+        for _ in range(eval_iters):
+            text_ids, targets = next(batches)
+            losses.append(float(self._eval(
+                self.state.params, self.text_table, self.codebook,
+                jax.device_put(jnp.asarray(text_ids), self.bsh),
+                jax.device_put(jnp.asarray(targets), self.bsh))))
+        return float(np.mean(losses))
+
+    # -- loop ------------------------------------------------------------
+    def train(self, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+              max_iters: Optional[int] = None, log=print) -> None:
+        tcfg = self.tcfg
+        max_iters = max_iters or tcfg.max_iters
+        t0 = time.time()
+        while self.iter_num < max_iters:
+            if (self.iter_num % tcfg.eval_interval == 0 and
+                    self.iter_num > 0):
+                val = self.estimate_loss(batches, tcfg.eval_iters)
+                log(f"iter {self.iter_num}: eval loss {val:.4f}")
+                self.save_checkpoint()
+                if tcfg.always_save_checkpoint:
+                    self.save_checkpoint(
+                        f"{tcfg.checkpoint_filename}_{self.iter_num}")
+            text_ids, targets = next(batches)
+            loss = self.step(text_ids, targets)
+            if self.iter_num % tcfg.log_interval == 0:
+                dt = time.time() - t0
+                t0 = time.time()
+                tokens = text_ids.shape[0] * text_ids.shape[1]
+                mfu = estimate_mfu(self.mcfg, self.n_params, tokens, max(dt, 1e-9))
+                log(f"iter {self.iter_num}: loss {loss:.4f}, "
+                    f"time {dt * 1000:.1f}ms, mfu {mfu * 100:.2f}%")

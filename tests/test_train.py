@@ -1,0 +1,146 @@
+"""Training-stack tests: LR schedule parity, decay mask, input construction,
+a short DP training run on the virtual 8-device mesh, checkpoint roundtrip."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llmvox_tpu.models import decoder as dec
+from llmvox_tpu.parallel import create_mesh
+from llmvox_tpu.train import data as dmod
+from llmvox_tpu.train import optim
+from llmvox_tpu.train.trainer import Trainer
+from llmvox_tpu.utils.config import DecoderConfig, TrainConfig
+
+TINY = DecoderConfig(n_layer=2, n_head=2, n_embd=32, block_size=64,
+                     vocab_size=16, bias=False, text_embed_dim=12,
+                     speech_embed_dim=20, text_vocab_size=20,
+                     pad_token_id=17, text_eos_id=18, eoa_token_id=7)
+
+
+def _reference_get_lr(cfg, it):
+    """Inline reimplementation of the reference schedule (src/utils.py:105-123)."""
+    if not cfg.decay_lr:
+        return cfg.learning_rate
+    if it < cfg.warmup_iters:
+        return cfg.learning_rate * it / cfg.warmup_iters
+    if it > cfg.lr_decay_iters:
+        return cfg.min_lr
+    r = (it - cfg.warmup_iters) / (cfg.lr_decay_iters - cfg.warmup_iters)
+    coeff = 0.5 * (1.0 + math.cos(math.pi * r))
+    return cfg.min_lr + coeff * (cfg.learning_rate - cfg.min_lr)
+
+
+def test_lr_schedule_matches_reference():
+    cfg = TrainConfig(warmup_iters=10, lr_decay_iters=100,
+                      learning_rate=3e-4, min_lr=3e-6)
+    sched = optim.lr_schedule(cfg)
+    for it in [0, 1, 5, 9, 10, 11, 50, 99, 100, 101, 500]:
+        np.testing.assert_allclose(float(sched(it)),
+                                   _reference_get_lr(cfg, it), rtol=1e-6)
+
+
+def test_decay_mask_selects_matmul_weights():
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), TINY)
+    mask = optim.decay_mask(params)
+    assert mask["wpe"] and mask["head"]
+    assert mask["h"]["wqkv"] and mask["h"]["wo"]
+    assert mask["h"]["wfc"] and mask["h"]["wproj"]
+    assert not mask["h"]["ln1_s"] and not mask["h"]["ln2_s"]
+    assert not mask["lnf_s"]
+
+
+def test_collate_and_inputs_match_reference_semantics():
+    cfg = TINY
+    s1 = dmod.Sample(text_ids=np.array([3, 1, 18], np.int32),
+                     codes=np.array([5, 6, 5], np.int32))
+    s2 = dmod.Sample(text_ids=np.array([4, 18], np.int32),
+                     codes=np.array([2], np.int32))
+    text, targets = dmod.collate([s1, s2], cfg, bucket=8)
+    assert text.shape == targets.shape == (2, 8)
+    # targets: codes then EOA then ignore padding
+    assert list(targets[0][:4]) == [5, 6, 5, cfg.eoa_token_id]
+    assert (targets[0][4:] == cfg.ignore_index).all()
+    assert list(targets[1][:2]) == [2, cfg.eoa_token_id]
+    # text: ids then PAD
+    assert list(text[0][:3]) == [3, 1, 18]
+    assert (text[0][3:] == cfg.pad_token_id).all()
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((cfg.text_vocab_size, cfg.text_embed_dim)
+                                ).astype(np.float32)
+    codebook = rng.standard_normal((max(cfg.vocab_size, cfg.eoa_token_id + 1),
+                                    cfg.speech_embed_dim)).astype(np.float32)
+    emb = np.asarray(dmod.build_decoder_inputs(
+        jnp.asarray(table), jnp.asarray(codebook), jnp.asarray(text),
+        jnp.asarray(targets), cfg))
+    assert emb.shape == (2, 8, cfg.n_embd)
+    # position 0: zero speech feature
+    e0 = np.concatenate([table[3], np.zeros(cfg.speech_embed_dim)])
+    np.testing.assert_allclose(emb[0, 0], e0 / np.linalg.norm(e0), atol=1e-5)
+    # position 1: speech feature of previous code 5
+    e1 = np.concatenate([table[1], codebook[5]])
+    np.testing.assert_allclose(emb[0, 1], e1 / np.linalg.norm(e1), atol=1e-5)
+    # padded region: previous token is EOA
+    epad = np.concatenate([table[cfg.pad_token_id],
+                           codebook[cfg.eoa_token_id]])
+    np.testing.assert_allclose(emb[0, 6], epad / np.linalg.norm(epad),
+                               atol=1e-5)
+    # all inputs unit-norm
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1),
+                               np.ones((2, 8)), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer(tmp_path_factory):
+    tcfg = TrainConfig(
+        batch_size=8, gradient_accumulation_steps=1, learning_rate=1e-3,
+        warmup_iters=2, lr_decay_iters=50, min_lr=1e-5, eval_interval=1000,
+        out_dir=str(tmp_path_factory.mktemp("ckpt")), dp_size=-1, tp_size=1)
+    rng = np.random.default_rng(1)
+    table = rng.standard_normal((TINY.text_vocab_size, TINY.text_embed_dim)
+                                ).astype(np.float32)
+    codebook = rng.standard_normal((max(TINY.vocab_size, TINY.eoa_token_id + 1),
+                                    TINY.speech_embed_dim)).astype(np.float32)
+    mesh = create_mesh(dp_size=8, tp_size=1)
+    return Trainer(tcfg, TINY, table, codebook, mesh=mesh,
+                   compute_dtype=jnp.float32)
+
+
+def _fake_batches(cfg, bs, rng):
+    while True:
+        samples = []
+        for _ in range(bs):
+            n = int(rng.integers(3, 12))
+            samples.append(dmod.Sample(
+                text_ids=rng.integers(0, 16, n + 2).astype(np.int32),
+                codes=(rng.integers(0, cfg.vocab_size, n).astype(np.int32))))
+        yield dmod.collate(samples, cfg, bucket=16)
+
+
+def test_training_reduces_loss_on_dp8_mesh(tiny_trainer):
+    rng = np.random.default_rng(2)
+    batches = _fake_batches(TINY, 8, rng)
+    losses = []
+    for _ in range(30):
+        text_ids, targets = next(batches)
+        losses.append(tiny_trainer.step(text_ids, targets))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_checkpoint_roundtrip(tiny_trainer):
+    path = tiny_trainer.save_checkpoint()
+    before = jax.device_get(tiny_trainer.state.params)
+    it = tiny_trainer.iter_num
+    # perturb, then restore
+    rng = np.random.default_rng(3)
+    batches = _fake_batches(TINY, 8, rng)
+    text_ids, targets = next(batches)
+    tiny_trainer.step(text_ids, targets)
+    tiny_trainer.load_checkpoint(path)
+    after = jax.device_get(tiny_trainer.state.params)
+    assert tiny_trainer.iter_num == it
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
