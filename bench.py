@@ -1,0 +1,117 @@
+"""Benchmark: streaming TTS latency + throughput on the deployed config.
+
+Runs the full serving path — dual-replica scheduler, compiled decode
+blocks, bucketed codec synthesis — at the reference's deployed shapes
+(30M decoder, block 8192; WavTokenizer large-320-24k backbone; dump ladder
+10 -> x3 -> 1280) with a scripted instant text stream, and reports:
+
+- p50 first-audio-chunk latency (ms) across trials  (baseline: 300 ms,
+  README.md:33)
+- per-stream real-time factor = emitted audio seconds / wall seconds
+  (target >= 5x, BASELINE.json)
+
+Weights are random (checkpoints aren't shipped); compute cost is
+weight-independent, so latency/RTF are faithful.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import statistics
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from llmvox_tpu.codec.codec import WavCodec, init_codec_params
+    from llmvox_tpu.models import decoder as dec
+    from llmvox_tpu.serve.engine import TTSEngine
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.streams.scripted import ScriptedStream
+    from llmvox_tpu.utils.config import CodecConfig, DecoderConfig, ServeConfig
+    from llmvox_tpu.utils.trace import Trace
+
+    dcfg = DecoderConfig()            # deployed: 4L/8H/768, block 8192
+    ccfg = CodecConfig()              # deployed: large-320-24k
+    scfg = ServeConfig(               # deployed ladder, shorter cap for bench
+        initial_dump_size_1=10, initial_dump_size_2=160,
+        max_dump_size=1280, max_audio_length=600, decode_block=32,
+        chunk_buckets=(16, 32, 96, 160, 288, 480, 512, 896, 1280),
+    )
+
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    params = dec.init_decoder_params(key, dcfg)
+    text_table = np.asarray(
+        0.02 * jax.random.normal(jax.random.PRNGKey(1),
+                                 (dcfg.text_vocab_size, dcfg.text_embed_dim)))
+    codec_params = init_codec_params(jax.random.PRNGKey(2), ccfg)
+
+    engines = []
+    for _ in range(2):
+        codec = WavCodec(codec_params, ccfg, buckets=scfg.chunk_buckets,
+                         device=dev)
+        engines.append(TTSEngine(params, text_table, codec, dcfg, scfg,
+                                 device=dev, cache_dtype=jnp.bfloat16))
+
+    t0 = time.time()
+    for e in engines:
+        e.warmup()
+    compile_s = time.time() - t0
+
+    deltas = ["This is the first benchmark sentence for measuring",
+              "streaming latency.",
+              "Here comes a second one to exercise the replica",
+              "ping pong schedule.",
+              "And a third sentence closes the benchmark run."]
+
+    sched = StreamingScheduler(engines, scfg)
+
+    async def one_trial():
+        trace = Trace("bench")
+        stream = ScriptedStream(deltas, eos_token=scfg.eos_token)
+        n_bytes = 0
+        t_start = time.perf_counter()
+        first = None
+        async for chunk in sched.run(stream.predict({}), trace=trace):
+            if first is None:
+                first = (time.perf_counter() - t_start) * 1000.0
+            n_bytes += len(chunk)
+        wall = time.perf_counter() - t_start
+        audio_s = n_bytes / 4 / ccfg.sample_rate
+        return first, audio_s / wall, audio_s, wall
+
+    firsts, rtfs = [], []
+    audio_s = wall = 0.0
+    for trial in range(5):
+        f, r, a, w = asyncio.run(one_trial())
+        if trial == 0:
+            continue  # first trial may still hit compile stragglers
+        firsts.append(f)
+        rtfs.append(r)
+        audio_s, wall = a, w
+
+    p50_first = statistics.median(firsts)
+    p50_rtf = statistics.median(rtfs)
+    print(json.dumps({
+        "metric": "p50 first-chunk audio latency (ms); rtf in extras",
+        "value": round(p50_first, 1),
+        "unit": "ms",
+        "vs_baseline": round(p50_first / 300.0, 3),
+        "rtf": round(p50_rtf, 2),
+        "rtf_vs_target_5x": round(p50_rtf / 5.0, 2),
+        "audio_s_per_trial": round(audio_s, 2),
+        "wall_s_per_trial": round(wall, 2),
+        "compile_s": round(compile_s, 1),
+        "first_chunk_ms_all": [round(f, 1) for f in firsts],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,20 @@ class StreamingScheduler:
 
             # -- generate as far as pacing allows -------------------------
             while True:
+                if st.n_generated + block > dcfg.block_size:
+                    # KV-cache capacity guard (the reference would assert at
+                    # 8192, src/model.py:205); close out like the length cap.
+                    if st.buffer:
+                        await synthesize(st.buffer)
+                    if st.end_generation:
+                        await audio_q.put(END)
+                        return
+                    await audio_q.put(1 - index)
+                    st = _SentenceState()
+                    dec_state = engine.new_state()
+                    grow_dump()
+                    terminated = True
+                    break
                 if st.sentence_done:
                     limit = block
                 else:

