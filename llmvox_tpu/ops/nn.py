@@ -113,6 +113,51 @@ def linear(x: jnp.ndarray, w: jnp.ndarray,
     return y
 
 
+def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
+           *, stride=(1, 1), padding="SAME", groups: int = 1) -> jnp.ndarray:
+    """2-D convolution on (B, H, W, C) with kernel (KH, KW, Cin/groups, Cout)."""
+    if isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = [(padding[0], padding[0]), (padding[1], padding[1])]
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=tuple(stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=lax.Precision.HIGHEST,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def weight_norm_init(w: jnp.ndarray) -> dict:
+    """Decompose a kernel into weight-norm params {g, v}: w = g * v/||v||.
+
+    Norm is over all axes except the *output-channel* axis, which for our
+    kernel layouts ((K, Cin, Cout) / (KH, KW, Cin, Cout) / (Cin, Cout)) is
+    the last — the counterpart of torch weight_norm(dim=0) on
+    (Cout, Cin, K) kernels.
+    """
+    axes = tuple(range(w.ndim - 1))
+    g = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes, keepdims=True))
+    return {"g": g, "v": w}
+
+
+def effective_weight(p: dict) -> jnp.ndarray:
+    """Resolve {g, v} weight-norm params (training) or plain {w} (folded)."""
+    if "v" in p:
+        v = p["v"]
+        axes = tuple(range(v.ndim - 1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        return p["g"] * v / jnp.maximum(norm, 1e-12)
+    return p["w"]
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
 def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
     """Tanh-approximate GELU — the decoder activation (src/model.py:21-26)."""
     x32 = x.astype(jnp.float32)

@@ -1,0 +1,61 @@
+"""Serving CLI: ``python -m llmvox_tpu.serve --flags``.
+
+The counterpart of ``python streaming_server.py --chat_type ...``
+(reference streaming_server.py:29-87, 674-690).  Loads converted
+checkpoints, builds the two TTS replicas, wires the chat_type-appropriate
+text-stream source, and serves.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from llmvox_tpu.utils.config import (
+    DecoderConfig, ServeConfig, add_dataclass_args, apply_cli_overrides)
+
+
+def main(argv=None) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from llmvox_tpu.codec.codec import WavCodec
+    from llmvox_tpu.serve.engine import TTSEngine
+    from llmvox_tpu.serve.server import build_server
+    from llmvox_tpu.train.checkpoint import load_params_npz, load_meta
+
+    parser = argparse.ArgumentParser(description="LLMVoX-TPU streaming server")
+    add_dataclass_args(parser, ServeConfig)
+    parser.add_argument("--byt5_table", type=str, required=False)
+    args = parser.parse_args(argv)
+    cfg = apply_cli_overrides(ServeConfig(), args)
+
+    # decoder
+    dec_params = load_params_npz(cfg.llmvox_checkpoint_path)
+    meta = load_meta(cfg.llmvox_checkpoint_path)
+    margs = meta.get("model_args", {})
+    dcfg = DecoderConfig(**{k: v for k, v in margs.items()
+                            if k in DecoderConfig.__dataclass_fields__})
+    # text table
+    table = np.load(args.byt5_table)["table"]
+    # codec
+    codec_params = load_params_npz(cfg.wav_model_path)
+
+    devices = jax.devices()
+    devs = [devices[min(cfg.tts_device_1, len(devices) - 1)],
+            devices[min(cfg.tts_device_2, len(devices) - 1)]]
+    engines = []
+    for dev in devs:
+        codec = WavCodec(codec_params, buckets=cfg.chunk_buckets, device=dev)
+        engines.append(TTSEngine(dec_params, table, codec, dcfg, cfg,
+                                 device=dev, cache_dtype=jnp.bfloat16))
+    print("warming up (compiling decode + synthesis buckets)...")
+    for e in engines:
+        e.warmup()
+
+    server = build_server(cfg, engines)
+    server.run()
+
+
+if __name__ == "__main__":
+    main()

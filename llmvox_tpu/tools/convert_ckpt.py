@@ -1,0 +1,41 @@
+"""CLI: convert reference checkpoints -> LLMVoX-TPU .npz artifacts.
+
+Usage:
+  python -m llmvox_tpu.tools.convert_ckpt decoder ckpt_english_tiny.pt out/decoder.npz
+  python -m llmvox_tpu.tools.convert_ckpt codec wavtokenizer_large_speech_320_24k.ckpt out/codec.npz
+  python -m llmvox_tpu.tools.convert_ckpt byt5 charsiu/g2p_multilingual_byT5_tiny_16_layers_100 out/byt5.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from llmvox_tpu.tools import convert
+from llmvox_tpu.train.checkpoint import save_params_npz
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("kind", choices=["decoder", "codec", "byt5"])
+    parser.add_argument("src")
+    parser.add_argument("dst")
+    parser.add_argument("--no-encoder", action="store_true",
+                        help="codec: skip SEANet encoder weights")
+    args = parser.parse_args(argv)
+
+    if args.kind == "decoder":
+        params, margs = convert.convert_decoder_ckpt(args.src)
+        save_params_npz(args.dst, params, meta={"model_args": margs})
+    elif args.kind == "codec":
+        params = convert.convert_wavtokenizer_ckpt(
+            args.src, with_encoder=not args.no_encoder)
+        save_params_npz(args.dst, params)
+    else:
+        table = convert.convert_byt5_from_hf(args.src)
+        np.savez(args.dst, table=table)
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
