@@ -137,8 +137,9 @@ def _attn_block(p: Dict, x: jnp.ndarray, cfg: CodecConfig,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST) * (c ** -0.5)
     if valid_len is not None:
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1, 1)
         kmask = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[1]), 2)
-        logits = jnp.where(kmask < valid_len, logits, float("-inf"))
+        logits = jnp.where(kmask < vl, logits, float("-inf"))
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("blm,bmc->blc", w, v,
                      precision=jax.lax.Precision.HIGHEST)
@@ -193,7 +194,7 @@ def apply_backbone(params: Dict, features: jnp.ndarray, bandwidth_id,
         valid_len = jnp.asarray(valid_len, jnp.int32)
         l = features.shape[1]
         mask = (lax.broadcasted_iota(jnp.int32, (1, l, 1), 1)
-                < valid_len).astype(features.dtype)
+                < valid_len.reshape(-1, 1, 1)).astype(features.dtype)
         features = features * mask
     x = nn.conv1d(features, params["embed"]["w"], params["embed"]["b"],
                   padding=[(3, 3)])

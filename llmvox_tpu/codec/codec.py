@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import bisect
 from functools import partial
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +122,28 @@ class WavCodec:
                             jnp.int32(bandwidth_id), jnp.int32(l), self.cfg)
         wav = np.asarray(wav)
         return wav[:, : l * self.cfg.hop_length]
+
+    def decode_codes_ragged(self, codes: np.ndarray, lengths: np.ndarray,
+                            bandwidth_id: int = 0) -> List[np.ndarray]:
+        """Batched ragged decode: (B, Lmax) zero-padded codes with per-row
+        valid ``lengths`` -> list of B waveforms, each bit-equivalent to an
+        exact-length decode (per-batch valid-length masking).  This is the
+        multi-stream synthesis path: one compiled program serves every
+        stream in the batch."""
+        codes = np.asarray(codes, dtype=np.int32)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        b, l = codes.shape
+        lpad = self.bucket_for(int(lengths.max()))
+        if lpad > l:
+            codes = np.concatenate(
+                [codes, np.zeros((b, lpad - l), np.int32)], axis=1)
+        else:
+            codes = codes[:, :lpad]
+        wav = np.asarray(_decode_codes(
+            self.params, jnp.asarray(codes), jnp.int32(bandwidth_id),
+            jnp.asarray(lengths), self.cfg))
+        hop = self.cfg.hop_length
+        return [wav[i, : int(lengths[i]) * hop] for i in range(b)]
 
     def decode(self, features: jnp.ndarray, bandwidth_id: int = 0) -> jnp.ndarray:
         """(B, L, 512) features -> (B, hop*L) waveform (device array)."""

@@ -67,14 +67,17 @@ _MPD_CH = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
 
 
 def init_mpd(key, periods: Tuple[int, ...] = PERIODS) -> List[Dict]:
+    """One param dict per period; the periods themselves stay out of the
+    pytree (static structure, passed at apply time) so grads see only
+    float leaves."""
     out = []
-    for p in periods:
+    for _ in periods:
         ks = jax.random.split(key, 7)
         key = ks[-1]
         convs = [_wn_conv2d_init(ks[i], 5, 1, cin, cout)
                  for i, (cin, cout) in enumerate(_MPD_CH)]
         post = _wn_conv2d_init(ks[5], 3, 1, 1024, 1)
-        out.append({"period": p, "convs": convs, "post": post})
+        out.append({"convs": convs, "post": post})
     return out
 
 
@@ -88,10 +91,10 @@ def _fold_period(x: jnp.ndarray, period: int) -> jnp.ndarray:
     return x.reshape(b, t // period, period, 1)
 
 
-def apply_discriminator_p(p: Dict, x: jnp.ndarray):
+def apply_discriminator_p(p: Dict, x: jnp.ndarray, period: int):
     """DiscriminatorP.forward (discriminators.py:70-98): flat score +
     feature maps (fmap collects stages > 0 and the post conv)."""
-    h = _fold_period(x, int(p["period"]))
+    h = _fold_period(x, period)
     fmap = []
     for i, conv in enumerate(p["convs"]):
         stride = (3, 1) if i < 4 else (1, 1)
@@ -116,7 +119,7 @@ _MRD_SPECS = [((7, 5), (2, 2), (3, 2)), ((5, 3), (2, 1), (2, 1)),
 
 def init_mrd(key, resolutions=RESOLUTIONS, channels: int = 64) -> List[Dict]:
     out = []
-    for res in resolutions:
+    for _ in resolutions:
         ks = jax.random.split(key, 7)
         key = ks[-1]
         convs = []
@@ -126,15 +129,15 @@ def init_mrd(key, resolutions=RESOLUTIONS, channels: int = 64) -> List[Dict]:
                                          cin, channels))
             cin = channels
         post = _wn_conv2d_init(ks[5], 3, 3, channels, 1)
-        out.append({"resolution": tuple(res), "convs": convs, "post": post})
+        out.append({"convs": convs, "post": post})
     return out
 
 
-def apply_discriminator_r(p: Dict, x: jnp.ndarray):
+def apply_discriminator_r(p: Dict, x: jnp.ndarray, resolution):
     """DiscriminatorR.forward (discriminators.py:168-202): rectangular-
     window magnitude STFT -> Conv2d stack.  Layout: (B, freq, time, 1)
     matching torch's (B, 1, F, T) channel-first."""
-    n_fft, hop, win = p["resolution"]
+    n_fft, hop, win = resolution
     s = jnp.abs(stft(x, n_fft=n_fft, hop_length=hop, win_length=win,
                      windowed=False))           # (B, frames, bins)
     h = jnp.transpose(s, (0, 2, 1))[..., None]  # (B, bins, frames, 1)
@@ -163,16 +166,16 @@ _DAC_MRD_SPECS = [((3, 9), (1, 1), (1, 4)), ((3, 9), (1, 2), (1, 4)),
 def init_dac(key, periods=PERIODS, fft_sizes=DAC_FFTS,
              bands=DAC_BANDS) -> Dict:
     mpds = []
-    for p in periods:
+    for _ in periods:
         ks = jax.random.split(key, 7)
         key = ks[-1]
         convs = [_wn_conv2d_init(ks[i], 5, 1, cin, cout)
                  for i, (cin, cout) in enumerate(_DAC_MPD_CH)]
         post = _wn_conv2d_init(ks[5], 3, 1, 1024, 1)
-        mpds.append({"period": p, "convs": convs, "post": post})
+        mpds.append({"convs": convs, "post": post})
     mrds = []
     ch = 32
-    for f in fft_sizes:
+    for _ in fft_sizes:
         band_convs = []
         for _ in bands:
             ks = jax.random.split(key, 7)
@@ -187,8 +190,7 @@ def init_dac(key, periods=PERIODS, fft_sizes=DAC_FFTS,
         ks = jax.random.split(key, 2)
         key = ks[-1]
         post = _wn_conv2d_init(ks[0], 3, 3, ch, 1)
-        mrds.append({"n_fft": f, "band_convs": band_convs, "post": post,
-                     "bands": tuple(bands)})
+        mrds.append({"band_convs": band_convs, "post": post})
     return {"mpd": mpds, "mrd": mrds}
 
 
@@ -199,8 +201,8 @@ def _dac_preprocess(x: jnp.ndarray) -> jnp.ndarray:
     return 0.8 * x / (peak + 1e-9)
 
 
-def _apply_dac_mpd(p: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
-    h = _fold_period(x, int(p["period"]))
+def _apply_dac_mpd(p: Dict, x: jnp.ndarray, period: int) -> List[jnp.ndarray]:
+    h = _fold_period(x, period)
     fmap = []
     for i, conv in enumerate(p["convs"]):
         stride = (3, 1) if i < 4 else (1, 1)
@@ -212,15 +214,15 @@ def _apply_dac_mpd(p: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     return fmap
 
 
-def _apply_dac_mrd(p: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
-    n_fft = int(p["n_fft"])
+def _apply_dac_mrd(p: Dict, x: jnp.ndarray, n_fft: int,
+                   bands=DAC_BANDS) -> List[jnp.ndarray]:
     s = stft(x, n_fft=n_fft, hop_length=n_fft // 4, windowed=False)
     # (B, time, freq) complex -> (B, time, freq, 2) real/imag channels
     h_full = jnp.stack([jnp.real(s), jnp.imag(s)], axis=-1)
     nbins = n_fft // 2 + 1
     fmap = []
     band_outs = []
-    for (lo, hi), convs in zip(p["bands"], p["band_convs"]):
+    for (lo, hi), convs in zip(bands, p["band_convs"]):
         band = h_full[:, :, int(lo * nbins): int(hi * nbins), :]
         for conv, (kshape, stride, pad) in zip(convs, _DAC_MRD_SPECS):
             band = _wn_conv2d(conv, band, stride=stride, padding=pad)
@@ -233,10 +235,13 @@ def _apply_dac_mrd(p: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     return fmap
 
 
-def apply_dac(params: Dict, x: jnp.ndarray) -> List[List[jnp.ndarray]]:
+def apply_dac(params: Dict, x: jnp.ndarray, periods=PERIODS,
+              fft_sizes=DAC_FFTS, bands=DAC_BANDS) -> List[List[jnp.ndarray]]:
     """DACDiscriminator.forward: list of per-discriminator fmap lists
     (last entry of each is the score map)."""
     x = _dac_preprocess(x)
-    out = [_apply_dac_mpd(p, x) for p in params["mpd"]]
-    out += [_apply_dac_mrd(p, x) for p in params["mrd"]]
+    out = [_apply_dac_mpd(p, x, per)
+           for p, per in zip(params["mpd"], periods)]
+    out += [_apply_dac_mrd(p, x, f, bands)
+            for p, f in zip(params["mrd"], fft_sizes)]
     return out

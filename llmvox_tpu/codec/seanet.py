@@ -52,12 +52,19 @@ def _sconv_padding(length: int, kernel: int, stride: int, dilation: int = 1):
     return left, right + extra
 
 
-def sconv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, *,
+def sconv1d(x: jnp.ndarray, p: Dict, *,
             stride: int = 1, dilation: int = 1) -> jnp.ndarray:
-    """SConv1d with reflect 'same-style' padding; kernel (K, Cin, Cout)."""
+    """SConv1d with reflect 'same-style' padding.
+
+    ``p`` holds either a folded kernel {w, b} (inference) or weight-norm
+    params {g, v, b} (training — the reference trains all SEANet convs
+    under weight_norm, encoder/modules/conv.py:27-28).
+    """
+    w = nn.effective_weight(p)
     left, right = _sconv_padding(x.shape[1], w.shape[0], stride, dilation)
     x = _pad_reflect(x, left, right)
-    return nn.conv1d(x, w, b, stride=stride, padding="VALID", dilation=dilation)
+    return nn.conv1d(x, w, p["b"], stride=stride, padding="VALID",
+                     dilation=dilation)
 
 
 # ---------------------------------------------------------------------------
@@ -70,15 +77,20 @@ def _kaiming_conv(key, k, cin, cout):
     return jax.random.uniform(key, (k, cin, cout), jnp.float32, -bound, bound)
 
 
-def init_seanet_encoder(key: jax.Array, cfg: CodecConfig) -> Dict:
+def init_seanet_encoder(key: jax.Array, cfg: CodecConfig,
+                        weight_norm: bool = False) -> Dict:
     ratios = list(reversed(cfg.downsamples))   # [2, 4, 5, 8]
     nf = cfg.n_filters
     dim = cfg.seanet_dimension
     keys = iter(jax.random.split(key, 64))
 
     def conv(k, cin, cout):
-        return {"w": _kaiming_conv(next(keys), k, cin, cout),
-                "b": jnp.zeros((cout,))}
+        w = _kaiming_conv(next(keys), k, cin, cout)
+        if weight_norm:
+            p = nn.weight_norm_init(w)
+            p["b"] = jnp.zeros((cout,))
+            return p
+        return {"w": w, "b": jnp.zeros((cout,))}
 
     params: Dict = {"conv_in": conv(cfg.seanet_kernel_size, 1, nf)}
     stages: List[Dict] = []
@@ -92,12 +104,10 @@ def init_seanet_encoder(key: jax.Array, cfg: CodecConfig) -> Dict:
                 "conv1": conv(cfg.seanet_residual_kernel_size, ch, hidden),
                 "conv2": conv(1, hidden, ch),
                 "shortcut": conv(1, ch, ch),   # true_skip=False
-                "dilation": cfg.seanet_dilation_base ** j,
             })
         stages.append({
             "res": res_layers,
             "down": conv(ratio * 2, ch, ch * 2),
-            "ratio": ratio,
         })
         mult *= 2
     params["stages"] = stages
@@ -143,24 +153,25 @@ def _lstm_layer(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 def apply_seanet_encoder(params: Dict, wav: jnp.ndarray,
                          cfg: CodecConfig) -> jnp.ndarray:
     """(B, T) waveform -> (B, L, dim) embeddings, L = ceil(T / 320)."""
+    ratios_runtime = list(reversed(cfg.downsamples))
     x = wav[..., None]  # (B, T, 1)
-    x = sconv1d(x, params["conv_in"]["w"], params["conv_in"]["b"])
+    x = sconv1d(x, params["conv_in"])
     for stage in params["stages"]:
-        for res in stage["res"]:
+        for j, res in enumerate(stage["res"]):
             h = _elu(x)
-            h = sconv1d(h, res["conv1"]["w"], res["conv1"]["b"],
-                        dilation=int(res["dilation"]))
+            # dilation grows as base**j within a stage (seanet.py:116-117)
+            h = sconv1d(h, res["conv1"],
+                        dilation=cfg.seanet_dilation_base ** j)
             h = _elu(h)
-            h = sconv1d(h, res["conv2"]["w"], res["conv2"]["b"])
-            s = sconv1d(x, res["shortcut"]["w"], res["shortcut"]["b"])
+            h = sconv1d(h, res["conv2"])
+            s = sconv1d(x, res["shortcut"])
             x = s + h
         x = _elu(x)
-        r = int(stage["ratio"])
-        x = sconv1d(x, stage["down"]["w"], stage["down"]["b"], stride=r)
+        x = sconv1d(x, stage["down"], stride=ratios_runtime.pop(0))
     lstm_in = x
     for layer in params["lstm"]:
         x = _lstm_layer(layer, x)
     x = x + lstm_in  # skip connection (encoder/modules/lstm.py:30-38)
     x = _elu(x)
-    x = sconv1d(x, params["conv_out"]["w"], params["conv_out"]["b"])
+    x = sconv1d(x, params["conv_out"])
     return x

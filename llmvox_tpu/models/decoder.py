@@ -182,10 +182,16 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
         h_x = h_x + nn.linear(m, p["wproj"], _get(p, "bproj"))[0]
         return h_x, (kc, vc)
 
+    # fully unrolled over the (4) layers: one fused decode-step program
     x, (new_k, new_v) = lax.scan(
-        block, x, (params["h"], state.k_cache, state.v_cache))
+        block, x, (params["h"], state.k_cache, state.v_cache),
+        unroll=True)
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
-    logits = nn.linear(x[None], params["head"])[0].astype(jnp.float32)
+    # the head matmul accumulates in f32 even under bf16 serving params so
+    # the 4096-way argmax matches the reference's f32 softmax-argmax
+    # (streaming_server.py:343-346)
+    logits = jnp.dot(x, params["head"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
     token = jnp.argmax(logits).astype(jnp.int32)
     return token, new_k, new_v
 
@@ -250,3 +256,39 @@ def decode_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
     state, tokens = lax.scan(step, state, jnp.arange(block, dtype=jnp.int32))
     n = jnp.sum((tokens >= 0).astype(jnp.int32))
     return tokens, n, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "block"))
+def decode_block_batch(params: Dict, text_table: jnp.ndarray,
+                       codebook: jnp.ndarray, states: DecodeState,
+                       text_windows: jnp.ndarray, text_lens: jnp.ndarray,
+                       limits: jnp.ndarray, cfg: DecoderConfig,
+                       block: int = 32):
+    """Multi-stream decode: ``decode_block`` vmapped over B independent
+    streams sharing one weight read per step — the batched-KV-cache
+    multi-stream serving path (BASELINE config #5; no reference
+    counterpart — the reference pins one replica per GPU).
+
+    Args:
+      states: DecodeState with a leading B axis on every leaf.
+      text_windows: (B, block); text_lens, limits: (B,).
+    Returns:
+      (tokens (B, block), n (B,), states)
+    """
+    def one(state, window, tlen, limit):
+        return decode_block(params, text_table, codebook, state, window,
+                            tlen, limit, cfg, block=block)
+
+    return jax.vmap(one)(states, text_windows, text_lens, limits)
+
+
+def init_decode_state_batch(cfg: DecoderConfig, batch: int,
+                            dtype=jnp.bfloat16) -> DecodeState:
+    l, s, c = cfg.n_layer, cfg.block_size, cfg.n_embd
+    return DecodeState(
+        k_cache=jnp.zeros((batch, l, s, c), dtype),
+        v_cache=jnp.zeros((batch, l, s, c), dtype),
+        pos=jnp.zeros((batch,), jnp.int32),
+        prev_token=jnp.zeros((batch,), jnp.int32),
+        done=jnp.zeros((batch,), bool),
+    )

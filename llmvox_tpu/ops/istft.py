@@ -63,7 +63,8 @@ def istft_same(spec: jnp.ndarray, *, n_fft: int, hop_length: int,
 
     env_frames = jnp.broadcast_to(jnp.square(window), (1, t, win))
     if valid_len is not None:
-        fmask = (jnp.arange(t)[None, :, None] < valid_len).astype(jnp.float32)
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1, 1)
+        fmask = (jnp.arange(t)[None, :, None] < vl).astype(jnp.float32)
         frames = frames * fmask
         env_frames = env_frames * fmask
 

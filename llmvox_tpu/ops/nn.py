@@ -47,9 +47,11 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         var = jnp.mean(jnp.square(x32 - mean), axis=(1, 3), keepdims=True)
         mask = None
     else:
+        # valid_len is a scalar or a per-batch (B,) vector
+        vl = jnp.asarray(valid_len, jnp.int32).reshape(-1, 1, 1, 1)
         mask = (lax.broadcasted_iota(jnp.int32, (1, l, 1, 1), 1)
-                < valid_len).astype(jnp.float32)
-        denom = valid_len.astype(jnp.float32) * (c // g)
+                < vl).astype(jnp.float32)
+        denom = vl.astype(jnp.float32) * (c // g)
         x32 = x32 * mask
         mean = jnp.sum(x32, axis=(1, 3), keepdims=True) / denom
         xc = (x32 - mean) * mask
@@ -57,7 +59,7 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     y = ((x32 - mean) * lax.rsqrt(var + eps)).reshape(b, l, c)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if mask is not None:
-        y = y * mask.reshape(1, l, 1)
+        y = y * mask.reshape(mask.shape[0], l, 1)
     return y.astype(x.dtype)
 
 

@@ -1,0 +1,128 @@
+"""Multi-stream batched TTS: N concurrent dialogues in one decode program.
+
+BASELINE config #5.  The reference parallelizes by pinning one replica per
+GPU (streaming_server.py:163-169); on TPU the winning layout is a single
+batched program: every decode step reads the 30M decoder weights once for
+all streams (per-stream HBM cost collapses by ~B), KV caches are batched,
+and ragged chunk synthesis shares one compiled bucket program via
+per-batch valid-length masking.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmvox_tpu.codec.codec import WavCodec
+from llmvox_tpu.models import decoder as dec
+from llmvox_tpu.text.byt5 import ByT5Tokenizer
+from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
+
+
+class BatchTTS:
+    """Fixed-capacity batched decoder + codec for multi-stream synthesis."""
+
+    def __init__(self, decoder_params: Dict, text_table: np.ndarray,
+                 codec: WavCodec, max_streams: int = 8,
+                 dcfg: Optional[DecoderConfig] = None,
+                 scfg: Optional[ServeConfig] = None,
+                 device: Optional[jax.Device] = None,
+                 cache_dtype=jnp.bfloat16, param_dtype=None):
+        self.dcfg = dcfg or DecoderConfig()
+        self.scfg = scfg or ServeConfig()
+        self.codec = codec
+        self.B = max_streams
+        self.block = self.scfg.decode_block
+        self.cache_dtype = cache_dtype
+        if param_dtype is None:
+            param_dtype = cache_dtype
+        decoder_params = jax.tree.map(
+            lambda x: x.astype(param_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, decoder_params)
+        if device is not None:
+            decoder_params = jax.device_put(decoder_params, device)
+            text_table = jax.device_put(jnp.asarray(text_table), device)
+        self.params = decoder_params
+        self.text_table = jnp.asarray(text_table)
+        self.codebook = codec.params["codebooks"][0]
+        self.tokenizer = ByT5Tokenizer()
+
+    def decode_batch(self, states: dec.DecodeState, windows: np.ndarray,
+                     text_lens: np.ndarray, limits: np.ndarray
+                     ) -> Tuple[np.ndarray, dec.DecodeState]:
+        tokens, _, states = dec.decode_block_batch(
+            self.params, self.text_table, self.codebook, states,
+            jnp.asarray(windows, jnp.int32), jnp.asarray(text_lens, jnp.int32),
+            jnp.asarray(limits, jnp.int32), self.dcfg, block=self.block)
+        return tokens, states
+
+    def tts_batch(self, texts: List[str],
+                  max_tokens: Optional[int] = None) -> List[np.ndarray]:
+        """Synthesize up to ``max_streams`` texts concurrently.
+
+        Per stream, semantics match TTSEngine.tts: byte-tokenize + 385,
+        greedy decode until EOA or cap, then one ragged batched codec
+        decode for all streams.
+        """
+        assert len(texts) <= self.B
+        cap = max_tokens or self.scfg.max_audio_length
+        b = len(texts)
+        ids = [self.tokenizer.encode(t.strip()) + [self.dcfg.text_eos_id]
+               for t in texts]
+        text_lens = np.asarray([len(i) for i in ids], np.int32)
+        buflen = int(text_lens.max()) + cap + 2 * self.block
+        buf = np.full((b, buflen), self.dcfg.pad_token_id, np.int32)
+        for i, seq in enumerate(ids):
+            buf[i, : len(seq)] = seq
+
+        states = dec.init_decode_state_batch(self.dcfg, b, self.cache_dtype)
+        tokens_out: List[List[int]] = [[] for _ in range(b)]
+        issued = 0
+        pending = None
+        while True:
+            if issued < cap:
+                windows = buf[:, issued: issued + self.block]
+                limits = np.full((b,), min(self.block, cap - issued), np.int32)
+                tok_dev, states = self.decode_batch(states, windows,
+                                                    text_lens, limits)
+                issued += self.block
+                nxt = tok_dev
+            else:
+                nxt = None
+            if pending is not None:
+                toks = np.asarray(pending)
+                done_all = True
+                for i in range(b):
+                    row = [int(t) for t in toks[i] if t >= 0]
+                    if row and (not tokens_out[i]
+                                or tokens_out[i][-1] != self.dcfg.eoa_token_id):
+                        tokens_out[i].extend(row)
+                    if not (tokens_out[i]
+                            and tokens_out[i][-1] == self.dcfg.eoa_token_id):
+                        done_all = False
+                if done_all or (nxt is None):
+                    pending = None
+                    if done_all:
+                        break
+                    if nxt is None:
+                        break
+            pending = nxt
+            if pending is None:
+                break
+
+        synth = []
+        for seq in tokens_out:
+            if seq and seq[-1] == self.dcfg.eoa_token_id:
+                seq = seq[:-1]
+            synth.append(seq[:cap])
+        lengths = np.asarray([max(len(s), 1) for s in synth], np.int32)
+        lmax = int(lengths.max())
+        codes = np.zeros((b, lmax), np.int32)
+        for i, seq in enumerate(synth):
+            codes[i, : len(seq)] = seq
+        wavs = self.codec.decode_codes_ragged(codes, lengths)
+        return [w if synth[i] else np.zeros(0, np.float32)
+                for i, w in enumerate(wavs)]

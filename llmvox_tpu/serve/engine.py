@@ -8,6 +8,13 @@ normalize, transformer step, argmax) is one compiled program generating
 static bucket shapes with valid-length masking.  The reference instead did
 4 host<->device round trips *per token* and recompiled nothing because
 eager torch has no shapes to lock.
+
+Latency design: JAX dispatch is asynchronous, so ``decode_block_async``
+returns un-materialized device arrays — the scheduler issues the next
+block (chained on the on-device state) *before* fetching the previous
+block's tokens, hiding the host<->device round trip entirely (tens of ms
+on tunneled TPUs).  Serving casts decoder params to bf16 (halving HBM
+traffic per decode step); the final argmax still accumulates in f32.
 """
 from __future__ import annotations
 
@@ -23,6 +30,20 @@ from llmvox_tpu.models import decoder as dec
 from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
 
 
+class PendingTokens:
+    """Handle to an in-flight decode block (device arrays, not fetched)."""
+
+    __slots__ = ("tokens", "issued_at")
+
+    def __init__(self, tokens: jnp.ndarray):
+        self.tokens = tokens
+        self.issued_at = time.perf_counter()
+
+    def fetch(self) -> List[int]:
+        toks = np.asarray(self.tokens)
+        return [int(t) for t in toks if t >= 0]
+
+
 class TTSEngine:
     """Decoder params + text table + codec, pinned to one device."""
 
@@ -30,12 +51,20 @@ class TTSEngine:
                  codec: WavCodec, dcfg: Optional[DecoderConfig] = None,
                  scfg: Optional[ServeConfig] = None,
                  device: Optional[jax.Device] = None,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16,
+                 param_dtype=None):
         self.dcfg = dcfg or DecoderConfig()
         self.scfg = scfg or ServeConfig()
         self.codec = codec
         self.cache_dtype = cache_dtype
         self.block = self.scfg.decode_block
+        if param_dtype is None:
+            param_dtype = cache_dtype
+        if param_dtype is not None:
+            decoder_params = jax.tree.map(
+                lambda x: x.astype(param_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, decoder_params)
         if device is not None:
             decoder_params = jax.device_put(decoder_params, device)
             text_table = jax.device_put(jnp.asarray(text_table), device)
@@ -52,16 +81,24 @@ class TTSEngine:
             state = jax.device_put(state, self.device)
         return state
 
-    def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
-                     text_len: int, limit: int
-                     ) -> Tuple[List[int], dec.DecodeState]:
-        """Generate up to ``limit`` (<= block) tokens; returns host tokens."""
+    def decode_block_async(self, state: dec.DecodeState,
+                           text_window: np.ndarray, text_len: int,
+                           limit: int
+                           ) -> Tuple[PendingTokens, dec.DecodeState]:
+        """Dispatch one block without waiting; state chains on device."""
         tokens, _, state = dec.decode_block(
             self.params, self.text_table, self.codebook, state,
             jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
             jnp.int32(limit), self.dcfg, block=self.block)
-        toks = np.asarray(tokens)
-        return [int(t) for t in toks if t >= 0], state
+        return PendingTokens(tokens), state
+
+    def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
+                     text_len: int, limit: int
+                     ) -> Tuple[List[int], dec.DecodeState]:
+        """Generate up to ``limit`` (<= block) tokens; returns host tokens."""
+        pending, state = self.decode_block_async(state, text_window,
+                                                 text_len, limit)
+        return pending.fetch(), state
 
     # -- synthesis -----------------------------------------------------
     def synthesize(self, codes: Sequence[int]) -> bytes:
@@ -84,30 +121,45 @@ class TTSEngine:
 
         The minimal end-to-end slice (BASELINE config #1): tokenize bytes,
         run the decode loop until EOA or the cap, synthesize in one shot.
+        Decode blocks are double-buffered: block i+1 is dispatched before
+        block i's tokens are fetched.
         """
         from llmvox_tpu.text.byt5 import ByT5Tokenizer
         cap = max_tokens or self.scfg.max_audio_length
         tok = ByT5Tokenizer()
         ids = tok.encode(text.strip()) + [self.dcfg.text_eos_id]
         text_len = len(ids)
-        buf = np.full(text_len + cap + self.block,
+        buf = np.full(text_len + cap + 2 * self.block,
                       self.dcfg.pad_token_id, np.int32)
         buf[:text_len] = ids
 
         state = self.new_state()
         tokens: List[int] = []
-        while len(tokens) < cap:
-            pos = int(state.pos)
-            got, state = self.decode_block(
-                state, buf[pos:pos + self.block], text_len,
-                min(self.block, cap - len(tokens)))
-            tokens.extend(got)
-            if bool(state.done) or not got:
+        issued = 0
+        pending = None
+        while True:
+            if issued < cap:
+                limit = min(self.block, cap - issued)
+                nxt, state = self.decode_block_async(
+                    state, buf[issued:issued + self.block], text_len, limit)
+                issued += self.block
+            else:
+                nxt = None
+            if pending is not None:
+                got = pending.fetch()
+                tokens.extend(got)
+                if (got and got[-1] == self.dcfg.eoa_token_id) or not got:
+                    break
+                if len(tokens) >= cap:
+                    break
+            if nxt is None and pending is None:
                 break
+            pending = nxt
+
         if tokens and tokens[-1] == self.dcfg.eoa_token_id:
             synth = tokens[:-1]
         else:
-            synth = tokens
+            synth = tokens[:cap]
         if not synth:
             return np.zeros(0, np.float32), tokens
         wav = self.codec.decode_codes(np.asarray(synth, np.int32)[None])[0]

@@ -138,7 +138,16 @@ class StreamingScheduler:
     async def _consumer(self, index: int, engine: TTSEngine,
                         text_q: asyncio.Queue, audio_q: asyncio.Queue,
                         dump_size: int, trace: Trace) -> None:
-        """Drive one replica (streaming_server.py:250-426)."""
+        """Drive one replica (streaming_server.py:250-426).
+
+        Two latency mechanisms on top of the reference semantics:
+        - decode blocks are double-buffered: block i+1 is dispatched on the
+          chained device state before block i's tokens are fetched, hiding
+          the host<->device round trip;
+        - synthesis runs on an ordered worker task fed through a queue, so
+          decode never stalls on a chunk being vocoded; control signals
+          flow through the same queue to preserve stream order.
+        """
         cfg = self.cfg
         eos = cfg.eos_token
         dcfg = engine.dcfg
@@ -147,6 +156,24 @@ class StreamingScheduler:
         st = _SentenceState()
         dec_state = engine.new_state()
 
+        # ---- ordered synthesis worker --------------------------------
+        synth_q: asyncio.Queue = asyncio.Queue()
+
+        async def synth_worker():
+            while True:
+                item = await synth_q.get()
+                if isinstance(item, list):
+                    with trace.span(f"synth_r{index}"):
+                        chunk = await asyncio.to_thread(
+                            engine.synthesize, item)
+                    await audio_q.put(chunk)
+                else:
+                    await audio_q.put(item)
+                    if item == END:
+                        return
+
+        worker = asyncio.create_task(synth_worker())
+
         def grow_dump():
             nonlocal dump_size
             if dump_size < cfg.max_dump_size:
@@ -154,117 +181,136 @@ class StreamingScheduler:
                                 cfg.max_dump_size)
 
         async def synthesize(codes: List[int]) -> None:
-            with trace.span(f"synth_r{index}"):
-                chunk = await asyncio.to_thread(engine.synthesize, codes)
-            await audio_q.put(chunk)
+            await synth_q.put(list(codes))
 
-        while True:
-            terminated = False
+        issued = 0          # absolute decode position dispatched so far
+        pending = None      # in-flight PendingTokens (issue-ahead by one)
 
-            # -- text intake until the sentence is complete ---------------
-            if not st.sentence_done:
-                delta = await text_q.get()
-                if delta is _STREAM_CLOSED:
-                    if st.n_generated == 0 and not st.text_ids:
-                        await audio_q.put(END)
-                        return
-                    st.end_generation = True
-                    st.sentence_done = True
-                    st.text_ids.append(dcfg.text_eos_id)
-                else:
-                    if eos in delta:
-                        st.end_generation = True
-                        delta = delta.replace(eos, "")
-                        st.sentence_done = True
-                    elif delta.endswith("."):
-                        st.sentence_done = True
-                    # Every delta is byte-tokenized with its ByT5 </s>
-                    # (streaming_server.py:305-306); an empty eos remainder
-                    # still contributes the bare </s>, like the reference.
-                    st.text_ids.extend(self.tokenizer.encode(delta.strip()))
-                    if st.sentence_done:
-                        st.text_ids.append(dcfg.text_eos_id)
-
-            # -- generate as far as pacing allows -------------------------
-            while True:
-                if st.n_generated + block > dcfg.block_size:
-                    # KV-cache capacity guard (the reference would assert at
-                    # 8192, src/model.py:205); close out like the length cap.
-                    if st.buffer:
-                        await synthesize(st.buffer)
-                    if st.end_generation:
-                        await audio_q.put(END)
-                        return
-                    await audio_q.put(1 - index)
-                    st = _SentenceState()
-                    dec_state = engine.new_state()
-                    grow_dump()
-                    terminated = True
-                    break
-                if st.sentence_done:
-                    limit = block
-                else:
-                    limit = min(block, len(st.text_ids) - st.n_generated)
-                    if limit <= 0:
-                        break
-
-                pos = st.n_generated
-                window = np.full(block, dcfg.pad_token_id, np.int32)
-                avail = st.text_ids[pos:pos + block]
-                window[:len(avail)] = avail
-
-                with trace.span(f"decode_r{index}"):
-                    tokens, dec_state = await asyncio.to_thread(
-                        engine.decode_block, dec_state, window,
-                        len(st.text_ids), limit)
-                st.n_generated += len(tokens)
-
-                # Per-token bookkeeping, exactly the reference's inner-loop
-                # order (streaming_server.py:347-422).
-                for tok in tokens:
-                    st.buffer.append(tok)
-                    if len(st.buffer) >= dump_size:
-                        chunk, st.buffer = (st.buffer[:dump_size],
-                                            st.buffer[dump_size:])
-                        await synthesize(chunk)
-                        grow_dump()
-                    elif dcfg.eoa_token_id in st.buffer:
-                        chunk, st.buffer = st.buffer, []
-                        await synthesize(chunk)
-                        grow_dump()
-                    if (tok == dcfg.eoa_token_id
-                            or len(st.buffer) > cfg.max_audio_length):
-                        if st.end_generation:
-                            await audio_q.put(END)
-                            return
-                        await audio_q.put(1 - index)
-                        # reset for the next sentence on this replica
-                        st = _SentenceState()
-                        dec_state = engine.new_state()
-                        grow_dump()
-                        terminated = True
-                        break
-                if terminated or (st.sentence_done
-                                  and bool(np.asarray(dec_state.done))):
-                    break
-                if not tokens:
-                    break
-
-            if terminated:
-                continue
-
-            if st.sentence_done:
-                # Defensive: generation stalled without EOA termination
-                # (unreachable in normal operation — done implies the EOA
-                # token was processed above).  Close out the sentence so the
-                # request can never deadlock.
-                if st.buffer:
-                    await synthesize(st.buffer)
-                if st.end_generation:
-                    await audio_q.put(END)
-                    return
-                await audio_q.put(1 - index)
+        async def end_sentence(flush_buffer: bool) -> bool:
+            """Terminate the current sentence; True => whole request ended."""
+            nonlocal st, dec_state, issued, pending
+            if flush_buffer and st.buffer:
+                await synthesize(st.buffer)
+            ended = st.end_generation
+            if ended:
+                await synth_q.put(END)
+                await worker
+            else:
+                await synth_q.put(1 - index)
                 st = _SentenceState()
                 dec_state = engine.new_state()
+                issued = 0
+                pending = None
                 grow_dump()
-            # otherwise: loop back to await more text.
+            return ended
+
+        try:
+            while True:
+                terminated = False
+
+                # -- text intake until the sentence is complete -----------
+                if not st.sentence_done:
+                    delta = await text_q.get()
+                    if delta is _STREAM_CLOSED:
+                        if st.n_generated == 0 and not st.text_ids:
+                            await synth_q.put(END)
+                            await worker
+                            return
+                        st.end_generation = True
+                        st.sentence_done = True
+                        st.text_ids.append(dcfg.text_eos_id)
+                    else:
+                        if eos in delta:
+                            st.end_generation = True
+                            delta = delta.replace(eos, "")
+                            st.sentence_done = True
+                        elif delta.endswith("."):
+                            st.sentence_done = True
+                        # Every delta is byte-tokenized with its ByT5 </s>
+                        # (streaming_server.py:305-306); an empty eos
+                        # remainder still contributes the bare </s>.
+                        st.text_ids.extend(self.tokenizer.encode(delta.strip()))
+                        if st.sentence_done:
+                            st.text_ids.append(dcfg.text_eos_id)
+
+                # -- generate as far as pacing allows ---------------------
+                # Issue-ahead pipeline: dispatch block i+1 on the chained
+                # device state before fetching block i's tokens.  ``issued``
+                # tracks the optimistic decode position of dispatched
+                # blocks; it only diverges from the fetched position when
+                # EOA fires, at which point the speculative block generates
+                # nothing (device-side ``done``) and is discarded.
+                while True:
+                    nxt = None
+                    if issued + block > dcfg.block_size:
+                        # KV-cache capacity guard (the reference would
+                        # assert at 8192, src/model.py:205); close out like
+                        # the length cap once the pipeline drains.
+                        if pending is None:
+                            if await end_sentence(flush_buffer=True):
+                                return
+                            terminated = True
+                            break
+                    else:
+                        if st.sentence_done:
+                            limit = block
+                        else:
+                            limit = min(block, len(st.text_ids) - issued)
+                        if limit > 0:
+                            window = np.full(block, dcfg.pad_token_id,
+                                             np.int32)
+                            avail = st.text_ids[issued:issued + block]
+                            window[:len(avail)] = avail
+                            nxt, dec_state = engine.decode_block_async(
+                                dec_state, window, len(st.text_ids), limit)
+                            issued += limit
+
+                    if pending is None and nxt is None:
+                        break  # starved for text (or at capacity)
+
+                    if pending is not None:
+                        with trace.span(f"decode_r{index}"):
+                            tokens = await asyncio.to_thread(pending.fetch)
+                        pending = None
+                        st.n_generated += len(tokens)
+
+                        # Per-token bookkeeping, exactly the reference's
+                        # inner-loop order (streaming_server.py:347-422).
+                        for tok in tokens:
+                            st.buffer.append(tok)
+                            if len(st.buffer) >= dump_size:
+                                chunk, st.buffer = (st.buffer[:dump_size],
+                                                    st.buffer[dump_size:])
+                                await synthesize(chunk)
+                                grow_dump()
+                            elif dcfg.eoa_token_id in st.buffer:
+                                chunk, st.buffer = st.buffer, []
+                                await synthesize(chunk)
+                                grow_dump()
+                            if (tok == dcfg.eoa_token_id
+                                    or len(st.buffer) > cfg.max_audio_length):
+                                # reference discards the residual buffer at
+                                # sentence reset (streaming_server.py:414)
+                                if await end_sentence(flush_buffer=False):
+                                    return
+                                terminated = True
+                                break
+                        if terminated:
+                            break
+
+                    pending = nxt
+                    if not st.sentence_done and pending is None:
+                        break  # consumed all available text; await more
+
+                if terminated:
+                    continue
+
+                if st.sentence_done and pending is None:
+                    # Defensive: generation stalled without EOA termination
+                    # (unreachable in normal operation).  Close out so the
+                    # request can never deadlock.
+                    if await end_sentence(flush_buffer=True):
+                        return
+        finally:
+            if not worker.done():
+                worker.cancel()

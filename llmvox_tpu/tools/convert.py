@@ -250,11 +250,10 @@ def convert_seanet_encoder_state_dict(sd: Mapping, ratios=(2, 4, 5, 8),
                           "b": _np(sd[f"{p}.block.3.conv.conv.bias"])},
                 "shortcut": {"w": _conv_w(sd[f"{p}.shortcut.conv.conv.weight"]),
                              "b": _np(sd[f"{p}.shortcut.conv.conv.bias"])},
-                "dilation": 2 ** j,
             })
             idx += 1
         idx += 1  # ELU
-        stages.append({"res": res_layers, "down": conv(idx), "ratio": ratio})
+        stages.append({"res": res_layers, "down": conv(idx)})
         idx += 1
     params["stages"] = stages
 

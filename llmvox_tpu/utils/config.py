@@ -244,6 +244,49 @@ class TrainConfig:
     tp_size: int = 1
 
 
+@dataclass(frozen=True)
+class CodecTrainConfig:
+    """WavTokenizer GAN-training knobs, mirroring the Lightning config
+    (WavTokenizer/configs/...frame75...yaml:20-93, decoder/experiment.py)."""
+
+    sample_rate: int = 24000
+    initial_learning_rate: float = 2e-4
+    mel_loss_coeff: float = 45.0
+    mrd_loss_coeff: float = 1.0
+    commit_loss_coeff: float = 1000.0
+    num_warmup_steps: int = 0
+    pretrain_mel_steps: int = 0
+    max_steps: int = 20_000_000
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # data (decoder/dataset.py:24-84)
+    filelist_train: str = ""
+    filelist_val: str = ""
+    num_samples: int = 72000     # 3 s crops @ 24 kHz
+    batch_size: int = 40
+    val_batch_size: int = 5
+    train_gain_db_range: Tuple[float, float] = (-6.0, -1.0)
+    val_gain_db: float = -3.0
+
+    # VQ (feature_extractors.py:79-80)
+    vq_decay: float = 0.99
+    vq_kmeans_iters: int = 200
+    vq_threshold_dead: float = 2.0
+
+    # eval toggles (experiment.py:30-33); heavyweight external models
+    # (UTMOS/PESQ) are optional plug-ins
+    evaluate_utmos: bool = False
+    evaluate_pesq: bool = False
+    evaluate_periodicity: bool = False
+
+    seed: int = 3407
+    out_dir: str = "results_codec"
+    log_interval: int = 100
+    val_interval: int = 10000
+    dp_size: int = -1
+
+
 # ---------------------------------------------------------------------------
 # CLI override machinery
 # ---------------------------------------------------------------------------
