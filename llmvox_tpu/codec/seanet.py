@@ -150,6 +150,98 @@ def _lstm_layer(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(ys, 0, 1)
 
 
+def init_seanet_decoder(key: jax.Array, cfg: CodecConfig,
+                        weight_norm: bool = False) -> Dict:
+    """SEANet decoder (encoder/modules/seanet.py:147-238): Conv k7 -> LSTM
+    -> per ratio [8,5,4,2]: ELU + ConvTranspose(k=2r, stride r) + resblock,
+    halving channels -> ELU + Conv k7 -> 1 channel.
+
+    Present in the deployed checkpoint but unused at inference (decode runs
+    through the ConvNeXt backbone + ISTFT head instead); kept for
+    checkpoint completeness and Encodec-style decoding.
+    """
+    ratios = list(cfg.downsamples)  # decoder order [8, 5, 4, 2]
+    nf = cfg.n_filters
+    keys = iter(jax.random.split(key, 64))
+
+    def conv(k, cin, cout):
+        w = _kaiming_conv(next(keys), k, cin, cout)
+        if weight_norm:
+            p = nn.weight_norm_init(w)
+            p["b"] = jnp.zeros((cout,))
+            return p
+        return {"w": w, "b": jnp.zeros((cout,))}
+
+    mult = 2 ** len(ratios)
+    params: Dict = {"conv_in": conv(cfg.seanet_kernel_size,
+                                    cfg.seanet_dimension, mult * nf)}
+    h = mult * nf
+    lstm_layers = []
+    for _ in range(cfg.seanet_lstm_layers):
+        bound = math.sqrt(1.0 / h)
+        lstm_layers.append({
+            "wi": jax.random.uniform(next(keys), (h, 4 * h), jnp.float32,
+                                     -bound, bound),
+            "wh": jax.random.uniform(next(keys), (h, 4 * h), jnp.float32,
+                                     -bound, bound),
+            "bi": jnp.zeros((4 * h,)), "bh": jnp.zeros((4 * h,)),
+        })
+    params["lstm"] = lstm_layers
+
+    stages: List[Dict] = []
+    for ratio in ratios:
+        ch = mult * nf
+        out = ch // 2
+        hidden = out // cfg.seanet_compress
+        # ConvTranspose kernel layout (K, Cout, Cin) for conv1d_transpose
+        wt = _kaiming_conv(next(keys), ratio * 2, out, ch)
+        up = (dict(nn.weight_norm_init(wt), b=jnp.zeros((out,)))
+              if weight_norm else {"w": wt, "b": jnp.zeros((out,))})
+        res_layers = []
+        for _ in range(cfg.seanet_n_residual_layers):
+            res_layers.append({
+                "conv1": conv(cfg.seanet_residual_kernel_size, out, hidden),
+                "conv2": conv(1, hidden, out),
+                "shortcut": conv(1, out, out),
+            })
+        stages.append({"up": up, "res": res_layers})
+        mult //= 2
+    params["stages"] = stages
+    params["conv_out"] = conv(cfg.seanet_last_kernel_size, nf, 1)
+    return params
+
+
+def apply_seanet_decoder(params: Dict, z: jnp.ndarray,
+                         cfg: CodecConfig) -> jnp.ndarray:
+    """(B, L, dim) features -> (B, ~L*320) waveform."""
+    ratios = list(cfg.downsamples)
+    x = sconv1d(z, params["conv_in"])
+    lstm_in = x
+    for layer in params["lstm"]:
+        x = _lstm_layer(layer, x)
+    x = x + lstm_in
+    for ratio, stage in zip(ratios, params["stages"]):
+        x = _elu(x)
+        w = nn.effective_weight(stage["up"])
+        y = nn.conv1d_transpose(x, w, stage["up"]["b"], stride=ratio)
+        # asymmetric unpad (encoder/modules/conv.py:248-253)
+        pt = ratio * 2 - ratio
+        right = pt // 2
+        left = pt - right
+        x = y[:, left: y.shape[1] - right]
+        for j, res in enumerate(stage["res"]):
+            h = _elu(x)
+            h = sconv1d(h, res["conv1"],
+                        dilation=cfg.seanet_dilation_base ** j)
+            h = _elu(h)
+            h = sconv1d(h, res["conv2"])
+            s = sconv1d(x, res["shortcut"])
+            x = s + h
+    x = _elu(x)
+    x = sconv1d(x, params["conv_out"])
+    return x[..., 0]
+
+
 def apply_seanet_encoder(params: Dict, wav: jnp.ndarray,
                          cfg: CodecConfig) -> jnp.ndarray:
     """(B, T) waveform -> (B, L, dim) embeddings, L = ceil(T / 320)."""

@@ -162,30 +162,34 @@ def init_decode_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
 
 
 def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
-                state: DecodeState):
-    """One transformer step for one new position; x is (C,)."""
+                state: DecodeState, return_logits: bool = False):
+    """One transformer step for one new position; x is (C,).
+
+    Layers are a static python loop and the (L, S, C) caches are updated
+    with per-layer ``dynamic_update_slice`` on the *carried* arrays — the
+    donation-friendly form XLA turns into true in-place row writes (a
+    scan-emitted fresh cache per step would risk full-cache copies).
+    """
     pos = state.pos
     x = x + params["wpe"][pos].astype(x.dtype)
+    new_k, new_v = state.k_cache, state.v_cache
+    h = params["h"]
 
-    def block(carry, inp):
-        h_x = carry
-        p, kc, vc = inp
-        hnorm = nn.layer_norm(h_x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+    for l in range(cfg.n_layer):
+        p = {key: val[l] for key, val in h.items()}
+        hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
         qkv = nn.linear(hnorm[None], p["wqkv"], _get(p, "bqkv"))[0]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        kc = lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (pos, 0))
-        vc = lax.dynamic_update_slice(vc, v[None].astype(vc.dtype), (pos, 0))
-        a = decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
-        h_x = h_x + nn.linear(a[None], p["wo"], _get(p, "bo"))[0]
-        hnorm = nn.layer_norm(h_x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        new_k = lax.dynamic_update_slice(
+            new_k, k[None, None].astype(new_k.dtype), (l, pos, 0))
+        new_v = lax.dynamic_update_slice(
+            new_v, v[None, None].astype(new_v.dtype), (l, pos, 0))
+        a = decode_attention(q, new_k[l], new_v[l], pos, n_head=cfg.n_head)
+        x = x + nn.linear(a[None], p["wo"], _get(p, "bo"))[0]
+        hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm[None], p["wfc"], _get(p, "bfc")))
-        h_x = h_x + nn.linear(m, p["wproj"], _get(p, "bproj"))[0]
-        return h_x, (kc, vc)
+        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))[0]
 
-    # fully unrolled over the (4) layers: one fused decode-step program
-    x, (new_k, new_v) = lax.scan(
-        block, x, (params["h"], state.k_cache, state.v_cache),
-        unroll=True)
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     # the head matmul accumulates in f32 even under bf16 serving params so
     # the 4096-way argmax matches the reference's f32 softmax-argmax
@@ -193,6 +197,8 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     logits = jnp.dot(x, params["head"].astype(x.dtype),
                      preferred_element_type=jnp.float32)
     token = jnp.argmax(logits).astype(jnp.int32)
+    if return_logits:
+        return token, new_k, new_v, logits
     return token, new_k, new_v
 
 
@@ -254,6 +260,49 @@ def decode_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
         return DecodeState(new_k, new_v, pos, prev, done), out
 
     state, tokens = lax.scan(step, state, jnp.arange(block, dtype=jnp.int32))
+    n = jnp.sum((tokens >= 0).astype(jnp.int32))
+    return tokens, n, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "block", "top_k"))
+def sample_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
+                 state: DecodeState, text_window: jnp.ndarray,
+                 text_len: jnp.ndarray, limit: jnp.ndarray, key: jax.Array,
+                 temperature: float, cfg: DecoderConfig, block: int = 32,
+                 top_k: Optional[int] = None):
+    """``decode_block`` with temperature/top-k sampling instead of argmax —
+    the counterpart of GPT.generate (src/model.py:383-410), which the
+    reference ships but whose server never uses (it decodes greedily).
+    """
+    compute_dtype = state.k_cache.dtype
+
+    def step(carry, inp):
+        st, k = carry
+        i = inp
+        k, sub = jax.random.split(k)
+        active = jnp.logical_and(i < limit, jnp.logical_not(st.done))
+        tid = jnp.where(st.pos < text_len, text_window[i], cfg.pad_token_id)
+        temb = text_table[tid]
+        sfeat = jnp.where(st.pos == 0, jnp.zeros((cfg.speech_embed_dim,)),
+                          codebook[st.prev_token])
+        x = nn.l2_normalize(jnp.concatenate([temb, sfeat]))
+        x = x.astype(compute_dtype)
+        _, new_k, new_v, logits = _decode_one(params, cfg, x, st,
+                                              return_logits=True)
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, top_k)[0][-1]
+            logits = jnp.where(logits < kth, float("-inf"), logits)
+        token = jax.random.categorical(sub, logits).astype(jnp.int32)
+        pos = jnp.where(active, st.pos + 1, st.pos)
+        prev = jnp.where(active, token, st.prev_token)
+        done = jnp.logical_or(
+            st.done, jnp.logical_and(active, token == cfg.eoa_token_id))
+        out = jnp.where(active, token, jnp.int32(-1))
+        return (DecodeState(new_k, new_v, pos, prev, done), k), out
+
+    (state, _), tokens = lax.scan(
+        step, (state, key), jnp.arange(block, dtype=jnp.int32))
     n = jnp.sum((tokens >= 0).astype(jnp.int32))
     return tokens, n, state
 

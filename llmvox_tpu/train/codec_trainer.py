@@ -57,10 +57,12 @@ def init_generator_params(key: jax.Array, cfg: CodecConfig) -> Dict:
     }
 
 
-def init_discriminator_params(key: jax.Array) -> Dict:
+def init_discriminator_params(key: jax.Array,
+                              tcfg: CodecTrainConfig) -> Dict:
     k1, k2, k3 = jax.random.split(key, 3)
-    return {"mpd": disc.init_mpd(k1), "mrd": disc.init_mrd(k2),
-            "dac": disc.init_dac(k3)}
+    return {"mpd": disc.init_mpd(k1, tcfg.mpd_periods),
+            "mrd": disc.init_mrd(k2, tcfg.mrd_resolutions),
+            "dac": disc.init_dac(k3, tcfg.dac_periods, tcfg.dac_fft_sizes)}
 
 
 def generator_forward(gen_params: Dict, vq_state: VQState, audio: jnp.ndarray,
@@ -86,15 +88,15 @@ def generator_forward(gen_params: Dict, vq_state: VQState, audio: jnp.ndarray,
     return audio_hat, commit, vq_state
 
 
-def _vocos_disc_scores(disc_params, y, y_hat):
+def _vocos_disc_scores(disc_params, y, y_hat, tcfg: CodecTrainConfig):
     mp_r = [disc.apply_discriminator_p(p, y, per)
-            for p, per in zip(disc_params["mpd"], disc.PERIODS)]
+            for p, per in zip(disc_params["mpd"], tcfg.mpd_periods)]
     mp_g = [disc.apply_discriminator_p(p, y_hat, per)
-            for p, per in zip(disc_params["mpd"], disc.PERIODS)]
+            for p, per in zip(disc_params["mpd"], tcfg.mpd_periods)]
     mrd_r = [disc.apply_discriminator_r(p, y, res)
-             for p, res in zip(disc_params["mrd"], disc.RESOLUTIONS)]
+             for p, res in zip(disc_params["mrd"], tcfg.mrd_resolutions)]
     mrd_g = [disc.apply_discriminator_r(p, y_hat, res)
-             for p, res in zip(disc_params["mrd"], disc.RESOLUTIONS)]
+             for p, res in zip(disc_params["mrd"], tcfg.mrd_resolutions)]
     return mp_r, mp_g, mrd_r, mrd_g
 
 
@@ -116,17 +118,20 @@ def warmup_cosine_lr(tcfg: CodecTrainConfig):
 
 def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
                         tx_g, tx_d, axis_name: Optional[str] = None):
-    nperiods = len(disc.PERIODS)
-    nres = len(disc.RESOLUTIONS)
+    nperiods = len(tcfg.mpd_periods)
+    nres = len(tcfg.mrd_resolutions)
 
     def disc_loss_fn(disc_params, y, y_hat):
-        mp_r, mp_g, mrd_r, mrd_g = _vocos_disc_scores(disc_params, y, y_hat)
+        mp_r, mp_g, mrd_r, mrd_g = _vocos_disc_scores(disc_params, y, y_hat,
+                                                      tcfg)
         loss_mp = losses.discriminator_loss(
             [s for s, _ in mp_r], [s for s, _ in mp_g]) / nperiods
         loss_mrd = losses.discriminator_loss(
             [s for s, _ in mrd_r], [s for s, _ in mrd_g]) / nres
-        d_fake = disc.apply_dac(disc_params["dac"], y_hat)
-        d_real = disc.apply_dac(disc_params["dac"], y)
+        d_fake = disc.apply_dac(disc_params["dac"], y_hat,
+                                tcfg.dac_periods, tcfg.dac_fft_sizes)
+        d_real = disc.apply_dac(disc_params["dac"], y,
+                                tcfg.dac_periods, tcfg.dac_fft_sizes)
         loss_dac = losses.dac_discriminator_loss(d_fake, d_real)
         total = loss_mp + tcfg.mrd_loss_coeff * loss_mrd + loss_dac
         return total, {"disc_mp": loss_mp, "disc_mrd": loss_mrd,
@@ -142,15 +147,18 @@ def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
 
         mel = losses.mel_loss(yh_c, y_c, sample_rate=tcfg.sample_rate)
 
-        mp_r, mp_g, mrd_r, mrd_g = _vocos_disc_scores(disc_params, y_c, yh_c)
+        mp_r, mp_g, mrd_r, mrd_g = _vocos_disc_scores(disc_params, y_c, yh_c,
+                                                      tcfg)
         loss_gen_mp = losses.generator_loss([s for s, _ in mp_g]) / nperiods
         loss_gen_mrd = losses.generator_loss([s for s, _ in mrd_g]) / nres
         fm_mp = losses.feature_matching_loss(
             [f for _, f in mp_r], [f for _, f in mp_g]) / nperiods
         fm_mrd = losses.feature_matching_loss(
             [f for _, f in mrd_r], [f for _, f in mrd_g]) / nres
-        d_fake = disc.apply_dac(disc_params["dac"], yh_c)
-        d_real = disc.apply_dac(disc_params["dac"], y_c)
+        d_fake = disc.apply_dac(disc_params["dac"], yh_c,
+                                tcfg.dac_periods, tcfg.dac_fft_sizes)
+        d_real = disc.apply_dac(disc_params["dac"], y_c,
+                                tcfg.dac_periods, tcfg.dac_fft_sizes)
         dac_g, dac_feat = losses.dac_generator_loss(d_fake, d_real)
 
         adv = (loss_gen_mp + tcfg.mrd_loss_coeff * loss_gen_mrd + fm_mp +
@@ -214,7 +222,7 @@ class CodecTrainer:
 
         k1, k2, k3, self.rng = jax.random.split(self.rng, 4)
         gen_params = init_generator_params(k1, cfg)
-        disc_params = init_discriminator_params(k2)
+        disc_params = init_discriminator_params(k2, tcfg)
         vq_state = init_vq_state(k3, cfg.vq_bins, cfg.vq_dim)
 
         sched = warmup_cosine_lr(tcfg)

@@ -269,6 +269,14 @@ class CodecTrainConfig:
     train_gain_db_range: Tuple[float, float] = (-6.0, -1.0)
     val_gain_db: float = -3.0
 
+    # Discriminator families (full reference sets by default; reducible
+    # for small-scale runs/tests)
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    mrd_resolutions: Tuple[Tuple[int, int, int], ...] = (
+        (1024, 256, 1024), (2048, 512, 2048), (512, 128, 512))
+    dac_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    dac_fft_sizes: Tuple[int, ...] = (2048, 1024, 512)
+
     # VQ (feature_extractors.py:79-80)
     vq_decay: float = 0.99
     vq_kmeans_iters: int = 200

@@ -22,7 +22,10 @@ TINY_CODEC = CodecConfig(
     backbone_intermediate_dim=96, backbone_num_layers=2,
     n_fft=16, hop_length=4)
 TINY_TRAIN = CodecTrainConfig(batch_size=2, num_samples=3072,
-                              vq_kmeans_iters=5, max_steps=100)
+                              vq_kmeans_iters=5, max_steps=100,
+                              mpd_periods=(2, 3),
+                              mrd_resolutions=((512, 128, 512),),
+                              dac_periods=(2,), dac_fft_sizes=(512,))
 
 
 def test_stft_matches_torch():
