@@ -1,3 +1,7 @@
+"""Microbenchmarks: decode-block throughput, device RTT, synthesis buckets.
+
+Run on TPU: python benchmarks/microbench.py
+"""
 import time, numpy as np, jax, jax.numpy as jnp
 from llmvox_tpu.codec.codec import WavCodec, init_codec_params
 from llmvox_tpu.models import decoder as dec

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: fused single-token decode attention over the KV cache.
+
+Replaces the lax chunked decode attention (ops/attention.py) on the
+serving hot path: one kernel performs the whole masked flash-style
+attention for a token — double-buffered DMA streams only the *filled*
+cache chunks from HBM into VMEM (compute and traffic scale with ``pos``,
+not capacity), and the per-head math is expressed without lane-splitting
+reshapes via a head-selector matmul:
+
+  logits[s, h] = sum_c (K[s, c] * q[c]) * M[c, h],  M[c, h] = [c // D == h]
+
+so every op is a native VPU elementwise or MXU matmul on (chunk, C)
+tiles.  Numerics match ops.attention.decode_attention (tested in
+interpret mode on CPU and compiled on TPU).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
+            chunk: int, s_total: int):
+    c = q_ref.shape[-1]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    pos = pos_ref[0]
+    nchunks = (pos + chunk) // chunk  # ceil((pos+1)/chunk), dynamic
+
+    # head selector M (C, H): M[i, h] = 1 iff i // d == h
+    ci = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    hi = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    sel = (ci // d == hi).astype(jnp.float32)          # (C, H)
+
+    q = q_ref[:].astype(jnp.float32)                    # (1, C)
+
+    def body(kbuf, vbuf, sems):
+        def dma(slot, idx, which):
+            src = k_hbm if which == 0 else v_hbm
+            buf = kbuf if which == 0 else vbuf
+            return pltpu.make_async_copy(
+                src.at[pl.ds(idx * chunk, chunk), :],
+                buf.at[slot], sems.at[which, slot])
+
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+        def loop(ci_, carry):
+            m, l, acc = carry                           # (1,H),(1,H),(1,C)
+            slot = ci_ % 2
+            nxt = (ci_ + 1) % 2
+
+            @pl.when(ci_ + 1 < nchunks)
+            def _():
+                dma(nxt, ci_ + 1, 0).start()
+                dma(nxt, ci_ + 1, 1).start()
+
+            dma(slot, ci_, 0).wait()
+            dma(slot, ci_, 1).wait()
+
+            kc = kbuf[slot].astype(jnp.float32)         # (chunk, C)
+            vc = vbuf[slot].astype(jnp.float32)
+            t = kc * q                                   # broadcast (chunk, C)
+            logits = jnp.dot(t, sel,
+                             preferred_element_type=jnp.float32) * scale
+            idx = ci_ * chunk + lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0)
+            logits = jnp.where(idx <= pos, logits, NEG_INF)  # (chunk, H)
+
+            m_new = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+            p = jnp.exp(logits - m_new)                  # (chunk, H)
+            corr = jnp.exp(m - m_new)                    # (1, H)
+            l_new = l * corr + jnp.sum(p, axis=0, keepdims=True)
+            p_full = jnp.dot(p, sel.T,
+                             preferred_element_type=jnp.float32)  # (chunk, C)
+            corr_full = jnp.dot(corr, sel.T,
+                                preferred_element_type=jnp.float32)  # (1, C)
+            acc_new = acc * corr_full + jnp.sum(vc * p_full, axis=0,
+                                                keepdims=True)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((1, n_head), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, n_head), jnp.float32)
+        acc0 = jnp.zeros((1, c), jnp.float32)
+        m, l, acc = lax.fori_loop(0, nchunks, loop, (m0, l0, acc0))
+        l_full = jnp.dot(l, sel.T, preferred_element_type=jnp.float32)
+        out_ref[:] = (acc / l_full).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
+def pallas_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                            v_cache: jnp.ndarray, pos: jnp.ndarray, *,
+                            n_head: int, chunk: int = 512,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for ops.attention.decode_attention.
+
+    Args:
+      q: (C,) current token's query.
+      k_cache, v_cache: (S, C), position ``pos`` already written.
+      pos: scalar int32.
+    Returns: (C,) attention output.
+    """
+    s, c = k_cache.shape
+    chunk = min(chunk, s)
+    assert s % chunk == 0
+    pos_arr = jnp.reshape(jnp.asarray(pos, jnp.int32), (1,))
+    out = pl.pallas_call(
+        partial(_kernel, n_head=n_head, chunk=chunk, s_total=s),
+        out_shape=jax.ShapeDtypeStruct((1, c), q.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pos_arr, q[None], k_cache, v_cache)
+    return out[0]

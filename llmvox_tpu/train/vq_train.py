@@ -37,7 +37,9 @@ class VQState(NamedTuple):
 def init_vq_state(key: jax.Array, bins: int, dim: int,
                   kmeans_init: bool = True) -> VQState:
     embed = jax.random.uniform(key, (bins, dim), jnp.float32, -1.0, 1.0)
-    return VQState(embed=embed, embed_avg=embed,
+    # embed_avg must be a distinct buffer: aliased leaves break jit
+    # donation ("attempt to donate the same buffer twice")
+    return VQState(embed=embed, embed_avg=embed.copy(),
                    cluster_size=jnp.zeros((bins,)),
                    inited=jnp.asarray(not kmeans_init))
 

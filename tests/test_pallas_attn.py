@@ -1,0 +1,37 @@
+"""Pallas decode-attention kernel vs the lax reference (interpret mode)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llmvox_tpu.ops.attention import decode_attention
+from llmvox_tpu.ops.pallas_attn import pallas_decode_attention
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("pos", [0, 3, 127, 128, 300])
+def test_pallas_matches_lax(pos):
+    s, c, h = 512, 256, 4
+    q = RNG.standard_normal(c).astype(np.float32)
+    k = RNG.standard_normal((s, c)).astype(np.float32)
+    v = RNG.standard_normal((s, c)).astype(np.float32)
+    ref = decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                           jnp.int32(pos), n_head=h, chunk=128)
+    got = pallas_decode_attention(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), jnp.int32(pos), n_head=h,
+                                  chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_bf16_cache():
+    s, c, h = 256, 128, 2
+    q = jnp.asarray(RNG.standard_normal(c), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((s, c)), jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((s, c)), jnp.bfloat16)
+    ref = decode_attention(q, k, v, jnp.int32(100), n_head=h, chunk=128)
+    got = pallas_decode_attention(q, k, v, jnp.int32(100), n_head=h,
+                                  chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
