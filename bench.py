@@ -97,6 +97,20 @@ def main() -> None:
         rtfs.append(r)
         audio_s, wall = a, w
 
+    # ---- multi-stream batched throughput (BASELINE config #5) ----------
+    from llmvox_tpu.serve.batch import BatchTTS
+    nstreams = 8
+    btts = BatchTTS(params, text_table, engines[0].codec,
+                    max_streams=nstreams, dcfg=dcfg, scfg=scfg, device=dev)
+    texts = [f"Benchmark stream number {i} speaking a sentence."
+             for i in range(nstreams)]
+    btts.tts_batch(texts, max_tokens=64)  # compile
+    t0 = time.perf_counter()
+    wavs = btts.tts_batch(texts, max_tokens=512)
+    batch_wall = time.perf_counter() - t0
+    batch_audio = sum(len(w) for w in wavs) / ccfg.sample_rate
+    batch_rtf = batch_audio / batch_wall
+
     p50_first = statistics.median(firsts)
     p50_rtf = statistics.median(rtfs)
     print(json.dumps({
@@ -110,6 +124,9 @@ def main() -> None:
         "wall_s_per_trial": round(wall, 2),
         "compile_s": round(compile_s, 1),
         "first_chunk_ms_all": [round(f, 1) for f in firsts],
+        "batch8_aggregate_rtf": round(batch_rtf, 2),
+        "batch8_audio_s": round(batch_audio, 2),
+        "batch8_wall_s": round(batch_wall, 2),
     }))
 
 

@@ -172,11 +172,9 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     """
     pos = state.pos
     x = x + params["wpe"][pos].astype(x.dtype)
-    new_k, new_v = state.k_cache, state.v_cache
-    h = params["h"]
 
-    for l in range(cfg.n_layer):
-        p = {key: val[l] for key, val in h.items()}
+    def layer_body(carry, p):
+        x, new_k, new_v, l = carry
         hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
         qkv = nn.linear(hnorm[None], p["wqkv"], _get(p, "bqkv"))[0]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -184,11 +182,25 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
             new_k, k[None, None].astype(new_k.dtype), (l, pos, 0))
         new_v = lax.dynamic_update_slice(
             new_v, v[None, None].astype(new_v.dtype), (l, pos, 0))
-        a = decode_attention(q, new_k[l], new_v[l], pos, n_head=cfg.n_head)
+        kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
+        if cfg.use_pallas_attention:
+            from llmvox_tpu.ops.pallas_attn import pallas_decode_attention
+            a = pallas_decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
+        else:
+            a = decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
         x = x + nn.linear(a[None], p["wo"], _get(p, "bo"))[0]
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm[None], p["wfc"], _get(p, "bfc")))
         x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))[0]
+        return (x, new_k, new_v, l + 1), None
+
+    # rolled layer scan keeps the compiled decode program ~L*block times
+    # smaller than full unrolling (compile time matters for serving warmup);
+    # the caches ride the carry so writes stay in-place.
+    (x, new_k, new_v, _), _ = lax.scan(
+        layer_body, (x, state.k_cache, state.v_cache, jnp.int32(0)),
+        params["h"], unroll=cfg.n_layer if cfg.unroll_layers else 1)
 
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     # the head matmul accumulates in f32 even under bf16 serving params so

@@ -58,6 +58,13 @@ class TTSEngine:
         self.codec = codec
         self.cache_dtype = cache_dtype
         self.block = self.scfg.decode_block
+        # Pallas fused decode attention on real TPUs (verified faster than
+        # the lax path); CPU keeps the portable lax implementation.
+        if (device is not None and device.platform != "cpu"
+                and not self.dcfg.use_pallas_attention):
+            import dataclasses
+            self.dcfg = dataclasses.replace(self.dcfg,
+                                            use_pallas_attention=True)
         if param_dtype is None:
             param_dtype = cache_dtype
         if param_dtype is not None:

@@ -60,6 +60,11 @@ class DecoderConfig:
 
     ln_eps: float = 1e-5
 
+    # TPU runtime knobs (no reference counterpart)
+    unroll_layers: bool = False   # unroll the decode layer loop (compile
+                                  # time vs marginal step speed)
+    use_pallas_attention: bool = False  # Pallas fused decode attention
+
     @property
     def head_dim(self) -> int:
         assert self.n_embd % self.n_head == 0
