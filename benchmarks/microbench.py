@@ -1,7 +1,12 @@
 """Microbenchmarks: decode-block throughput, device RTT, synthesis buckets.
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 Run on TPU: python benchmarks/microbench.py
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, numpy as np, jax, jax.numpy as jnp
 from llmvox_tpu.codec.codec import WavCodec, init_codec_params
 from llmvox_tpu.models import decoder as dec

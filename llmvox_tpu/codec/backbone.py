@@ -219,3 +219,64 @@ def apply_backbone(params: Dict, features: jnp.ndarray, bandwidth_id,
     x, _ = lax.scan(body, x, params["convnext"])
     x = nn.layer_norm(x, params["final_ln"]["s"], params["final_ln"]["b"], eps)
     return x
+
+
+# ---------------------------------------------------------------------------
+# VocosResNetBackbone — the reference's shipped alternative backbone
+# (decoder/models.py:238-264 with ResBlock1, decoder/modules.py:89-191)
+# ---------------------------------------------------------------------------
+
+def init_resnet_backbone(key: jax.Array, input_channels: int, dim: int,
+                         num_blocks: int,
+                         layer_scale_init_value: float = None) -> Dict:
+    ks = jax.random.split(key, num_blocks + 1)
+    gamma0 = layer_scale_init_value or 1.0 / num_blocks / 3.0
+
+    def wn_conv(k, ksize, cin, cout):
+        p = jax.tree_util.tree_map(
+            lambda a: a, {"b": jnp.zeros((cout,))})
+        w = _trunc_normal(k, (ksize, cin, cout))
+        from llmvox_tpu.ops.nn import weight_norm_init
+        p.update(weight_norm_init(w))
+        return p
+
+    blocks = []
+    for i in range(num_blocks):
+        bk = jax.random.split(ks[i], 6)
+        convs1 = [wn_conv(bk[j], 3, dim, dim) for j in range(3)]
+        convs2 = [wn_conv(bk[3 + j % 3], 3, dim, dim) for j in range(3)]
+        blocks.append({
+            "convs1": convs1, "convs2": convs2,
+            "gamma": [jnp.full((dim,), gamma0) for _ in range(3)],
+        })
+    return {"embed": wn_conv(ks[-1], 3, input_channels, dim),
+            "blocks": blocks}
+
+
+def _resblock1(p: Dict, x: jnp.ndarray, lrelu_slope: float = 0.1,
+               dilations=(1, 3, 5)) -> jnp.ndarray:
+    """HiFi-GAN V1 ResBlock without upsampling (modules.py:172-181)."""
+    for c1, c2, gamma, dil in zip(p["convs1"], p["convs2"], p["gamma"],
+                                  dilations):
+        xt = nn.leaky_relu(x, lrelu_slope)
+        pad = (3 * dil - dil) // 2
+        xt = nn.conv1d(xt, nn.effective_weight(c1), c1["b"],
+                       padding=[(pad, pad)], dilation=dil)
+        xt = nn.leaky_relu(xt, lrelu_slope)
+        xt = nn.conv1d(xt, nn.effective_weight(c2), c2["b"],
+                       padding=[(1, 1)])
+        if gamma is not None:
+            xt = gamma.astype(xt.dtype) * xt
+        x = xt + x
+    return x
+
+
+def apply_resnet_backbone(params: Dict, features: jnp.ndarray,
+                          **_) -> jnp.ndarray:
+    """(B, L, Cin) -> (B, L, dim); VocosResNetBackbone.forward
+    (models.py:260-264)."""
+    x = nn.conv1d(features, nn.effective_weight(params["embed"]),
+                  params["embed"]["b"], padding=[(1, 1)])
+    for block in params["blocks"]:
+        x = _resblock1(block, x)
+    return x

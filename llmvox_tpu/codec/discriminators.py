@@ -235,6 +235,72 @@ def _apply_dac_mrd(p: Dict, x: jnp.ndarray, n_fft: int,
     return fmap
 
 
+# ---------------------------------------------------------------------------
+# MS-STFT discriminator — the Encodec alternate, shipped but unused by the
+# reference experiment (encoder/msstftd.py; kept for codec-training parity)
+# ---------------------------------------------------------------------------
+
+MSSTFT_FFTS = (1024, 2048, 512)
+_MSSTFT_DILATIONS = (1, 2, 4)
+
+
+def init_msstft(key, fft_sizes=MSSTFT_FFTS, filters: int = 32) -> List[Dict]:
+    out = []
+    for _ in fft_sizes:
+        ks = jax.random.split(key, 8)
+        key = ks[-1]
+        convs = [_wn_conv2d_init(ks[0], 3, 9, 2, filters)]
+        cin = filters
+        for i, _d in enumerate(_MSSTFT_DILATIONS):
+            convs.append(_wn_conv2d_init(ks[1 + i], 3, 9, cin, filters))
+            cin = filters
+        convs.append(_wn_conv2d_init(ks[5], 3, 3, cin, filters))
+        post = _wn_conv2d_init(ks[6], 3, 3, filters, 1)
+        out.append({"convs": convs, "post": post})
+    return out
+
+
+def apply_msstft_one(p: Dict, x: jnp.ndarray, n_fft: int,
+                     lrelu: float = 0.2):
+    """DiscriminatorSTFT.forward (msstftd.py): normalized complex STFT
+    (real/imag channels) -> Conv2d stack with time dilations."""
+    hop = n_fft // 4
+    s = stft(x, n_fft=n_fft, hop_length=hop, center=False)
+    s = s / jnp.sqrt(jnp.asarray(n_fft, jnp.float32))  # 'normalized' STFT
+    h = jnp.stack([jnp.real(s), jnp.imag(s)], axis=-1)  # (B, T', F, 2)
+    fmap = []
+    dil_pad = [(1, 1)] + [((3 - 1) * d // 2, 4) for d in _MSSTFT_DILATIONS]
+    for i, conv in enumerate(p["convs"]):
+        if i == 0:
+            h = _wn_conv2d(conv, h, padding=(1, 4))
+        elif i <= len(_MSSTFT_DILATIONS):
+            d = _MSSTFT_DILATIONS[i - 1]
+            w = nn.effective_weight(conv)
+            h = jax.lax.conv_general_dilated(
+                h, w.astype(h.dtype), window_strides=(1, 2),
+                padding=[((3 - 1) * d // 2, (3 - 1) * d // 2), (4, 4)],
+                rhs_dilation=(d, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST) + conv["b"]
+        else:
+            h = _wn_conv2d(conv, h, padding=(1, 1))
+        h = nn.leaky_relu(h, lrelu)
+        fmap.append(h)
+    score = _wn_conv2d(p["post"], h, padding=(1, 1))
+    fmap.append(score)
+    return score.reshape(score.shape[0], -1), fmap
+
+
+def apply_msstft(params: List[Dict], x: jnp.ndarray,
+                 fft_sizes=MSSTFT_FFTS):
+    scores, fmaps = [], []
+    for p, f in zip(params, fft_sizes):
+        s, fm = apply_msstft_one(p, x, f)
+        scores.append(s)
+        fmaps.append(fm)
+    return scores, fmaps
+
+
 def apply_dac(params: Dict, x: jnp.ndarray, periods=PERIODS,
               fft_sizes=DAC_FFTS, bands=DAC_BANDS) -> List[List[jnp.ndarray]]:
     """DACDiscriminator.forward: list of per-discriminator fmap lists

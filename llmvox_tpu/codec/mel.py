@@ -101,3 +101,23 @@ def mel_spectrogram(x: jnp.ndarray, *, sample_rate: int = 24000,
 def safe_log(x: jnp.ndarray, clip_val: float = 1e-7) -> jnp.ndarray:
     """log with clipping (decoder/modules.py:194-205)."""
     return jnp.log(jnp.maximum(x, clip_val))
+
+
+def mel_spectrogram_features(audio: jnp.ndarray, *, sample_rate: int = 24000,
+                             n_fft: int = 1024, hop_length: int = 256,
+                             n_mels: int = 100,
+                             padding: str = "center") -> jnp.ndarray:
+    """MelSpectrogramFeatures — the reference's alternative (non-Encodec)
+    feature extractor (decoder/feature_extractors.py:30-51): safe-log mel
+    of the waveform, (B, n_mels, frames)."""
+    if padding == "same":
+        pad = n_fft - hop_length
+        audio = jnp.pad(audio, ((0, 0), (pad // 2, pad // 2)),
+                        mode="reflect")
+        spec = spectrogram(audio, n_fft=n_fft, hop_length=hop_length)
+        # uncentered: frames from the padded signal only
+        fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
+        return safe_log(jnp.einsum("btf,fm->bmt", spec, fb))
+    return safe_log(mel_spectrogram(audio, sample_rate=sample_rate,
+                                    n_fft=n_fft, hop_length=hop_length,
+                                    n_mels=n_mels))

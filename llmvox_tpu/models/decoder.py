@@ -319,36 +319,140 @@ def sample_block(params: Dict, text_table: jnp.ndarray, codebook: jnp.ndarray,
     return tokens, n, state
 
 
+def _batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                              v_cache: jnp.ndarray, pos: jnp.ndarray, *,
+                              n_head: int, chunk: int = 512) -> jnp.ndarray:
+    """Decode attention for B streams at per-stream positions.
+
+    q: (B, C); caches: (B, S, C); pos: (B,).  Chunked online softmax with
+    trip count from the deepest stream; shallower streams mask.
+    """
+    b, s, c = k_cache.shape
+    chunk = min(chunk, s)
+    h, d = n_head, c // n_head
+    qh = q.reshape(b, h, d).astype(jnp.float32)
+    scale = 1.0 / math.sqrt(d)
+    nchunks = (jnp.max(pos) + chunk) // chunk
+
+    def body(ci, carry):
+        m, l, acc = carry
+        start = ci * chunk
+        kc = lax.dynamic_slice(k_cache, (0, start, 0), (b, chunk, c))
+        vc = lax.dynamic_slice(v_cache, (0, start, 0), (b, chunk, c))
+        kc = kc.reshape(b, chunk, h, d).astype(jnp.float32)
+        vc = vc.reshape(b, chunk, h, d).astype(jnp.float32)
+        logits = jnp.einsum("bhd,bshd->bhs", qh, kc,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST) * scale
+        idx = start + lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+        logits = jnp.where(idx <= pos[:, None, None], logits, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum(
+            "bhs,bshd->bhd", p, vc, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((b, h, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, d), jnp.float32)
+    m, l, acc = lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+    return (acc / l).reshape(b, c).astype(q.dtype)
+
+
+def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
+                      state: DecodeState):
+    """Batched transformer step: x (B, C), caches (L, B, S, C), pos (B,).
+
+    Layers are a static python loop so per-layer cache access is a
+    contiguous [l] slice (no dynamic gather) and the per-stream row write
+    is one scatter over (stream, position) pairs — this is why the batched
+    path is hand-written rather than a vmap of the single-stream step
+    (vmap lowers the cache ops to full-cache copies).
+    """
+    b = x.shape[0]
+    pos = state.pos
+    x = x + params["wpe"][pos].astype(x.dtype)
+    new_k, new_v = state.k_cache, state.v_cache
+    barange = jnp.arange(b)
+    h_params = params["h"]
+
+    for l in range(cfg.n_layer):
+        p = {key: val[l] for key, val in h_params.items()}
+        hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+        qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        new_k = new_k.at[l, barange, pos].set(k.astype(new_k.dtype))
+        new_v = new_v.at[l, barange, pos].set(v.astype(new_v.dtype))
+        a = _batched_decode_attention(q, new_k[l], new_v[l], pos,
+                                      n_head=cfg.n_head)
+        x = x + nn.linear(a, p["wo"], _get(p, "bo"))
+        hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))
+        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
+
+    x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
+    logits = jnp.dot(x, params["head"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return tokens, new_k, new_v
+
+
 @partial(jax.jit, static_argnames=("cfg", "block"))
 def decode_block_batch(params: Dict, text_table: jnp.ndarray,
                        codebook: jnp.ndarray, states: DecodeState,
                        text_windows: jnp.ndarray, text_lens: jnp.ndarray,
                        limits: jnp.ndarray, cfg: DecoderConfig,
                        block: int = 32):
-    """Multi-stream decode: ``decode_block`` vmapped over B independent
-    streams sharing one weight read per step — the batched-KV-cache
+    """Multi-stream decode: B independent streams advance together, one
+    weight read per step for the whole batch — the batched-KV-cache
     multi-stream serving path (BASELINE config #5; no reference
     counterpart — the reference pins one replica per GPU).
 
     Args:
-      states: DecodeState with a leading B axis on every leaf.
+      states: batched DecodeState (caches (L, B, S, C); pos/prev/done (B,)).
       text_windows: (B, block); text_lens, limits: (B,).
     Returns:
-      (tokens (B, block), n (B,), states)
+      (tokens (B, block) with -1 at inactive slots, n (B,), states)
     """
-    def one(state, window, tlen, limit):
-        return decode_block(params, text_table, codebook, state, window,
-                            tlen, limit, cfg, block=block)
+    compute_dtype = states.k_cache.dtype
+    b = text_windows.shape[0]
 
-    return jax.vmap(one)(states, text_windows, text_lens, limits)
+    def step(carry, i):
+        st = carry
+        active = jnp.logical_and(i < limits, jnp.logical_not(st.done))
+        tid = jnp.where(st.pos < text_lens, text_windows[:, i],
+                        cfg.pad_token_id)
+        temb = text_table[tid]                                  # (B, 256)
+        sfeat = jnp.where((st.pos == 0)[:, None],
+                          jnp.zeros((1, cfg.speech_embed_dim)),
+                          codebook[st.prev_token])
+        x = nn.l2_normalize(jnp.concatenate([temb, sfeat], axis=-1))
+        x = x.astype(compute_dtype)
+
+        tokens, new_k, new_v = _decode_one_batch(params, cfg, x, st)
+        pos = jnp.where(active, st.pos + 1, st.pos)
+        prev = jnp.where(active, tokens, st.prev_token)
+        done = jnp.logical_or(
+            st.done, jnp.logical_and(active, tokens == cfg.eoa_token_id))
+        out = jnp.where(active, tokens, jnp.int32(-1))
+        return DecodeState(new_k, new_v, pos, prev, done), out
+
+    states, tokens = lax.scan(step, states,
+                              jnp.arange(block, dtype=jnp.int32))
+    tokens = jnp.swapaxes(tokens, 0, 1)                         # (B, block)
+    n = jnp.sum((tokens >= 0).astype(jnp.int32), axis=-1)
+    return tokens, n, states
 
 
 def init_decode_state_batch(cfg: DecoderConfig, batch: int,
                             dtype=jnp.bfloat16) -> DecodeState:
     l, s, c = cfg.n_layer, cfg.block_size, cfg.n_embd
     return DecodeState(
-        k_cache=jnp.zeros((batch, l, s, c), dtype),
-        v_cache=jnp.zeros((batch, l, s, c), dtype),
+        k_cache=jnp.zeros((l, batch, s, c), dtype),
+        v_cache=jnp.zeros((l, batch, s, c), dtype),
         pos=jnp.zeros((batch,), jnp.int32),
         prev_token=jnp.zeros((batch,), jnp.int32),
         done=jnp.zeros((batch,), bool),

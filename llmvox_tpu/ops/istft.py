@@ -38,6 +38,40 @@ def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out.reshape(*lead, (t + r - 1) * hop)
 
 
+def cosine_window(n: int) -> np.ndarray:
+    """scipy.signal.windows.cosine: sin(pi*(k+0.5)/n)."""
+    k = np.arange(n)
+    return np.sin(np.pi * (k + 0.5) / n).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("frame_len", "padding"))
+def imdct(x: jnp.ndarray, *, frame_len: int, padding: str = "same"
+          ) -> jnp.ndarray:
+    """Inverse MDCT (reference decoder/spectral_ops.py:133-192).
+
+    Args:
+      x: (B, L, N) MDCT coefficients, N = frame_len // 2.
+    Returns:
+      (B, T) waveform; "same" keeps hop*L samples (hop = N).
+    """
+    b, l, n = x.shape
+    assert n == frame_len // 2
+    n0 = (n + 1) / 2.0
+    k2 = np.arange(2 * n)
+    pre = np.exp(1j * np.pi * n0 * k2 / n).astype(np.complex64)
+    post = np.exp(1j * np.pi * (k2 + n0) / (2 * n)).astype(np.complex64)
+
+    xc = x.astype(jnp.complex64)
+    y_full = jnp.concatenate(
+        [xc, -jnp.conj(jnp.flip(xc, axis=-1))], axis=-1)
+    y = jnp.fft.ifft(y_full * pre, axis=-1)
+    y = jnp.real(y * post) * np.sqrt(n) * np.sqrt(2.0)
+    frames = y * jnp.asarray(cosine_window(frame_len))
+    audio = _overlap_add(frames.astype(jnp.float32), frame_len // 2)
+    pad = frame_len // 2 if padding == "center" else frame_len // 4
+    return audio[:, pad:-pad]
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length"))
 def istft_same(spec: jnp.ndarray, *, n_fft: int, hop_length: int,
                valid_len=None) -> jnp.ndarray:

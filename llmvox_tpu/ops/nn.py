@@ -91,11 +91,11 @@ def conv1d_transpose(x: jnp.ndarray, w: jnp.ndarray,
     Matches torch.nn.ConvTranspose1d with padding=0 when ``padding='VALID'``
     (trimming is done by the caller, as in the reference SEANet decoder).
     """
-    k, cout, cin = w.shape
-    # lax.conv_transpose expects (K, Cin, Cout) with 'WIO'.
-    wt = jnp.transpose(w, (0, 2, 1)).astype(x.dtype)
+    # with transpose_kernel=True, lax.conv_transpose takes the kernel in
+    # (K, Cout, Cin) layout and matches torch ConvTranspose1d exactly
+    # (verified against torch in tests)
     y = lax.conv_transpose(
-        x, wt, strides=(stride,), padding=padding,
+        x, w.astype(x.dtype), strides=(stride,), padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
         transpose_kernel=True,
         precision=lax.Precision.HIGHEST,

@@ -1,0 +1,234 @@
+"""Continuous-batching decode pool: N concurrent streams, one decode program.
+
+BASELINE config #5 for the *streaming* path: the dual-replica scheduler
+stays per-request, but all replicas of all in-flight requests decode
+through one shared, fixed-capacity batched program
+(``models.decoder.decode_block_batch``).  Every pool step reads the 30M
+decoder weights once for every active stream; idle slots ride along with
+``limit=0`` masked steps.
+
+Concurrency design: each slot holds a FIFO of submitted blocks (the
+scheduler issues ahead by one, so depth is typically <= 2); each pool step
+takes the head of every non-empty queue.  Sentence resets are applied
+*lazily on the pool loop* (before the next gather), so a reset can never
+interleave with an in-flight batched step's state write.
+"""
+from __future__ import annotations
+
+import asyncio
+import time
+from collections import deque
+from typing import Deque, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmvox_tpu.codec.codec import WavCodec
+from llmvox_tpu.models import decoder as dec
+from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
+
+
+class _Request:
+    __slots__ = ("window", "text_len", "limit", "future")
+
+    def __init__(self, window, text_len, limit, future):
+        self.window = window
+        self.text_len = text_len
+        self.limit = limit
+        self.future = future
+
+
+class _Slot:
+    __slots__ = ("active", "queue", "pending_reset")
+
+    def __init__(self):
+        self.active = False
+        self.queue: Deque[_Request] = deque()
+        self.pending_reset = False
+
+    def clear(self):
+        while self.queue:
+            req = self.queue.popleft()
+            if not req.future.done():
+                req.future.cancel()
+
+
+class DecodePool:
+    """Fixed-capacity batched decoder shared by all live streams."""
+
+    def __init__(self, decoder_params: Dict, text_table: np.ndarray,
+                 codec: WavCodec, capacity: int = 16,
+                 dcfg: Optional[DecoderConfig] = None,
+                 scfg: Optional[ServeConfig] = None,
+                 device: Optional[jax.Device] = None,
+                 cache_dtype=jnp.bfloat16, param_dtype=None):
+        self.dcfg = dcfg or DecoderConfig()
+        self.scfg = scfg or ServeConfig()
+        self.codec = codec
+        self.B = capacity
+        self.block = self.scfg.decode_block
+        self.cache_dtype = cache_dtype
+        if param_dtype is None:
+            param_dtype = cache_dtype
+        decoder_params = jax.tree.map(
+            lambda x: x.astype(param_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, decoder_params)
+        if device is not None:
+            decoder_params = jax.device_put(decoder_params, device)
+            text_table = jax.device_put(jnp.asarray(text_table), device)
+        self.params = decoder_params
+        self.text_table = jnp.asarray(text_table)
+        self.codebook = codec.params["codebooks"][0]
+        self.device = device
+
+        self.states = dec.init_decode_state_batch(self.dcfg, self.B,
+                                                  cache_dtype)
+        self.slots = [_Slot() for _ in range(self.B)]
+        self._task: Optional[asyncio.Task] = None
+        self._wake: Optional[asyncio.Event] = None
+        self.steps = 0
+
+    # -- slot lifecycle -------------------------------------------------
+    def acquire(self) -> int:
+        for i, s in enumerate(self.slots):
+            if not s.active:
+                s.active = True
+                s.pending_reset = True
+                return i
+        raise RuntimeError("decode pool exhausted")
+
+    def release(self, idx: int) -> None:
+        slot = self.slots[idx]
+        slot.active = False
+        slot.clear()
+
+    def reset_slot(self, idx: int) -> None:
+        """Per-sentence reset: drop queued work, re-zero state lazily."""
+        slot = self.slots[idx]
+        slot.clear()
+        slot.pending_reset = True
+
+    # -- stepping -------------------------------------------------------
+    def submit(self, idx: int, window: np.ndarray, text_len: int,
+               limit: int) -> asyncio.Future:
+        """Enqueue a block request; resolves with the block's tokens."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self.slots[idx].queue.append(
+            _Request(np.array(window, np.int32), text_len, limit, fut))
+        if self._wake is not None:
+            self._wake.set()
+        return fut
+
+    def _apply_resets(self) -> None:
+        idxs = [i for i, s in enumerate(self.slots) if s.pending_reset]
+        if not idxs:
+            return
+        # Resetting pos/prev/done suffices: cache rows beyond pos are never
+        # attended (mask idx <= pos) and get overwritten before being read.
+        idx = jnp.asarray(idxs, jnp.int32)
+        st = self.states
+        self.states = st._replace(
+            pos=st.pos.at[idx].set(0),
+            prev_token=st.prev_token.at[idx].set(0),
+            done=st.done.at[idx].set(False))
+        for i in idxs:
+            self.slots[i].pending_reset = False
+
+    async def _step_loop(self) -> None:
+        pad = self.dcfg.pad_token_id
+        while True:
+            await self._wake.wait()
+            self._wake.clear()
+            while True:
+                self._apply_resets()
+                heads: List[Tuple[int, _Request]] = []
+                for i, s in enumerate(self.slots):
+                    if s.active and s.queue:
+                        heads.append((i, s.queue[0]))
+                if not heads:
+                    break
+                windows = np.full((self.B, self.block), pad, np.int32)
+                text_lens = np.zeros((self.B,), np.int32)
+                limits = np.zeros((self.B,), np.int32)
+                for i, req in heads:
+                    windows[i] = req.window
+                    text_lens[i] = req.text_len
+                    limits[i] = req.limit
+                tokens, _, self.states = dec.decode_block_batch(
+                    self.params, self.text_table, self.codebook, self.states,
+                    jnp.asarray(windows), jnp.asarray(text_lens),
+                    jnp.asarray(limits), self.dcfg, block=self.block)
+                toks = await asyncio.to_thread(np.asarray, tokens)
+                self.steps += 1
+                for i, req in heads:
+                    if self.slots[i].queue and self.slots[i].queue[0] is req:
+                        self.slots[i].queue.popleft()
+                    if not req.future.done():
+                        req.future.set_result(
+                            [int(t) for t in toks[i] if t >= 0])
+                # yield so consumers can enqueue follow-up blocks and new
+                # streams can join the next gather
+                await asyncio.sleep(0)
+
+    def start(self) -> None:
+        if self._task is None:
+            self._wake = asyncio.Event()
+            self._task = asyncio.create_task(self._step_loop())
+
+    def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            self._task = None
+
+
+class PooledEngine:
+    """TTSEngine-compatible facade over one DecodePool slot.
+
+    The StreamingScheduler drives engines through ``new_state`` /
+    ``decode_block_async`` / ``synthesize``; here decode goes through the
+    shared pool (state lives in the pool, so ``new_state`` resets the
+    slot) and synthesis through the shared codec.
+    """
+
+    class _Pending:
+        __slots__ = ("_fut",)
+
+        def __init__(self, fut: asyncio.Future):
+            self._fut = fut
+
+        def fetch(self) -> List[int]:
+            # invoked via asyncio.to_thread: poll the loop-owned future
+            while not self._fut.done():
+                time.sleep(0.0002)
+            if self._fut.cancelled():
+                return []
+            return self._fut.result()
+
+    def __init__(self, pool: DecodePool, scfg: Optional[ServeConfig] = None):
+        self.pool = pool
+        self.dcfg = pool.dcfg
+        self.scfg = scfg or pool.scfg
+        self.codec = pool.codec
+        self.block = pool.block
+        self.slot = pool.acquire()
+        pool.start()
+
+    def new_state(self):
+        self.pool.reset_slot(self.slot)
+        return None  # state lives in the pool
+
+    def decode_block_async(self, state, window: np.ndarray, text_len: int,
+                           limit: int):
+        fut = self.pool.submit(self.slot, window, text_len, limit)
+        return PooledEngine._Pending(fut), None
+
+    def synthesize(self, codes: Sequence[int]) -> bytes:
+        arr = np.asarray(codes, np.int32)[None]
+        wav = self.codec.decode_codes(arr)[0]
+        return np.asarray(wav, dtype="<f4").tobytes()
+
+    def close(self) -> None:
+        self.pool.release(self.slot)

@@ -52,7 +52,19 @@ def main(argv=None) -> None:
             (max(mcfg.vocab_size, mcfg.eoa_token_id + 1),
              mcfg.speech_embed_dim)).astype(np.float32)
 
-    trainer = Trainer(tcfg, mcfg, table, codebook)
+    if tcfg.init_from.startswith("gpt2"):
+        # reference default init (configs/train_config.py:41): import HF
+        # gpt2* weights; forces the gpt2 architecture (src/model.py:252-283)
+        from llmvox_tpu.models.gpt2_import import init_from_gpt2
+        import jax
+        from llmvox_tpu.parallel.sharding import replicated
+        gpt2_params, mcfg = init_from_gpt2(tcfg.init_from, mcfg.vocab_size)
+        trainer = Trainer(tcfg, mcfg, table, codebook)
+        trainer.state = trainer.state._replace(params=jax.device_put(
+            gpt2_params, replicated(trainer.mesh)))
+        print(f"initialized from {tcfg.init_from}")
+    else:
+        trainer = Trainer(tcfg, mcfg, table, codebook)
     if tcfg.init_from == "resume":
         import os
         trainer.load_checkpoint(

@@ -1,0 +1,100 @@
+"""Alternative codec modules: IMDCT heads, ResNet backbone, mel features,
+SEANet decoder — the reference's shipped-but-not-deployed variants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from llmvox_tpu.codec import backbone as bb
+from llmvox_tpu.codec import heads
+from llmvox_tpu.codec import seanet
+from llmvox_tpu.codec.mel import mel_spectrogram_features
+from llmvox_tpu.ops.istft import imdct
+from llmvox_tpu.utils.config import CodecConfig
+
+RNG = np.random.default_rng(0)
+
+
+def _torch_imdct(X: np.ndarray, frame_len: int) -> np.ndarray:
+    """Reference IMDCT math in torch (spectral_ops.py:133-192), 'same'."""
+    import scipy.signal
+    Xt = torch.from_numpy(X)
+    B, L, N = Xt.shape
+    n0 = (N + 1) / 2
+    window = torch.from_numpy(
+        scipy.signal.windows.cosine(frame_len)).float()
+    pre = torch.exp(1j * torch.pi * n0 * torch.arange(N * 2) / N)
+    post = torch.exp(1j * torch.pi * (torch.arange(N * 2) + n0) / (N * 2))
+    Y = torch.zeros((B, L, N * 2), dtype=torch.complex64)
+    Y[..., :N] = Xt
+    Y[..., N:] = -1 * torch.conj(torch.flip(Xt, dims=(-1,)))
+    y = torch.fft.ifft(Y * pre, dim=-1)
+    y = torch.real(y * post) * np.sqrt(N) * np.sqrt(2)
+    y = y * window
+    audio = torch.nn.functional.fold(
+        y.transpose(1, 2), output_size=(1, (L + 1) * N),
+        kernel_size=(1, frame_len), stride=(1, frame_len // 2),
+    )[:, 0, 0, :]
+    pad = frame_len // 4
+    return audio[:, pad:-pad].numpy()
+
+
+def test_imdct_matches_torch_reference_math():
+    frame_len, L = 64, 9
+    X = RNG.standard_normal((2, L, frame_len // 2)).astype(np.float32)
+    ours = np.asarray(imdct(jnp.asarray(X), frame_len=frame_len))
+    ref = _torch_imdct(X, frame_len)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_imdct_heads_run():
+    dim, frame_len, L = 16, 32, 7
+    x = jnp.asarray(RNG.standard_normal((1, L, dim)), jnp.float32)
+    p = heads.init_imdct_symexp_head(jax.random.PRNGKey(0), dim, frame_len,
+                                     sample_rate=24000)
+    audio = heads.apply_imdct_symexp_head(p, x, frame_len)
+    assert audio.shape[0] == 1 and np.isfinite(np.asarray(audio)).all()
+    p = heads.init_imdct_cos_head(jax.random.PRNGKey(1), dim, frame_len)
+    audio = heads.apply_imdct_cos_head(p, x, frame_len)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_resnet_backbone_shapes():
+    p = bb.init_resnet_backbone(jax.random.PRNGKey(0), input_channels=8,
+                                dim=16, num_blocks=2)
+    x = jnp.asarray(RNG.standard_normal((2, 11, 8)), jnp.float32)
+    y = bb.apply_resnet_backbone(p, x)
+    assert y.shape == (2, 11, 16)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_mel_features_shapes():
+    audio = jnp.asarray(RNG.standard_normal((1, 4096)), jnp.float32)
+    for padding in ("center", "same"):
+        feats = mel_spectrogram_features(audio, padding=padding)
+        assert feats.shape[1] == 100
+        assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_seanet_decoder_roundtrip_shapes():
+    cfg = CodecConfig(downsamples=(2, 2), n_filters=4, seanet_dimension=16)
+    enc = seanet.init_seanet_encoder(jax.random.PRNGKey(0), cfg)
+    dec = seanet.init_seanet_decoder(jax.random.PRNGKey(1), cfg)
+    wav = jnp.asarray(RNG.standard_normal((1, 64)), jnp.float32)
+    emb = seanet.apply_seanet_encoder(enc, wav, cfg)
+    assert emb.shape == (1, 16, 16)  # 64 / 4 frames
+    recon = seanet.apply_seanet_decoder(dec, emb, cfg)
+    assert recon.shape[0] == 1
+    assert abs(recon.shape[1] - 64) <= 4  # transposed-conv edge trim
+    assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_msstft_discriminator_runs():
+    from llmvox_tpu.codec import discriminators as disc
+    params = disc.init_msstft(jax.random.PRNGKey(0), fft_sizes=(256,),
+                              filters=8)
+    x = jnp.asarray(RNG.standard_normal((1, 2048)), jnp.float32)
+    scores, fmaps = disc.apply_msstft(params, x, fft_sizes=(256,))
+    assert len(scores) == 1 and len(fmaps[0]) == 6
+    assert np.isfinite(np.asarray(scores[0])).all()

@@ -1,0 +1,62 @@
+"""Continuous-batching pool: concurrent streaming requests share one
+batched decode program and match the single-engine scheduler's output."""
+import asyncio
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from llmvox_tpu.serve.pool import DecodePool, PooledEngine
+from llmvox_tpu.serve.scheduler import StreamingScheduler
+from llmvox_tpu.streams.scripted import ScriptedStream
+
+from tests.tiny_stack import SERVE_CFG, make_engines
+
+
+def _reference_chunks(deltas):
+    engines = make_engines(0, SERVE_CFG)
+    sched = StreamingScheduler(engines, SERVE_CFG)
+    stream = ScriptedStream(deltas, eos_token=SERVE_CFG.eos_token)
+
+    async def go():
+        out = []
+        async for c in sched.run(stream.predict({})):
+            out.append(len(c))
+        return out
+
+    return asyncio.run(asyncio.wait_for(go(), timeout=300))
+
+
+def test_concurrent_pooled_requests_match_single_engine():
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    requests = [
+        ["Hello", "there."],
+        ["Second request arriving now."],
+        ["Third one", "with two", "deltas."],
+    ]
+    expected = [_reference_chunks(d) for d in requests]
+
+    async def go():
+        pool = DecodePool(eng.params, np.asarray(eng.text_table), eng.codec,
+                          capacity=8, dcfg=eng.dcfg, scfg=SERVE_CFG,
+                          cache_dtype=jnp.float32, param_dtype=jnp.float32)
+
+        async def one(deltas):
+            engines = [PooledEngine(pool, SERVE_CFG),
+                       PooledEngine(pool, SERVE_CFG)]
+            sched = StreamingScheduler(engines, SERVE_CFG)
+            stream = ScriptedStream(deltas, eos_token=SERVE_CFG.eos_token)
+            out = []
+            async for c in sched.run(stream.predict({}), trace=None):
+                out.append(len(c))
+            for e in engines:
+                e.close()
+            return out
+
+        results = await asyncio.gather(*[one(d) for d in requests])
+        pool.stop()
+        return results
+
+    results = asyncio.run(asyncio.wait_for(go(), timeout=600))
+    for got, want in zip(results, expected):
+        assert got == want
