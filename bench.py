@@ -29,6 +29,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from llmvox_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from llmvox_tpu.codec.codec import WavCodec, init_codec_params
     from llmvox_tpu.models import decoder as dec
     from llmvox_tpu.serve.engine import TTSEngine

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from llmvox_tpu.ops import nn
-from llmvox_tpu.ops.attention import causal_attention, decode_attention
+from llmvox_tpu.ops.attention import NEG_INF, causal_attention, decode_attention
 from llmvox_tpu.utils.config import DecoderConfig
 
 

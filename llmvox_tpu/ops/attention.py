@@ -43,6 +43,77 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
                       precision=lax.Precision.HIGHEST)
 
 
+def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           *, block_q: int = 256,
+                           block_k: int = 256) -> jnp.ndarray:
+    """Blockwise (flash) causal attention: O(T * block) memory.
+
+    The naive path materializes (B, H, T, T) probabilities — at the
+    deployed training shape (block 8192, 4 layers scanned) that is 16 GB
+    of residuals and OOMs a single chip.  This computes the same online-
+    softmax attention in (block_q, block_k) tiles, visits only the lower-
+    triangle tiles, and remats each query-block body so backward memory
+    stays O(block_q * T) per layer.
+
+    q/k/v: (B, T, H, D) with T divisible by block_q and block_k.
+    """
+    b, t, h, d = q.shape
+    assert t % block_q == 0 and t % block_k == 0
+    scale = 1.0 / math.sqrt(d)
+    nq = t // block_q
+
+    def q_body(carry, qi):
+        qb = lax.dynamic_slice(q, (0, qi * block_q, 0, 0),
+                               (b, block_q, h, d))
+        qb32 = qb.astype(jnp.float32)
+        iq = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        ik = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+        def k_body(ci, carry2):
+            m, l, acc = carry2
+            kb = lax.dynamic_slice(k, (0, ci * block_k, 0, 0),
+                                   (b, block_k, h, d)).astype(jnp.float32)
+            vb = lax.dynamic_slice(v, (0, ci * block_k, 0, 0),
+                                   (b, block_k, h, d)).astype(jnp.float32)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qb32, kb,
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST) * scale
+            causal = (qi * block_q + iq) >= (ci * block_k + ik)
+            s = jnp.where(causal[None, None], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, vb,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((b, h, block_q, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b, h, block_q, 1), jnp.float32)
+        acc0 = jnp.zeros((b, h, block_q, d), jnp.float32)
+        # visit only lower-triangle key blocks for this query block
+        nkb = (qi * block_q + block_q + block_k - 1) // block_k
+        m, l, acc = lax.fori_loop(0, nkb, k_body, (m0, l0, acc0))
+        out = (acc / l).astype(q.dtype)               # (B, H, bq, D)
+        return carry, jnp.transpose(out, (0, 2, 1, 3))  # (B, bq, H, D)
+
+    _, outs = lax.scan(jax.checkpoint(q_body), None,
+                       jnp.arange(nq, dtype=jnp.int32))
+    # (nq, B, bq, H, D) -> (B, T, H, D)
+    return jnp.transpose(outs, (1, 0, 2, 3, 4)).reshape(b, t, h, d)
+
+
+def causal_attention_auto(q, k, v, *, flash_threshold: int = 1024):
+    """Naive attention for short sequences (tests, tiny configs), flash
+    tiles for long ones (training at block 8192)."""
+    t = q.shape[1]
+    if t > flash_threshold and t % 256 == 0:
+        return flash_causal_attention(q, k, v)
+    return causal_attention(q, k, v)
+
+
 @partial(jax.jit, static_argnames=("n_head", "chunk"))
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      pos: jnp.ndarray, *, n_head: int,

@@ -19,6 +19,9 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    from llmvox_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from llmvox_tpu.codec.codec import WavCodec
     from llmvox_tpu.serve.engine import TTSEngine
     from llmvox_tpu.serve.server import build_server
@@ -44,16 +47,26 @@ def main(argv=None) -> None:
     devices = jax.devices()
     devs = [devices[min(cfg.tts_device_1, len(devices) - 1)],
             devices[min(cfg.tts_device_2, len(devices) - 1)]]
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
     engines = []
     for dev in devs:
         codec = WavCodec(codec_params, buckets=cfg.chunk_buckets, device=dev)
         engines.append(TTSEngine(dec_params, table, codec, dcfg, cfg,
-                                 device=dev, cache_dtype=jnp.bfloat16))
+                                 device=dev, cache_dtype=dtype))
     print("warming up (compiling decode + synthesis buckets)...")
     for e in engines:
         e.warmup()
 
-    server = build_server(cfg, engines)
+    pool = None
+    if cfg.pool_capacity > 0:
+        from llmvox_tpu.serve.pool import DecodePool
+        pool = DecodePool(dec_params, table, engines[0].codec,
+                          capacity=cfg.pool_capacity, dcfg=dcfg, scfg=cfg,
+                          device=devs[0], cache_dtype=dtype)
+        print(f"continuous-batching pool: {cfg.pool_capacity} slots")
+
+    server = build_server(cfg, engines, pool=pool)
     server.run()
 
 

@@ -43,6 +43,10 @@ class PendingTokens:
         toks = np.asarray(self.tokens)
         return [int(t) for t in toks if t >= 0]
 
+    async def afetch(self) -> List[int]:
+        import asyncio
+        return await asyncio.to_thread(self.fetch)
+
 
 class TTSEngine:
     """Decoder params + text table + codec, pinned to one device."""

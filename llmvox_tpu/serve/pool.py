@@ -178,6 +178,25 @@ class DecodePool:
             self._wake = asyncio.Event()
             self._task = asyncio.create_task(self._step_loop())
 
+            def _report(task):
+                if task.cancelled():
+                    return
+                exc = task.exception()
+                if exc is not None:
+                    import traceback
+                    print("DecodePool step loop crashed:",
+                          "".join(traceback.format_exception(exc)),
+                          flush=True)
+                    # fail all waiters so streams error instead of hanging
+                    for s in self.slots:
+                        while s.queue:
+                            req = s.queue.popleft()
+                            if not req.future.done():
+                                req.future.set_exception(exc)
+                    self._task = None
+
+            self._task.add_done_callback(_report)
+
     def stop(self) -> None:
         if self._task is not None:
             self._task.cancel()
@@ -199,13 +218,15 @@ class PooledEngine:
         def __init__(self, fut: asyncio.Future):
             self._fut = fut
 
-        def fetch(self) -> List[int]:
-            # invoked via asyncio.to_thread: poll the loop-owned future
-            while not self._fut.done():
-                time.sleep(0.0002)
-            if self._fut.cancelled():
+        async def afetch(self) -> List[int]:
+            # awaiting the loop-owned future directly: no executor thread.
+            # (A thread-blocking fetch() would deadlock — N busy-waiting
+            # consumers can exhaust the default executor and starve the
+            # pool's own to_thread device fetch.)
+            try:
+                return await self._fut
+            except asyncio.CancelledError:
                 return []
-            return self._fut.result()
 
     def __init__(self, pool: DecodePool, scfg: Optional[ServeConfig] = None):
         self.pool = pool

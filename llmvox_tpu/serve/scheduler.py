@@ -115,7 +115,6 @@ class StreamingScheduler:
         (streaming_server.py:184-248)."""
         eos = self.cfg.eos_token
         active = 0
-        saw_eos = False
         async for output in text_stream:
             if output in ("", "-"):
                 continue
@@ -125,14 +124,16 @@ class StreamingScheduler:
             if not output:
                 continue
             await text_qs[active].put(output)
-            if eos in output:
-                saw_eos = True
             if output.endswith("."):
                 active = 1 - active
-        if not saw_eos:
-            # robustness fix: a stream that ends without its eos token would
-            # hang the reference; inject a close marker for the active queue.
-            await text_qs[active].put(_STREAM_CLOSED)
+        # Robustness fix over the reference: close BOTH queues when the LLM
+        # stream ends.  This covers (a) streams that end without an eos
+        # token (the reference hangs) and (b) a mid-sentence length-cap
+        # termination that switches the mux to a replica which never
+        # receives text (the reference deadlocks) — the starved replica
+        # sees the close marker and emits its own "end".
+        for q in text_qs:
+            await q.put(_STREAM_CLOSED)
 
     # ------------------------------------------------------------------
     async def _consumer(self, index: int, engine: TTSEngine,
@@ -270,7 +271,7 @@ class StreamingScheduler:
 
                     if pending is not None:
                         with trace.span(f"decode_r{index}"):
-                            tokens = await asyncio.to_thread(pending.fetch)
+                            tokens = await pending.afetch()
                         pending = None
                         st.n_generated += len(tokens)
 

@@ -34,17 +34,28 @@ _MAX_BODY = 64 * 1024 * 1024
 
 
 class TTSServer:
-    def __init__(self, scheduler: StreamingScheduler,
+    """Two serving modes:
+
+    - **dedicated** (default): one dual-replica scheduler; requests are
+      serialized (the reference silently corrupts shared state on
+      concurrent requests — SURVEY §2.7; here they queue instead).
+    - **pooled**: pass ``pool`` (serve.pool.DecodePool) — each request gets
+      two PooledEngine slots and runs concurrently; all in-flight requests
+      batch into one decode program.
+    """
+
+    def __init__(self, scheduler: Optional[StreamingScheduler],
                  cfg: Optional[ServeConfig] = None,
-                 stream_model=None, asr_model=None):
+                 stream_model=None, asr_model=None, pool=None):
         self.scheduler = scheduler
         self.cfg = cfg or ServeConfig()
         self.stream_model = stream_model
         self.asr_model = asr_model
-        # The two replicas hold per-request decode state; requests are
-        # serialized (the reference silently corrupts state on concurrent
-        # requests — SURVEY §2.7).  Multi-stream batching lifts this later.
-        self._busy = asyncio.Lock()
+        self.pool = pool
+        if pool is not None:
+            self._busy = asyncio.Semaphore(max(pool.B // 2, 1))
+        else:
+            self._busy = asyncio.Lock()
         self.traces: List[Dict] = []
 
     # -- request -> text stream ---------------------------------------
@@ -140,9 +151,23 @@ class TTSServer:
         async with self._busy:
             trace = Trace(path)
             text_stream = aiter_stream(self._make_text_stream(path, body))
-            async for chunk in self.scheduler.run(text_stream, trace=trace):
-                writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
-                await writer.drain()
+            if self.pool is not None:
+                from llmvox_tpu.serve.pool import PooledEngine
+                engines = [PooledEngine(self.pool, self.cfg),
+                           PooledEngine(self.pool, self.cfg)]
+                scheduler = StreamingScheduler(engines, self.cfg)
+            else:
+                engines = None
+                scheduler = self.scheduler
+            try:
+                async for chunk in scheduler.run(text_stream, trace=trace):
+                    writer.write(f"{len(chunk):x}\r\n".encode() + chunk
+                                 + b"\r\n")
+                    await writer.drain()
+            finally:
+                if engines is not None:
+                    for e in engines:
+                        e.close()
             self.traces.append(trace.summary())
         writer.write(b"0\r\n\r\n")
         await writer.drain()
@@ -161,10 +186,12 @@ class TTSServer:
 
 
 def build_server(cfg: ServeConfig, engines, stream_model=None,
-                 asr_model=None) -> TTSServer:
+                 asr_model=None, pool=None) -> TTSServer:
     """Wire up scheduler + text-stream sources per chat_type
-    (streaming_server.py:157-181)."""
-    scheduler = StreamingScheduler(engines, cfg)
+    (streaming_server.py:157-181).  With ``pool`` (or engines=None +
+    pool), requests run concurrently through the continuous-batching
+    pool instead of the dedicated dual replicas."""
+    scheduler = StreamingScheduler(engines, cfg) if engines else None
     if stream_model is None:
         if cfg.chat_type in ("voice", "text"):
             from llmvox_tpu.streams.hf_llm import HFStreamModel
@@ -180,4 +207,4 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
         from llmvox_tpu.streams.asr import WhisperASR
         asr_model = WhisperASR(cfg)
         asr_model.load()
-    return TTSServer(scheduler, cfg, stream_model, asr_model)
+    return TTSServer(scheduler, cfg, stream_model, asr_model, pool=pool)

@@ -182,6 +182,8 @@ class ServeConfig:
     decode_block: int = 32        # tokens generated per device call
     compute_dtype: str = "bfloat16"
     chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
+    pool_capacity: int = 0        # >0: continuous-batching pool slots
+                                  # (2 per request); 0: dedicated replicas
 
     def dump_size_ladder(self, initial: int) -> List[int]:
         """The ×3-growth chunk schedule (streaming_server.py:373-376)."""

@@ -27,16 +27,16 @@ def _run(deltas, cfg=SERVE_CFG, seed=0):
 
 
 def test_single_sentence_stream_terminates_and_chunks_grow():
-    # Sentence 1 rides replica 0 (dump 4 -> x3 -> 12); the eos delta opens
-    # the trailing sentence on replica 1 (dump 8 -> 16), which carries
-    # end_generation and closes the stream — exactly the reference's flow.
+    # Sentence 1 rides replica 0 (first dump = initial_dump_size_1, then
+    # the x3-grown dump exceeds the length cap and the sentence resets);
+    # the eos delta opens the trailing sentence on replica 1
+    # (first dump = initial_dump_size_2), which carries end_generation and
+    # closes the stream — exactly the reference's control flow.
     chunks, trace = _run(["Hello", "there."])
     bytes_per_token = CODEC_CFG.hop_length * 4
     sizes = [len(c) // bytes_per_token for c in chunks]
-    # first chunk is exactly initial_dump_size_1 tokens (133ms-style fast
-    # first chunk, configs/inference_config.py:30); then x3 growth
-    # (streaming_server.py:373-376)
-    assert sizes[:2] == [SERVE_CFG.initial_dump_size_1, 12]
+    assert sizes == [SERVE_CFG.initial_dump_size_1,
+                     SERVE_CFG.initial_dump_size_2]
     assert trace.first("first_audio") is not None
     assert trace.first("end") is not None
 

@@ -22,13 +22,14 @@ CODEC_CFG = CodecConfig(
     backbone_intermediate_dim=192, backbone_num_layers=2,
     n_fft=128, hop_length=32)
 
-# max_audio_length > max_dump_size so the length cap is reachable: tiny
-# engines use random weights whose EOA (999) is outside the vocab, so
-# sentences must terminate via the cap (with a trained model EOA fires
-# first, like the reference).
+# Tiny engines use random weights whose EOA (999) is outside the vocab, so
+# sentences terminate via the length cap (with a trained model EOA fires
+# first, like the reference).  max_audio_length < max_dump_size keeps the
+# cap reachable after the first dumps (dumping resets the buffer), so test
+# sentences stay ~15 tokens.
 SERVE_CFG = ServeConfig(
     initial_dump_size_1=4, initial_dump_size_2=8, max_dump_size=16,
-    max_audio_length=30, decode_block=8,
+    max_audio_length=10, decode_block=8,
     chunk_buckets=(4, 8, 16, 32))
 
 
