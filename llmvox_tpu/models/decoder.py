@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from llmvox_tpu.ops import nn
-from llmvox_tpu.ops.attention import NEG_INF, causal_attention, decode_attention
+from llmvox_tpu.ops.attention import (NEG_INF, causal_attention,
+                                      causal_attention_auto, decode_attention)
 from llmvox_tpu.utils.config import DecoderConfig
 
 
@@ -107,7 +108,7 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
         q = q.reshape(b, t, cfg.n_head, hd)
         k = k.reshape(b, t, cfg.n_head, hd)
         v = v.reshape(b, t, cfg.n_head, hd)
-        a = causal_attention(q, k, v).reshape(b, t, c)
+        a = causal_attention_auto(q, k, v).reshape(b, t, c)
         x = x + nn.linear(a, p["wo"], _get(p, "bo"))
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.linear(hnorm, p["wfc"], _get(p, "bfc"))

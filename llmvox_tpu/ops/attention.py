@@ -84,7 +84,7 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * corr[..., None] + jnp.einsum(
+            acc_new = acc * corr + jnp.einsum(
                 "bhqk,bkhd->bhqd", p, vb,
                 preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST)
@@ -93,9 +93,9 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         m0 = jnp.full((b, h, block_q, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((b, h, block_q, 1), jnp.float32)
         acc0 = jnp.zeros((b, h, block_q, d), jnp.float32)
-        # visit only lower-triangle key blocks for this query block
-        nkb = (qi * block_q + block_q + block_k - 1) // block_k
-        m, l, acc = lax.fori_loop(0, nkb, k_body, (m0, l0, acc0))
+        # static trip count (reverse-mode AD cannot differentiate dynamic
+        # fori bounds); fully-masked upper-triangle blocks contribute 0
+        m, l, acc = lax.fori_loop(0, t // block_k, k_body, (m0, l0, acc0))
         out = (acc / l).astype(q.dtype)               # (B, H, bq, D)
         return carry, jnp.transpose(out, (0, 2, 1, 3))  # (B, bq, H, D)
 

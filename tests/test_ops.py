@@ -105,3 +105,25 @@ def test_istft_deployed_shape():
             1j * RNG.standard_normal((1, T, 641))).astype(np.complex64)
     out = istft_same(jnp.asarray(spec), n_fft=1280, hop_length=320)
     assert out.shape == (1, 3200)
+
+
+def test_flash_causal_attention_matches_naive():
+    from llmvox_tpu.ops.attention import causal_attention, flash_causal_attention
+    import jax
+    q = jnp.asarray(RNG.standard_normal((2, 512, 4, 16)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((2, 512, 4, 16)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((2, 512, 4, 16)), jnp.float32)
+    ref = causal_attention(q, k, v)
+    got = flash_causal_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # gradients flow and match
+    def loss_naive(q):
+        return jnp.sum(causal_attention(q, k, v) ** 2)
+    def loss_flash(q):
+        return jnp.sum(flash_causal_attention(q, k, v,
+                                              block_q=128, block_k=128) ** 2)
+    g1 = jax.grad(loss_naive)(q)
+    g2 = jax.grad(loss_flash)(q)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=5e-4, rtol=1e-3)
