@@ -44,8 +44,8 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
 
 
 def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                           *, block_q: int = 256,
-                           block_k: int = 256) -> jnp.ndarray:
+                           *, block_q: int = 512,
+                           block_k: int = 1024) -> jnp.ndarray:
     """Blockwise (flash) causal attention: O(T * block) memory.
 
     The naive path materializes (B, H, T, T) probabilities — at the
