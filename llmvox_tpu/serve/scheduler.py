@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import asyncio
 from dataclasses import dataclass, field
-from typing import AsyncIterator, List, Optional, Union
+from typing import AsyncIterator, List, Optional
 
 import numpy as np
 

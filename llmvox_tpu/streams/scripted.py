@@ -8,7 +8,7 @@ deterministic and clockable.
 from __future__ import annotations
 
 import asyncio
-from typing import AsyncIterator, Dict, List, Optional, Sequence
+from typing import AsyncIterator, Dict, Sequence
 
 
 class ScriptedStream:

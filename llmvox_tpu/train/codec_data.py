@@ -7,7 +7,7 @@ Host-side numpy; batches are fixed-shape (B, num_samples) float32.
 """
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -20,9 +20,7 @@ jitted alternating step over a data-parallel mesh:
 from __future__ import annotations
 
 import os
-import time
-from functools import partial
-from typing import Dict, Iterator, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

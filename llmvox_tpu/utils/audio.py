@@ -8,7 +8,6 @@ host CPU — they are data-prep, never on the device hot path.
 from __future__ import annotations
 
 import math
-import struct
 import wave
 from typing import Tuple
 
