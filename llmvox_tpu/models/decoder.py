@@ -387,8 +387,14 @@ def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
         q, k, v = jnp.split(qkv, 3, axis=-1)
         new_k = new_k.at[l, barange, pos].set(k.astype(new_k.dtype))
         new_v = new_v.at[l, barange, pos].set(v.astype(new_v.dtype))
-        a = _batched_decode_attention(q, new_k[l], new_v[l], pos,
-                                      n_head=cfg.n_head)
+        if cfg.use_pallas_attention:
+            from llmvox_tpu.ops.pallas_attn import (
+                pallas_batched_decode_attention)
+            a = pallas_batched_decode_attention(q, new_k[l], new_v[l], pos,
+                                                n_head=cfg.n_head)
+        else:
+            a = _batched_decode_attention(q, new_k[l], new_v[l], pos,
+                                          n_head=cfg.n_head)
         x = x + nn.linear(a, p["wo"], _get(p, "bo"))
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))

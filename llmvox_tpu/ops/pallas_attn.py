@@ -102,6 +102,123 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
     )
 
 
+def _batched_kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
+                    chunk: int, s_total: int):
+    """Per-stream program: grid dim 0 = stream index; caches are
+    (B, S, C) in HBM and each program DMAs only its own stream's filled
+    chunks."""
+    b = pl.program_id(0)
+    c = q_ref.shape[-1]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    pos = pos_ref[b]
+    nchunks = (pos + chunk) // chunk
+
+    ci_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    hi_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    sel = (ci_idx // d == hi_idx).astype(jnp.float32)
+
+    # row-b extract via one-hot matmul (Mosaic cannot prove dynamic
+    # sublane indices aligned; a (1, B) @ (B, C) is free)
+    nb = q_ref.shape[0]
+    onehot = (lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+              == b).astype(jnp.float32)
+    q = jnp.dot(onehot, q_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)     # (1, C)
+
+    def body(kbuf, vbuf, sems):
+        def dma(slot, idx, which):
+            src = k_hbm if which == 0 else v_hbm
+            buf = kbuf if which == 0 else vbuf
+            return pltpu.make_async_copy(
+                src.at[b, pl.ds(idx * chunk, chunk), :],
+                buf.at[slot], sems.at[which, slot])
+
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+        def loop(ci_, carry):
+            m, l, acc = carry
+            slot = ci_ % 2
+            nxt = (ci_ + 1) % 2
+
+            @pl.when(ci_ + 1 < nchunks)
+            def _():
+                dma(nxt, ci_ + 1, 0).start()
+                dma(nxt, ci_ + 1, 1).start()
+
+            dma(slot, ci_, 0).wait()
+            dma(slot, ci_, 1).wait()
+
+            kc = kbuf[slot].astype(jnp.float32)
+            vc = vbuf[slot].astype(jnp.float32)
+            t = kc * q
+            logits = jnp.dot(t, sel,
+                             preferred_element_type=jnp.float32) * scale
+            idx = ci_ * chunk + lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0)
+            logits = jnp.where(idx <= pos, logits, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=0, keepdims=True)
+            p_full = jnp.dot(p, sel.T, preferred_element_type=jnp.float32)
+            corr_full = jnp.dot(corr, sel.T,
+                                preferred_element_type=jnp.float32)
+            acc_new = acc * corr_full + jnp.sum(vc * p_full, axis=0,
+                                                keepdims=True)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((1, n_head), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, n_head), jnp.float32)
+        acc0 = jnp.zeros((1, c), jnp.float32)
+        m, l, acc = lax.fori_loop(0, nchunks, loop, (m0, l0, acc0))
+        l_full = jnp.dot(l, sel.T, preferred_element_type=jnp.float32)
+        # masked row write: grid programs run sequentially, each sets its row
+        row = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+        out_ref[:] = jnp.where(row == b,
+                               (acc / l_full).astype(out_ref.dtype),
+                               out_ref[:])
+
+    pl.run_scoped(
+        body,
+        kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
+def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                                    v_cache: jnp.ndarray, pos: jnp.ndarray,
+                                    *, n_head: int, chunk: int = 512,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Batched decode attention: q (B, C), caches (B, S, C), pos (B,).
+
+    One grid program per stream; each DMAs only its own filled chunks, so
+    per-stream compute scales with that stream's position.  Replaces the
+    XLA lowering of the batched flash loop, which relayouts (B, chunk, C)
+    tiles per head-split and measured ~27x the rest of the decode step.
+    """
+    b, s, c = k_cache.shape
+    chunk = min(chunk, s)
+    assert s % chunk == 0
+    out = pl.pallas_call(
+        partial(_batched_kernel, n_head=n_head, chunk=chunk, s_total=s),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, c), q.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32), q, k_cache, v_cache)
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
 def pallas_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                             v_cache: jnp.ndarray, pos: jnp.ndarray, *,

@@ -36,6 +36,13 @@ class BatchTTS:
         self.B = max_streams
         self.block = self.scfg.decode_block
         self.cache_dtype = cache_dtype
+        # Pallas batched decode attention on real TPUs (the XLA lowering of
+        # the batched flash loop measured ~27x the rest of the step)
+        if (device is not None and device.platform != "cpu"
+                and not self.dcfg.use_pallas_attention):
+            import dataclasses
+            self.dcfg = dataclasses.replace(self.dcfg,
+                                            use_pallas_attention=True)
         if param_dtype is None:
             param_dtype = cache_dtype
         decoder_params = jax.tree.map(

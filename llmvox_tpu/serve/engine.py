@@ -62,13 +62,11 @@ class TTSEngine:
         self.codec = codec
         self.cache_dtype = cache_dtype
         self.block = self.scfg.decode_block
-        # Pallas fused decode attention on real TPUs (verified faster than
-        # the lax path); CPU keeps the portable lax implementation.
-        if (device is not None and device.platform != "cpu"
-                and not self.dcfg.use_pallas_attention):
-            import dataclasses
-            self.dcfg = dataclasses.replace(self.dcfg,
-                                            use_pallas_attention=True)
+        # Single-stream decode keeps the lax chunked attention: the in-
+        # program pallas launch overhead (4 launches/step) outweighs the
+        # kernel win at B=1; the batched paths (serve/batch.py, serve/
+        # pool.py) enable the batched Pallas kernel where the XLA lowering
+        # is catastrophically slower.
         if param_dtype is None:
             param_dtype = cache_dtype
         if param_dtype is not None:

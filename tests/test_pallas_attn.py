@@ -35,3 +35,19 @@ def test_pallas_bf16_cache():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_batched_matches_lax(  ):
+    from llmvox_tpu.models.decoder import _batched_decode_attention
+    from llmvox_tpu.ops.pallas_attn import pallas_batched_decode_attention
+    import jax.numpy as jnp
+    b, s, c, h = 3, 512, 256, 4
+    q = jnp.asarray(RNG.standard_normal((b, c)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, s, c)), jnp.float32)
+    pos = jnp.asarray([0, 130, 400], jnp.int32)
+    ref = _batched_decode_attention(q, k, v, pos, n_head=h, chunk=128)
+    got = pallas_batched_decode_attention(q, k, v, pos, n_head=h,
+                                          chunk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
