@@ -183,12 +183,13 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
             new_k, k[None, None].astype(new_k.dtype), (l, pos, 0))
         new_v = lax.dynamic_update_slice(
             new_v, v[None, None].astype(new_v.dtype), (l, pos, 0))
-        kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
-        vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
         if cfg.use_pallas_attention:
             from llmvox_tpu.ops.pallas_attn import pallas_decode_attention
-            a = pallas_decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
+            a = pallas_decode_attention(q, new_k, new_v, pos,
+                                        n_head=cfg.n_head, layer=l)
         else:
+            kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
+            vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
             a = decode_attention(q, kc, vc, pos, n_head=cfg.n_head)
         x = x + nn.linear(a[None], p["wo"], _get(p, "bo"))[0]
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
@@ -390,8 +391,11 @@ def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
         if cfg.use_pallas_attention:
             from llmvox_tpu.ops.pallas_attn import (
                 pallas_batched_decode_attention)
-            a = pallas_batched_decode_attention(q, new_k[l], new_v[l], pos,
-                                                n_head=cfg.n_head)
+            # full caches + layer scalar: slicing new_k[l] for the kernel
+            # operand would materialize a 100MB copy per launch
+            a = pallas_batched_decode_attention(q, new_k, new_v, pos,
+                                                n_head=cfg.n_head,
+                                                layer=jnp.int32(l))
         else:
             a = _batched_decode_attention(q, new_k[l], new_v[l], pos,
                                           n_head=cfg.n_head)

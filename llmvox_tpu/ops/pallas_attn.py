@@ -27,12 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
+def _kernel(scal_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
             chunk: int, s_total: int):
     c = q_ref.shape[-1]
     d = c // n_head
     scale = 1.0 / math.sqrt(d)
-    pos = pos_ref[0]
+    layer = scal_ref[0]
+    pos = scal_ref[1]
     nchunks = (pos + chunk) // chunk  # ceil((pos+1)/chunk), dynamic
 
     # head selector M (C, H): M[i, h] = 1 iff i // d == h
@@ -47,7 +48,7 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
             src = k_hbm if which == 0 else v_hbm
             buf = kbuf if which == 0 else vbuf
             return pltpu.make_async_copy(
-                src.at[pl.ds(idx * chunk, chunk), :],
+                src.at[layer, pl.ds(idx * chunk, chunk), :],
                 buf.at[slot], sems.at[which, slot])
 
         dma(0, 0, 0).start()
@@ -188,11 +189,127 @@ def _batched_kernel(pos_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
     )
 
 
-@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
+def _batched_kernel_v2(scal_ref, q_ref, k_hbm, v_hbm, out_ref, *,
+                       n_head: int, chunk: int, s_total: int, nb: int):
+    """Single-program batched kernel: the (stream, chunk) iteration space
+    is flattened and DMA is double-buffered across the *flat* index, so
+    stream b+1's chunks stream in while stream b computes (the grid-per-
+    stream variant serializes each program behind its own DMA latency).
+
+    All streams run ``ncmax = ceil((max(pos)+1)/chunk)`` chunk slots;
+    shallower streams' extra slots are fully masked (their DMA cost is
+    bounded by the deepest stream).
+    """
+    c = q_ref.shape[-1]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    layer = scal_ref[0]
+
+    pmax = scal_ref[1]
+    for i in range(1, nb):
+        pmax = jnp.maximum(pmax, scal_ref[1 + i])
+    ncmax = (pmax + chunk) // chunk
+    total = nb * ncmax
+
+    ci_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    hi_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    sel = (ci_idx // d == hi_idx).astype(jnp.float32)
+    qall = q_ref[:].astype(jnp.float32)                  # (nb, C)
+    row_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+
+    def body(kbuf, vbuf, sems, mrow, lrow, accrow):
+        def dma(slot, f, which):
+            b = f // ncmax
+            ci_ = f % ncmax
+            src = k_hbm if which == 0 else v_hbm
+            buf = kbuf if which == 0 else vbuf
+            return pltpu.make_async_copy(
+                src.at[layer, b, pl.ds(ci_ * chunk, chunk), :],
+                buf.at[slot], sems.at[which, slot])
+
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+        def loop(f, _):
+            b = f // ncmax
+            ci_ = f % ncmax
+            slot = f % 2
+            nxt = (f + 1) % 2
+
+            @pl.when(f + 1 < total)
+            def _():
+                dma(nxt, f + 1, 0).start()
+                dma(nxt, f + 1, 1).start()
+
+            dma(slot, f, 0).wait()
+            dma(slot, f, 1).wait()
+
+            pos_b = scal_ref[1 + b]
+
+            @pl.when(ci_ == 0)
+            def _():
+                mrow[:] = jnp.full((1, n_head), NEG_INF, jnp.float32)
+                lrow[:] = jnp.zeros((1, n_head), jnp.float32)
+                accrow[:] = jnp.zeros((1, c), jnp.float32)
+
+            @pl.when(ci_ * chunk <= pos_b)
+            def _():
+                onehot = (lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+                          == b).astype(jnp.float32)
+                q = jnp.dot(onehot, qall,
+                            preferred_element_type=jnp.float32)  # (1, C)
+                kc = kbuf[slot].astype(jnp.float32)
+                vc = vbuf[slot].astype(jnp.float32)
+                t = kc * q
+                logits = jnp.dot(t, sel,
+                                 preferred_element_type=jnp.float32) * scale
+                idx = ci_ * chunk + lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1), 0)
+                logits = jnp.where(idx <= pos_b, logits, NEG_INF)
+                m = mrow[:]
+                m_new = jnp.maximum(m, jnp.max(logits, axis=0,
+                                               keepdims=True))
+                p = jnp.exp(logits - m_new)
+                corr = jnp.exp(m - m_new)
+                lrow[:] = lrow[:] * corr + jnp.sum(p, axis=0, keepdims=True)
+                p_full = jnp.dot(p, sel.T,
+                                 preferred_element_type=jnp.float32)
+                corr_full = jnp.dot(corr, sel.T,
+                                    preferred_element_type=jnp.float32)
+                accrow[:] = accrow[:] * corr_full + jnp.sum(
+                    vc * p_full, axis=0, keepdims=True)
+                mrow[:] = m_new
+
+            @pl.when(ci_ == ncmax - 1)
+            def _():
+                l_full = jnp.dot(lrow[:], sel.T,
+                                 preferred_element_type=jnp.float32)
+                result = (accrow[:] / l_full).astype(out_ref.dtype)
+                out_ref[:] = jnp.where(row_iota == b, result, out_ref[:])
+
+            return _
+
+        lax.fori_loop(0, total, lambda f, carry: (loop(f, carry), None)[1],
+                      None)
+
+    pl.run_scoped(
+        body,
+        kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        mrow=pltpu.VMEM((1, n_head), jnp.float32),
+        lrow=pltpu.VMEM((1, n_head), jnp.float32),
+        accrow=pltpu.VMEM((1, c), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret", "v2"))
 def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                                     v_cache: jnp.ndarray, pos: jnp.ndarray,
                                     *, n_head: int, chunk: int = 512,
-                                    interpret: bool = False) -> jnp.ndarray:
+                                    interpret: bool = False,
+                                    v2: bool = True,
+                                    layer=None) -> jnp.ndarray:
     """Batched decode attention: q (B, C), caches (B, S, C), pos (B,).
 
     One grid program per stream; each DMAs only its own filled chunks, so
@@ -200,12 +317,27 @@ def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     XLA lowering of the batched flash loop, which relayouts (B, chunk, C)
     tiles per head-split and measured ~27x the rest of the decode step.
     """
-    b, s, c = k_cache.shape
+    if k_cache.ndim == 3:
+        # (B, S, C) caches: wrap as a 1-layer (1, B, S, C) view
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = jnp.int32(0)
+    _, b, s, c = k_cache.shape
     chunk = min(chunk, s)
     assert s % chunk == 0
+    assert layer is not None, "4-D caches need the layer index"
+    scalars = jnp.concatenate([
+        jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+        jnp.asarray(pos, jnp.int32)])
+    if v2:
+        kernel = partial(_batched_kernel_v2, n_head=n_head, chunk=chunk,
+                         s_total=s, nb=b)
+        grid = ()
+    else:
+        raise NotImplementedError("v1 grid kernel removed from wrapper")
     out = pl.pallas_call(
-        partial(_batched_kernel, n_head=n_head, chunk=chunk, s_total=s),
-        grid=(b,),
+        kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((b, c), q.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -215,7 +347,7 @@ def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32), q, k_cache, v_cache)
+    )(scalars, q, k_cache, v_cache)
     return out
 
 
@@ -223,19 +355,29 @@ def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
 def pallas_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                             v_cache: jnp.ndarray, pos: jnp.ndarray, *,
                             n_head: int, chunk: int = 512,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            layer=None) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.decode_attention.
 
     Args:
       q: (C,) current token's query.
-      k_cache, v_cache: (S, C), position ``pos`` already written.
+      k_cache, v_cache: (S, C) — or the FULL (L, S, C) caches plus a
+        ``layer`` scalar.  Passing the full cache matters inside the decode
+        loop: slicing ``cache[l]`` for the kernel operand materializes a
+        full-layer copy per launch (measured ~5x the kernel itself).
       pos: scalar int32.
     Returns: (C,) attention output.
     """
-    s, c = k_cache.shape
+    if k_cache.ndim == 2:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = jnp.int32(0)
+    _, s, c = k_cache.shape
     chunk = min(chunk, s)
     assert s % chunk == 0
-    pos_arr = jnp.reshape(jnp.asarray(pos, jnp.int32), (1,))
+    assert layer is not None, "3-D caches need the layer index"
+    scalars = jnp.stack([jnp.asarray(layer, jnp.int32),
+                         jnp.asarray(pos, jnp.int32)])
     out = pl.pallas_call(
         partial(_kernel, n_head=n_head, chunk=chunk, s_total=s),
         out_shape=jax.ShapeDtypeStruct((1, c), q.dtype),
@@ -247,5 +389,5 @@ def pallas_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pos_arr, q[None], k_cache, v_cache)
+    )(scalars, q[None], k_cache, v_cache)
     return out[0]
