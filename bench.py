@@ -40,7 +40,15 @@ def main() -> None:
     from llmvox_tpu.utils.config import CodecConfig, DecoderConfig, ServeConfig
     from llmvox_tpu.utils.trace import Trace
 
+    import dataclasses
+
     dcfg = DecoderConfig()            # deployed: 4L/8H/768, block 8192
+    # Random weights make greedy EOA placement arbitrary (and sensitive to
+    # bf16 argmax tie-flips), which would make trial lengths — and thus
+    # RTF — incomparable across runs.  Put EOA out of vocab so every
+    # sentence decodes exactly to the cap: deterministic token counts,
+    # identical compute per trial.
+    dcfg = dataclasses.replace(dcfg, eoa_token_id=10_000)
     ccfg = CodecConfig()              # deployed: large-320-24k
     scfg = ServeConfig(               # deployed ladder, shorter cap for bench
         initial_dump_size_1=10, initial_dump_size_2=160,

@@ -62,11 +62,14 @@ class TTSEngine:
         self.codec = codec
         self.cache_dtype = cache_dtype
         self.block = self.scfg.decode_block
-        # Single-stream decode keeps the lax chunked attention: the in-
-        # program pallas launch overhead (4 launches/step) outweighs the
-        # kernel win at B=1; the batched paths (serve/batch.py, serve/
-        # pool.py) enable the batched Pallas kernel where the XLA lowering
-        # is catastrophically slower.
+        # Pallas decode attention on real TPUs: with the full-cache kernel
+        # (no per-launch operand copies) a 32-token block drops from 17.3ms
+        # to 6.5ms at deep positions even at B=1.
+        if (device is not None and device.platform != "cpu"
+                and not self.dcfg.use_pallas_attention):
+            import dataclasses
+            self.dcfg = dataclasses.replace(self.dcfg,
+                                            use_pallas_attention=True)
         if param_dtype is None:
             param_dtype = cache_dtype
         if param_dtype is not None:
