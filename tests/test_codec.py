@@ -116,3 +116,21 @@ def test_decode_is_deterministic(small_params):
     a = codec.decode_codes(codes, pad_to_bucket=False)
     b = codec.decode_codes(codes, pad_to_bucket=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_frame40_config_decode_matches_torch():
+    """WavTokenizer 40-token/s variant (reference
+    wavtokenizer/configs/*frame40*: n_fft 2400, hop 600) end-to-end at the
+    real STFT sizes with a shrunken backbone."""
+    cfg = dataclasses.replace(SMALL, n_fft=2400, hop_length=600)
+    rng = np.random.default_rng(8)
+    params = _randomize(
+        jax.device_get(init_codec_params(jax.random.PRNGKey(3), cfg)), rng)
+    codec = WavCodec(params, cfg, buckets=(8,))
+    codes = rng.integers(0, cfg.vq_bins, (1, 6)).astype(np.int32)
+    ours = codec.decode_codes(codes, pad_to_bucket=False)
+    ref = torch_ref.codec_decode(params, codes, 0, cfg)
+    assert ours.shape == (1, 6 * 600)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+    padded = codec.decode_codes(codes)                     # pads 6 -> 8
+    np.testing.assert_allclose(padded, ours, atol=1e-5, rtol=1e-5)
