@@ -151,6 +151,20 @@ class DecodeState(NamedTuple):
     done: jnp.ndarray      # scalar bool — EOA emitted
 
 
+def crop_block_size(params: Dict, cfg: DecoderConfig,
+                    new_block: int) -> Tuple[Dict, DecoderConfig]:
+    """Shrink a trained model's context window (reference
+    src/model.py:239-250 ``crop_block_size``): crop ``wpe`` to the new
+    length.  No attention-bias buffer to crop here — masks are built from
+    iotas at trace time.
+    """
+    import dataclasses
+    assert new_block <= cfg.block_size
+    params = dict(params)
+    params["wpe"] = params["wpe"][:new_block]
+    return params, dataclasses.replace(cfg, block_size=new_block)
+
+
 def init_decode_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
     l, s, c = cfg.n_layer, cfg.block_size, cfg.n_embd
     return DecodeState(

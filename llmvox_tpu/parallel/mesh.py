@@ -59,3 +59,31 @@ def create_mesh(dp_size: int = -1, tp_size: int = 1,
 
 def is_master() -> bool:
     return jax.process_index() == 0
+
+
+def average_metrics(metrics: dict) -> dict:
+    """Mean of scalar metrics across processes (reference
+    encoder/distrib.py:112-124 ``average_metrics``).  Single-process runs
+    (and per-device averaging, which the sharded train steps already do
+    with ``pmean``) pass through unchanged.
+    """
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+    keys = sorted(metrics)
+    local = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    gathered = multihost_utils.process_allgather(local)
+    return dict(zip(keys, np.mean(gathered, axis=0).tolist()))
+
+
+def broadcast_from_master(tree):
+    """Make every process adopt process 0's values (reference
+    encoder/distrib.py:55-90 ``broadcast_tensors``/``sync_buffer`` — used
+    there to keep EMA VQ codebooks in lockstep).  Under jit+pmean our VQ
+    stats stay synchronized by construction; this is for host-side state
+    (e.g. freshly loaded checkpoints) on multi-host pods.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)

@@ -199,6 +199,9 @@ def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
         logs = {**d_logs, "disc_total": d_total,
+                # generator grad norm (GradNormCallback parity,
+                # WavTokenizer/decoder/helpers.py)
+                "grad_norm_gen": optax.global_norm(g_grads),
                 **{k: v for k, v in aux.items()
                    if k not in ("vq_state", "y_hat")}}
         new_state = CodecTrainState(

@@ -151,3 +151,20 @@ def test_param_count_deployed_is_30m():
     n = dec.num_params(params)
     # README claims ~30M (README.md:30); exact: 4-layer width-768 GPT + head
     assert 28e6 < n < 32e6
+
+
+def test_crop_block_size():
+    """Reference src/model.py:239-250: shrink the context window."""
+    import dataclasses
+    cfg = SMALL
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    new_block = cfg.block_size // 2
+    cropped, ccfg = dec.crop_block_size(params, cfg, new_block)
+    assert ccfg.block_size == new_block
+    assert cropped["wpe"].shape[0] == new_block
+    emb = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, new_block, cfg.n_embd)), jnp.float32)
+    full = dec.apply_decoder(params, emb, cfg)
+    crop = dec.apply_decoder(cropped, emb, ccfg)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(crop),
+                               atol=1e-5, rtol=1e-5)
