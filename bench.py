@@ -115,10 +115,13 @@ def main() -> None:
                     max_streams=nstreams, dcfg=dcfg, scfg=scfg, device=dev)
     texts = [f"Benchmark stream number {i} speaking a sentence."
              for i in range(nstreams)]
-    btts.tts_batch(texts, max_tokens=64)  # compile
-    t0 = time.perf_counter()
-    wavs = btts.tts_batch(texts, max_tokens=512)
-    batch_wall = time.perf_counter() - t0
+    btts.tts_batch(texts, max_tokens=512)  # compile at the measured shape
+    batch_walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wavs = btts.tts_batch(texts, max_tokens=512)
+        batch_walls.append(time.perf_counter() - t0)
+    batch_wall = statistics.median(batch_walls)
     batch_audio = sum(len(w) for w in wavs) / ccfg.sample_rate
     batch_rtf = batch_audio / batch_wall
 

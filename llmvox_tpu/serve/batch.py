@@ -67,12 +67,21 @@ class BatchTTS:
         return tokens, states
 
     def tts_batch(self, texts: List[str],
-                  max_tokens: Optional[int] = None) -> List[np.ndarray]:
+                  max_tokens: Optional[int] = None,
+                  pipeline_depth: int = 4) -> List[np.ndarray]:
         """Synthesize up to ``max_streams`` texts concurrently.
 
         Per stream, semantics match TTSEngine.tts: byte-tokenize + 385,
         greedy decode until EOA or cap, then one ragged batched codec
         decode for all streams.
+
+        ``pipeline_depth`` decode blocks are kept in flight before each
+        host fetch: blocks chain state on-device, so dispatch never waits
+        on a result, and the per-block host round-trip (~30 ms over a
+        tunneled chip — 2x the block's device time) is paid once per
+        ``depth`` blocks instead of once per block.  The only cost is up
+        to ``depth - 1`` speculative blocks decoded after every stream
+        has already emitted EOA.
         """
         assert len(texts) <= self.B
         cap = max_tokens or self.scfg.max_audio_length
@@ -85,39 +94,33 @@ class BatchTTS:
         for i, seq in enumerate(ids):
             buf[i, : len(seq)] = seq
 
+        from collections import deque
         states = dec.init_decode_state_batch(self.dcfg, b, self.cache_dtype)
         tokens_out: List[List[int]] = [[] for _ in range(b)]
         issued = 0
-        pending = None
+        pending: deque = deque()
         while True:
-            if issued < cap:
+            while issued < cap and len(pending) < max(1, pipeline_depth):
                 windows = buf[:, issued: issued + self.block]
-                limits = np.full((b,), min(self.block, cap - issued), np.int32)
+                limits = np.full((b,), min(self.block, cap - issued),
+                                 np.int32)
                 tok_dev, states = self.decode_batch(states, windows,
                                                     text_lens, limits)
                 issued += self.block
-                nxt = tok_dev
-            else:
-                nxt = None
-            if pending is not None:
-                toks = np.asarray(pending)
-                done_all = True
-                for i in range(b):
-                    row = [int(t) for t in toks[i] if t >= 0]
-                    if row and (not tokens_out[i]
-                                or tokens_out[i][-1] != self.dcfg.eoa_token_id):
-                        tokens_out[i].extend(row)
-                    if not (tokens_out[i]
-                            and tokens_out[i][-1] == self.dcfg.eoa_token_id):
-                        done_all = False
-                if done_all or (nxt is None):
-                    pending = None
-                    if done_all:
-                        break
-                    if nxt is None:
-                        break
-            pending = nxt
-            if pending is None:
+                pending.append(tok_dev)
+            if not pending:
+                break
+            toks = np.asarray(pending.popleft())
+            done_all = True
+            for i in range(b):
+                row = [int(t) for t in toks[i] if t >= 0]
+                if row and (not tokens_out[i]
+                            or tokens_out[i][-1] != self.dcfg.eoa_token_id):
+                    tokens_out[i].extend(row)
+                if not (tokens_out[i]
+                        and tokens_out[i][-1] == self.dcfg.eoa_token_id):
+                    done_all = False
+            if done_all:
                 break
 
         synth = []
