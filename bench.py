@@ -112,7 +112,8 @@ def main() -> None:
     from llmvox_tpu.serve.batch import BatchTTS
     nstreams = 8
     btts = BatchTTS(params, text_table, engines[0].codec,
-                    max_streams=nstreams, dcfg=dcfg, scfg=scfg, device=dev)
+                    max_streams=nstreams, dcfg=dcfg, scfg=scfg, device=dev,
+                    block=128)
     texts = [f"Benchmark stream number {i} speaking a sentence."
              for i in range(nstreams)]
     btts.tts_batch(texts, max_tokens=512)  # compile at the measured shape

@@ -29,12 +29,17 @@ class BatchTTS:
                  dcfg: Optional[DecoderConfig] = None,
                  scfg: Optional[ServeConfig] = None,
                  device: Optional[jax.Device] = None,
-                 cache_dtype=jnp.bfloat16, param_dtype=None):
+                 cache_dtype=jnp.bfloat16, param_dtype=None,
+                 block: Optional[int] = None):
         self.dcfg = dcfg or DecoderConfig()
         self.scfg = scfg or ServeConfig()
         self.codec = codec
         self.B = max_streams
-        self.block = self.scfg.decode_block
+        # Offline batch synthesis favors throughput over EOA-detection
+        # granularity: larger blocks amortize the per-call host round-trip
+        # (block 32 -> 128 measured 0.65s -> 0.28s for 8x512 tokens over a
+        # tunneled chip).  Streaming paths keep scfg.decode_block.
+        self.block = block if block is not None else self.scfg.decode_block
         self.cache_dtype = cache_dtype
         # Pallas batched decode attention on real TPUs (the XLA lowering of
         # the batched flash loop measured ~27x the rest of the step)
