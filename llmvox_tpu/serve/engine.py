@@ -95,13 +95,17 @@ class TTSEngine:
 
     def decode_block_async(self, state: dec.DecodeState,
                            text_window: np.ndarray, text_len: int,
-                           limit: int
+                           limit: int, block: Optional[int] = None
                            ) -> Tuple[PendingTokens, dec.DecodeState]:
-        """Dispatch one block without waiting; state chains on device."""
+        """Dispatch one block without waiting; state chains on device.
+
+        ``block`` overrides the compiled block length (the scheduler grows
+        it mid-sentence to amortize host round-trips).
+        """
         tokens, _, state = dec.decode_block(
             self.params, self.text_table, self.codebook, state,
             jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
-            jnp.int32(limit), self.dcfg, block=self.block)
+            jnp.int32(limit), self.dcfg, block=block or self.block)
         return PendingTokens(tokens), state
 
     def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
@@ -124,6 +128,12 @@ class TTSEngine:
         state = self.new_state()
         window = np.full(self.block, self.dcfg.pad_token_id, np.int32)
         self.decode_block(state, window, 1, 1)
+        big = self.scfg.decode_block_large
+        if big and big != self.block:
+            state = self.new_state()
+            window = np.full(big, self.dcfg.pad_token_id, np.int32)
+            p, _ = self.decode_block_async(state, window, 1, 1, block=big)
+            p.fetch()
         self.codec.warmup()
 
     # -- offline TTS ---------------------------------------------------

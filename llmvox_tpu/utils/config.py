@@ -180,6 +180,13 @@ class ServeConfig:
 
     # TPU runtime knobs (new; no reference counterpart)
     decode_block: int = 32        # tokens generated per device call
+    # Adaptive block growth: once a sentence has generated
+    # ``decode_block_switch`` tokens (the dump ladder is past its small
+    # first chunks), decode in ``decode_block_large``-token calls — fewer
+    # host round-trips per second of audio at the cost of coarser EOA
+    # detection.  Set decode_block_large=0 to disable.
+    decode_block_large: int = 128
+    decode_block_switch: int = 192
     compute_dtype: str = "bfloat16"
     chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
     pool_capacity: int = 0        # >0: continuous-batching pool slots
