@@ -80,3 +80,18 @@ def test_empty_stream_ends_immediately():
 
     chunks = asyncio.run(asyncio.wait_for(go(), timeout=60))
     assert chunks == []
+
+
+def test_adaptive_block_growth_matches_fixed_blocks():
+    """Mid-sentence switch to decode_block_large must not change the
+    emitted audio — same greedy tokens, same dump boundaries."""
+    import dataclasses
+    deltas = ["one sentence that keeps generating."]
+    base = dataclasses.replace(SERVE_CFG, max_audio_length=14,
+                               decode_block=4, decode_block_large=0)
+    adaptive = dataclasses.replace(base, decode_block_large=8,
+                                   decode_block_switch=4)
+    fixed_chunks, _ = _run(deltas, base)
+    adapt_chunks, _ = _run(deltas, adaptive)
+    assert b"".join(fixed_chunks) == b"".join(adapt_chunks)
+    assert len(adapt_chunks) == len(fixed_chunks)
