@@ -19,15 +19,17 @@ traffic per decode step); the final argmax still accumulates in f32.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from llmvox_tpu.codec import codec as codec_mod
 from llmvox_tpu.codec.codec import WavCodec
 from llmvox_tpu.models import decoder as dec
-from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
+from llmvox_tpu.utils.config import CodecConfig, DecoderConfig, ServeConfig
 
 
 class PendingTokens:
@@ -46,6 +48,63 @@ class PendingTokens:
     async def afetch(self) -> List[int]:
         import asyncio
         return await asyncio.to_thread(self.fetch)
+
+
+class PendingFused:
+    """In-flight fused (decode block + first-chunk synthesis) call.
+
+    The device call returns ONE packed float32 vector — waveform samples
+    followed by the block's tokens — so the result costs a single
+    device->host transfer instead of two (each transfer pays a full
+    round-trip over a remote chip).
+    """
+
+    __slots__ = ("packed", "n_wav")
+
+    def __init__(self, packed: jnp.ndarray, n_wav: int):
+        self.packed = packed
+        self.n_wav = n_wav
+
+    def fetch(self) -> Tuple[List[int], bytes]:
+        arr = np.asarray(self.packed)
+        wav = arr[: self.n_wav]
+        toks = np.rint(arr[self.n_wav:]).astype(np.int32)
+        return ([int(t) for t in toks if t >= 0],
+                np.asarray(wav, dtype="<f4").tobytes())
+
+    async def afetch(self) -> Tuple[List[int], bytes]:
+        import asyncio
+        return await asyncio.to_thread(self.fetch)
+
+
+@partial(jax.jit, static_argnames=("dcfg", "ccfg", "block", "dump", "bucket"))
+def _fused_first_block(params: Dict, codec_params: Dict,
+                       text_table: jnp.ndarray, codebook: jnp.ndarray,
+                       state: dec.DecodeState, window: jnp.ndarray,
+                       text_len: jnp.ndarray, limit: jnp.ndarray,
+                       dcfg: DecoderConfig, ccfg: CodecConfig,
+                       block: int, dump: int, bucket: int):
+    """Decode one block AND synthesize its first ``dump`` tokens in a
+    single device program.
+
+    The sentence's first audio chunk otherwise costs two dispatch+fetch
+    round trips (decode, then synth); fused, it costs one.  The codec
+    subgraph is the same bucket program ``WavCodec.decode_codes`` runs
+    (same padding, same valid_len masking).
+    """
+    tokens, _, state = dec.decode_block(
+        params, text_table, codebook, state, window, text_len, limit,
+        dcfg, block=block)
+    codes = jnp.clip(tokens[:dump], 0, dcfg.vocab_size - 1)[None]
+    codes = jnp.pad(codes, ((0, 0), (0, bucket - dump)))
+    wav = codec_mod._decode_codes(codec_params, codes, jnp.int32(0),
+                                  jnp.int32(dump), ccfg)
+    wav = wav[0, : dump * ccfg.hop_length]
+    # pack waveform + tokens into one array = one host fetch; token ids
+    # (< 4096) and the -1 inactive mask are exact in float32
+    packed = jnp.concatenate([wav.astype(jnp.float32),
+                              tokens.astype(jnp.float32)])
+    return packed, state
 
 
 class TTSEngine:
@@ -108,6 +167,21 @@ class TTSEngine:
             jnp.int32(limit), self.dcfg, block=block or self.block)
         return PendingTokens(tokens), state
 
+    def decode_block_fused_async(self, state: dec.DecodeState,
+                                 text_window: np.ndarray, text_len: int,
+                                 limit: int, dump: int
+                                 ) -> Tuple[PendingFused, dec.DecodeState]:
+        """Dispatch decode + synthesis of the block's first ``dump``
+        tokens as one device call (one round trip for the sentence's
+        first audio chunk)."""
+        bucket = self.codec.bucket_for(dump)
+        packed, state = _fused_first_block(
+            self.params, self.codec.params, self.text_table, self.codebook,
+            state, jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
+            jnp.int32(limit), self.dcfg, self.codec.cfg, self.block, dump,
+            bucket)
+        return PendingFused(packed, dump * self.codec.cfg.hop_length), state
+
     def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
                      text_len: int, limit: int
                      ) -> Tuple[List[int], dec.DecodeState]:
@@ -134,6 +208,18 @@ class TTSEngine:
             window = np.full(big, self.dcfg.pad_token_id, np.int32)
             p, _ = self.decode_block_async(state, window, 1, 1, block=big)
             p.fetch()
+        if self.scfg.fused_first_chunk:
+            # the dump-ladder sizes a sentence can start with that fit in
+            # one decode block all get a compiled fused program
+            d = self.scfg.initial_dump_size_1
+            while d <= self.block:
+                state = self.new_state()
+                window = np.full(self.block, self.dcfg.pad_token_id,
+                                 np.int32)
+                p, _ = self.decode_block_fused_async(state, window, 1,
+                                                     self.block, d)
+                p.fetch()
+                d *= self.scfg.dump_growth_factor
         self.codec.warmup()
 
     # -- offline TTS ---------------------------------------------------

@@ -55,6 +55,9 @@ class _SentenceState:
     end_generation: bool = False
     buffer: List[int] = field(default_factory=list)
     n_generated: int = 0
+    fused_audio: object = None   # pre-synthesized first chunk (bytes)
+    fused_dump: int = 0          # dump size the fused chunk was built for
+    first_dump_done: bool = False
 
 
 class StreamingScheduler:
@@ -273,9 +276,22 @@ class StreamingScheduler:
                                              np.int32)
                             avail = st.text_ids[issued:issued + cur]
                             window[:len(avail)] = avail
-                            nxt, dec_state = engine.decode_block_async(
-                                dec_state, window, len(st.text_ids), limit,
-                                block=cur)
+                            if (cfg.fused_first_chunk and issued == 0
+                                    and st.n_generated == 0
+                                    and dump_size <= limit
+                                    and cur == block):
+                                # sentence's first block: synthesize its
+                                # first dump-size chunk in the same device
+                                # call — one round trip to first audio
+                                nxt, dec_state = (
+                                    engine.decode_block_fused_async(
+                                        dec_state, window,
+                                        len(st.text_ids), limit,
+                                        dump_size))
+                            else:
+                                nxt, dec_state = engine.decode_block_async(
+                                    dec_state, window, len(st.text_ids),
+                                    limit, block=cur)
                             issued += limit
 
                     if pending is None and nxt is None:
@@ -283,7 +299,12 @@ class StreamingScheduler:
 
                     if pending is not None:
                         with trace.span(f"decode_r{index}"):
-                            tokens = await pending.afetch()
+                            got = await pending.afetch()
+                        if isinstance(got, tuple):   # fused: (tokens, audio)
+                            tokens, st.fused_audio = got
+                            st.fused_dump = dump_size
+                        else:
+                            tokens = got
                         pending = None
                         st.n_generated += len(tokens)
 
@@ -294,7 +315,17 @@ class StreamingScheduler:
                             if len(st.buffer) >= dump_size:
                                 chunk, st.buffer = (st.buffer[:dump_size],
                                                     st.buffer[dump_size:])
-                                await synthesize(chunk)
+                                if (st.fused_audio is not None
+                                        and not st.first_dump_done
+                                        and len(chunk) == st.fused_dump):
+                                    # chunk == the sentence's first
+                                    # fused_dump tokens, already vocoded
+                                    # on-device with the decode block
+                                    await synth_q.put(st.fused_audio)
+                                else:
+                                    await synthesize(chunk)
+                                st.first_dump_done = True
+                                st.fused_audio = None
                                 grow_dump()
                             elif dcfg.eoa_token_id in st.buffer:
                                 chunk, st.buffer = st.buffer, []

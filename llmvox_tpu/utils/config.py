@@ -187,6 +187,10 @@ class ServeConfig:
     # detection.  Set decode_block_large=0 to disable.
     decode_block_large: int = 128
     decode_block_switch: int = 192
+    # Fuse the sentence's first decode block with synthesis of its first
+    # dump-size chunk into one device program: the first audio chunk costs
+    # one host round-trip instead of two.
+    fused_first_chunk: bool = True
     compute_dtype: str = "bfloat16"
     chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
     pool_capacity: int = 0        # >0: continuous-batching pool slots
