@@ -244,12 +244,18 @@ class PooledEngine:
         self.slot = pool.acquire()
         pool.start()
 
+    # the pool batches every slot into one fixed-block decode program, so
+    # per-request block growth / fused first chunks don't apply here
+    fixed_block = True
+
     def new_state(self):
         self.pool.reset_slot(self.slot)
         return None  # state lives in the pool
 
     def decode_block_async(self, state, window: np.ndarray, text_len: int,
-                           limit: int):
+                           limit: int, block: Optional[int] = None):
+        assert block is None or block == self.block, \
+            "pool slots decode at the pool's fixed block size"
         fut = self.pool.submit(self.slot, window, text_len, limit)
         return PooledEngine._Pending(fut), None
 

@@ -156,7 +156,10 @@ class StreamingScheduler:
         eos = cfg.eos_token
         dcfg = engine.dcfg
         block = engine.block
-        big_block = cfg.decode_block_large or 0
+        fixed = getattr(engine, "fixed_block", False)
+        big_block = 0 if fixed else (cfg.decode_block_large or 0)
+        can_fuse = (cfg.fused_first_chunk
+                    and hasattr(engine, "decode_block_fused_async"))
 
         st = _SentenceState()
         dec_state = engine.new_state()
@@ -276,7 +279,7 @@ class StreamingScheduler:
                                              np.int32)
                             avail = st.text_ids[issued:issued + cur]
                             window[:len(avail)] = avail
-                            if (cfg.fused_first_chunk and issued == 0
+                            if (can_fuse and issued == 0
                                     and st.n_generated == 0
                                     and dump_size <= limit
                                     and cur == block):

@@ -174,12 +174,28 @@ class TTSServer:
 
     # -- lifecycle -------------------------------------------------------
     async def serve(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        self._shutdown = asyncio.Event()
         server = await asyncio.start_server(
             self._handle, self.cfg.api_host, self.cfg.api_port)
         addrs = ", ".join(str(s.getsockname()) for s in server.sockets)
         print(f"LLMVoX-TPU serving on {addrs}")
         async with server:
-            await server.serve_forever()
+            forever = asyncio.create_task(server.serve_forever())
+            stop = asyncio.create_task(self._shutdown.wait())
+            await asyncio.wait([forever, stop],
+                               return_when=asyncio.FIRST_COMPLETED)
+            forever.cancel()
+            try:
+                await forever
+            except asyncio.CancelledError:
+                pass
+
+    def shutdown(self) -> None:
+        """Thread-safe graceful stop: ``serve()`` returns and the listening
+        socket closes.  Callable from any thread once ``serve()`` is up."""
+        if getattr(self, "_loop", None) is not None:
+            self._loop.call_soon_threadsafe(self._shutdown.set)
 
     def run(self) -> None:
         asyncio.run(self.serve())

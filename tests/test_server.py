@@ -47,7 +47,9 @@ def server():
         except OSError:
             time.sleep(0.1)
     yield ("127.0.0.1", port)
-    loop.call_soon_threadsafe(loop.stop)
+    srv.shutdown()
+    t.join(timeout=10)
+    loop.close()
 
 
 def test_root_endpoint(server):

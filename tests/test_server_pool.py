@@ -54,7 +54,9 @@ def pooled_server():
         except OSError:
             time.sleep(0.1)
     yield ("127.0.0.1", port)
-    loop.call_soon_threadsafe(loop.stop)
+    srv_holder["srv"].shutdown()
+    t.join(timeout=10)
+    loop.close()
 
 
 def test_concurrent_requests_through_pool(pooled_server):
