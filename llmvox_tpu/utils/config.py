@@ -327,7 +327,13 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
     values (the reference preserves defaults the same way,
     streaming_server.py:79-87).
     """
+    taken = {a.dest for a in parser._actions}
     for f in dataclasses.fields(cls):
+        if f.name in taken:
+            # fields shared by two registered configs (e.g. sample_rate on
+            # CodecConfig and CodecTrainConfig): one flag feeds both via
+            # apply_cli_overrides
+            continue
         if f.type in ("bool", bool) or isinstance(f.default, bool):
             parser.add_argument(f"--{f.name}", type=_str2bool, default=None)
         elif isinstance(f.default, _SIMPLE_TYPES):
@@ -338,6 +344,10 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             parser.add_argument(f"--{f.name}", type=json.loads, default=None)
 
 
+def _deep_tuple(v):
+    return tuple(_deep_tuple(x) for x in v) if isinstance(v, list) else v
+
+
 def apply_cli_overrides(config, args: argparse.Namespace):
     """Return a copy of ``config`` with non-None CLI args applied."""
     updates = {}
@@ -345,7 +355,10 @@ def apply_cli_overrides(config, args: argparse.Namespace):
         v = getattr(args, f.name, None)
         if v is not None:
             if isinstance(f.default, tuple) and isinstance(v, list):
-                v = tuple(v)
+                # JSON lists (possibly nested, e.g. mrd_resolutions) must
+                # become tuples: frozen configs are jit static args and
+                # need to stay hashable all the way down
+                v = _deep_tuple(v)
             updates[f.name] = v
     return dataclasses.replace(config, **updates)
 

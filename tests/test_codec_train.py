@@ -142,3 +142,46 @@ def test_codec_gan_step_end_to_end():
     assert "w" in params["encoder"]["conv_in"]
     m = trainer.validation_metrics(audio * 0.1)
     assert np.isfinite(m["val_mel_loss"])
+
+
+@pytest.mark.slow
+def test_codec_main_cli_smoke(tmp_path):
+    """The training CLI (WavTokenizer/train.py:7-15 counterpart) runs
+    end-to-end: tiny config, 2 steps, checkpoint written."""
+    import wave as wavemod
+    from llmvox_tpu.train import codec_main
+
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(2):
+        p = tmp_path / f"a{i}.wav"
+        pcm = (rng.standard_normal(4000) * 3000).astype(np.int16)
+        with wavemod.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            w.writeframes(pcm.tobytes())
+        files.append(str(p))
+    filelist = tmp_path / "files.txt"
+    filelist.write_text("\n".join(files))
+
+    out = tmp_path / "out"
+    codec_main.main([
+        "--filelist_train", str(filelist),
+        "--out_dir", str(out),
+        "--max_steps", "2", "--dp_size", "2",
+        "--log_interval", "1", "--val_interval", "10",
+        # exactly the TINY_CODEC/TINY_TRAIN shapes so the GAN-step program
+        # compiled by test_codec_gan_step_end_to_end is reused in-process
+        "--batch_size", "2", "--num_samples", "3072",
+        "--vq_kmeans_iters", "5",
+        "--mpd_periods", "[2, 3]",
+        "--mrd_resolutions", "[[512, 128, 512]]",
+        "--dac_periods", "[2]", "--dac_fft_sizes", "[512]",
+        "--downsamples", "[2, 2]", "--n_filters", "4",
+        "--seanet_dimension", "16", "--vq_dim", "16", "--vq_bins", "32",
+        "--backbone_input_channels", "16", "--backbone_dim", "64",
+        "--backbone_intermediate_dim", "96", "--backbone_num_layers", "2",
+        "--n_fft", "16", "--hop_length", "4",
+    ])
+    assert any(out.iterdir())
