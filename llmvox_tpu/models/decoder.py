@@ -445,6 +445,32 @@ def decode_block_batch(params: Dict, text_table: jnp.ndarray,
     compute_dtype = states.k_cache.dtype
     b = text_windows.shape[0]
 
+    fused = None
+    if cfg.use_fused_step:
+        # one Pallas launch per step: all layers + head + argmax fused
+        # around a static weight-tile DMA stream (ops/pallas_step.py)
+        from llmvox_tpu.ops import pallas_step as ps
+        assert not cfg.bias, "fused step supports the no-bias config only"
+        tiles = ps.pack_step_weights(params, cfg)
+        hp = params["h"]
+        interp = jax.default_backend() == "cpu"
+
+        barange = jnp.arange(b)
+
+        def fused(x, st):
+            x = x + params["wpe"][st.pos].astype(x.dtype)
+            tokens, krows, vrows = ps.fused_decode_step(
+                tiles, hp["ln1_s"], hp["ln2_s"], params["lnf_s"], x,
+                st.k_cache, st.v_cache, st.pos, n_layer=cfg.n_layer,
+                n_head=cfg.n_head, vocab=cfg.vocab_size, eps=cfg.ln_eps,
+                interpret=interp)
+            # scatter the step's rows: (B, L, C) -> cache[:, b, pos_b, :]
+            new_k = st.k_cache.at[:, barange, st.pos].set(
+                jnp.swapaxes(krows, 0, 1))
+            new_v = st.v_cache.at[:, barange, st.pos].set(
+                jnp.swapaxes(vrows, 0, 1))
+            return tokens, new_k, new_v
+
     def step(carry, i):
         st = carry
         active = jnp.logical_and(i < limits, jnp.logical_not(st.done))
@@ -457,7 +483,10 @@ def decode_block_batch(params: Dict, text_table: jnp.ndarray,
         x = nn.l2_normalize(jnp.concatenate([temb, sfeat], axis=-1))
         x = x.astype(compute_dtype)
 
-        tokens, new_k, new_v = _decode_one_batch(params, cfg, x, st)
+        if fused is not None:
+            tokens, new_k, new_v = fused(x, st)
+        else:
+            tokens, new_k, new_v = _decode_one_batch(params, cfg, x, st)
         pos = jnp.where(active, st.pos + 1, st.pos)
         prev = jnp.where(active, tokens, st.prev_token)
         done = jnp.logical_or(

@@ -1,0 +1,325 @@
+"""Pallas TPU kernel: one fused batched decode step (all layers + head).
+
+Replaces the per-layer XLA + attention-kernel pipeline of
+``models/decoder._decode_one_batch`` with a single kernel launch per
+decode step.  The decode step at serving batch sizes is pure HBM
+streaming — ~66 MB of weights plus the filled KV prefix per step against
+a few MFLOPs of compute — so the kernel is organized around the DMA
+pipeline, not the math:
+
+- Every weight matrix is pre-packed into uniform (C, C) bf16 tiles
+  (``pack_step_weights``) and streamed HBM->VMEM through a two-slot
+  double buffer in one fixed static schedule: q,k,v, wo, 4x fc, 4x proj
+  per layer, then ceil(V/C) head tiles.  Compute rides behind the
+  stream; the MXU matmuls on (B, C) activations are ~100x cheaper than
+  the transfers that feed them.
+- Attention streams only each stream's *filled* history chunks and adds
+  the current token's contribution from registers; the step's k/v rows
+  are emitted as small (B, L, C) outputs for the caller to scatter
+  (HBM cache refs are tiled on (S, C), so an arbitrary-position
+  single-row DMA cannot be expressed in-kernel).
+- The head runs on the same tile stream; logits accumulate in VMEM and
+  argmax happens in-kernel, so a step returns just (B,) token ids.
+
+Counterpart of the reference's per-token GPT forward (src/model.py:
+149-237 + torch SDPA); semantics mirror _decode_one_batch exactly
+(deployed config: no biases, scale-only LayerNorm).
+
+STATUS: correct (interpret-mode equivalence vs the lax step, and
+token-exact single steps on a real v5e-1) but EXPERIMENTAL and off by
+default.  Measured ~0.5 ms/step standalone vs ~0.3 ms/step for the
+per-layer XLA + pallas-attention path: XLA already streams the 60 MB of
+step weights near-optimally with deeper DMA pipelining than this
+kernel's two-deep tile stream, and embedding the kernel in the decode
+scan adds cache-buffer copies around the custom call.  Next-round notes:
+(a) larger DMA pieces (one per weight matrix, ~18 waits/step instead of
+54), (b) defer the row scatter to the top of the next scan iteration so
+the caches stay a single donated buffer, (c) profile scalar-core
+semaphore overhead.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def head_tiles(c: int, vocab: int) -> int:
+    return -(-vocab // c)
+
+
+def tiles_per_layer() -> int:
+    return 3 + 1 + 4 + 4  # qkv, wo, fc x4, proj x4
+
+
+def pack_step_weights(params: Dict, cfg, dtype=None) -> jnp.ndarray:
+    """Stack every step weight into (P, C, C) bf16 tiles in kernel order.
+
+    Cheap (one 66 MB device copy per decode_block call, amortized over
+    the block); keeps the kernel's DMA schedule fully static.
+    """
+    c, v, l_ = cfg.n_embd, cfg.vocab_size, cfg.n_layer
+    h = params["h"]
+    tiles = []
+    for l in range(l_):
+        wqkv = h["wqkv"][l]                      # (C, 3C)
+        tiles += [wqkv[:, i * c:(i + 1) * c] for i in range(3)]
+        tiles.append(h["wo"][l])                 # (C, C)
+        wfc = h["wfc"][l]                        # (C, 4C)
+        tiles += [wfc[:, i * c:(i + 1) * c] for i in range(4)]
+        wproj = h["wproj"][l]                    # (4C, C)
+        tiles += [wproj[i * c:(i + 1) * c] for i in range(4)]
+    nh = head_tiles(c, v)
+    head = params["head"]                        # (C, V)
+    head = jnp.pad(head, ((0, 0), (0, nh * c - v)))
+    tiles += [head[:, i * c:(i + 1) * c] for i in range(nh)]
+    return jnp.stack([t.astype(dtype) if dtype is not None else t
+                      for t in tiles])
+
+
+def _ln(x, scale, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * lax.rsqrt(var + eps) * scale
+
+
+def _gelu_tanh(x):
+    # reference src/model.py:21-26 new_gelu
+    return 0.5 * x * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi)
+                                     * (x + 0.044715 * x ** 3)))
+
+
+def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
+                 k_in, v_in, tok_ref, krows_ref, vrows_ref, *, n_layer: int,
+                 n_head: int, chunk: int, nb: int, vocab: int, eps: float):
+    """Single program; scal = pos (nb,); x (nb, C) input embeddings."""
+    c = x_ref.shape[-1]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    nht = head_tiles(c, vocab)
+    n_tiles = n_layer * tiles_per_layer() + nht
+
+    ci_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    hi_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    sel = (ci_idx // d == hi_idx).astype(jnp.float32)    # (C, H)
+    row_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+
+    def body(wbuf, wsem, kcbuf, vcbuf, csems, attn, logits):
+        # ---- static weight-tile stream ------------------------------
+        # 3-slot rotation: the slot a prefetch writes into was last READ
+        # one piece earlier, never in the same piece — the scalar core
+        # runs ahead of the vector core, so enqueueing a DMA into a
+        # buffer the current dot is still reading would race it.
+        pctr = [0]
+
+        def wdma(slot, p):
+            return pltpu.make_async_copy(tiles_hbm.at[p], wbuf.at[slot],
+                                         wsem.at[slot])
+
+        wdma(0, 0).start()
+        if n_tiles > 1:
+            wdma(1, 1).start()
+
+        def take_dot(hval):
+            """(nb, C) @ next tile -> (nb, C); prefetches two ahead."""
+            p = pctr[0]
+            slot = p % 3
+            wdma(slot, p).wait()
+            r = jnp.dot(hval, wbuf[slot].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+            if p + 2 < n_tiles:
+                wdma((p + 2) % 3, p + 2).start()
+            pctr[0] = p + 1
+            return r
+
+        # ---- per-layer step -----------------------------------------
+        x = x_ref[:].astype(jnp.float32)                  # (nb, C)
+
+        def cdma(slot, b, ci_, which, l):
+            src = k_in if which == 0 else v_in
+            buf = kcbuf if which == 0 else vcbuf
+            return pltpu.make_async_copy(
+                src.at[l, b, pl.ds(ci_ * chunk, chunk), :],
+                buf.at[slot], csems.at[which, slot])
+
+        for l in range(n_layer):
+            h1 = _ln(x, ln1_ref[pl.ds(l, 1)].astype(jnp.float32), eps)
+            q = take_dot(h1)
+            k = take_dot(h1)
+            v = take_dot(h1)
+
+            # emit this layer's k/v rows; the caller scatters them into
+            # the (L, B, S, C) caches (HBM cache refs are tiled on
+            # (S, C), so an arbitrary-position single-row DMA can't be
+            # expressed in-kernel — and the XLA scatter is cheap).  The
+            # current token's attention term below comes from registers,
+            # so attention never needs these rows in HBM.
+            krows_ref[:, l, :] = k.astype(krows_ref.dtype)
+            vrows_ref[:, l, :] = v.astype(vrows_ref.dtype)
+
+            # ---- attention: history chunks + current-token term ------
+            for b in range(nb):
+                pos_b = scal_ref[b]
+                nch = (pos_b + chunk - 1) // chunk   # history = [0, pos)
+                onehot = (lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+                          == b).astype(jnp.float32)
+                qb = jnp.dot(onehot, q, preferred_element_type=jnp.float32)
+                kb = jnp.dot(onehot, k, preferred_element_type=jnp.float32)
+                vb = jnp.dot(onehot, v, preferred_element_type=jnp.float32)
+
+                @pl.when(nch > 0)
+                def _(b=b, l=l):
+                    cdma(0, b, 0, 0, l).start()
+                    cdma(0, b, 0, 1, l).start()
+
+                def chunk_body(ci_, carry, b=b, l=l, pos_b=pos_b, qb=qb):
+                    m, lsum, acc = carry
+                    slot = ci_ % 2
+                    nxt = (ci_ + 1) % 2
+
+                    # prefetch the next chunk into the other slot before
+                    # blocking on this one (same pattern as pallas_attn)
+                    @pl.when(ci_ + 1 < (pos_b + chunk - 1) // chunk)
+                    def _():
+                        cdma(nxt, b, ci_ + 1, 0, l).start()
+                        cdma(nxt, b, ci_ + 1, 1, l).start()
+
+                    cdma(slot, b, ci_, 0, l).wait()
+                    cdma(slot, b, ci_, 1, l).wait()
+
+                    kc = kcbuf[slot].astype(jnp.float32)
+                    vc = vcbuf[slot].astype(jnp.float32)
+                    t = kc * qb
+                    lg = jnp.dot(t, sel,
+                                 preferred_element_type=jnp.float32) * scale
+                    idx = ci_ * chunk + lax.broadcasted_iota(
+                        jnp.int32, (chunk, 1), 0)
+                    lg = jnp.where(idx < pos_b, lg, NEG_INF)
+                    m_new = jnp.maximum(m, jnp.max(lg, axis=0,
+                                                   keepdims=True))
+                    p = jnp.exp(lg - m_new)
+                    corr = jnp.exp(m - m_new)
+                    l_new = lsum * corr + jnp.sum(p, axis=0, keepdims=True)
+                    p_full = jnp.dot(p, sel.T,
+                                     preferred_element_type=jnp.float32)
+                    corr_full = jnp.dot(corr, sel.T,
+                                        preferred_element_type=jnp.float32)
+                    acc_new = acc * corr_full + jnp.sum(vc * p_full, axis=0,
+                                                        keepdims=True)
+                    return m_new, l_new, acc_new
+
+                m0 = jnp.full((1, n_head), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((1, n_head), jnp.float32)
+                a0 = jnp.zeros((1, c), jnp.float32)
+                m, lsum, acc = lax.fori_loop(0, nch, chunk_body,
+                                             (m0, l0, a0))
+
+                # current token (position pos_b), straight from registers
+                tcur = kb * qb
+                lg = jnp.dot(tcur, sel,
+                             preferred_element_type=jnp.float32) * scale
+                m_new = jnp.maximum(m, lg)
+                p = jnp.exp(lg - m_new)                  # (1, H)
+                corr = jnp.exp(m - m_new)
+                l_new = lsum * corr + p
+                p_full = jnp.dot(p, sel.T,
+                                 preferred_element_type=jnp.float32)
+                corr_full = jnp.dot(corr, sel.T,
+                                    preferred_element_type=jnp.float32)
+                acc = acc * corr_full + vb * p_full
+                l_full = jnp.dot(l_new, sel.T,
+                                 preferred_element_type=jnp.float32)
+                out_row = acc / l_full                   # (1, C)
+                attn[:] = jnp.where(row_iota == b, out_row, attn[:])
+
+            x = x + take_dot(attn[:])                    # wo
+
+            h2 = _ln(x, ln2_ref[pl.ds(l, 1)].astype(jnp.float32), eps)
+            mparts = [_gelu_tanh(take_dot(h2)) for _ in range(4)]
+            for mp in mparts:
+                x = x + take_dot(mp)
+
+        # ---- head + argmax ------------------------------------------
+        hf = _ln(x, lnf_ref[:].astype(jnp.float32), eps)
+        for t in range(nht):
+            part = take_dot(hf)                          # (nb, C)
+            logits[:, t * c:(t + 1) * c] = part
+        lg = logits[:]
+        col = lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+        lg = jnp.where(col < vocab, lg, NEG_INF)
+        tok_ref[:] = jnp.argmax(lg, axis=-1,
+                                keepdims=True).astype(jnp.int32)
+
+    nht = head_tiles(c, vocab)
+    pl.run_scoped(
+        body,
+        wbuf=pltpu.VMEM((3, c, c), tiles_hbm.dtype),
+        wsem=pltpu.SemaphoreType.DMA((3,)),
+        kcbuf=pltpu.VMEM((2, chunk, c), k_in.dtype),
+        vcbuf=pltpu.VMEM((2, chunk, c), v_in.dtype),
+        csems=pltpu.SemaphoreType.DMA((2, 2)),
+        attn=pltpu.VMEM((nb, c), jnp.float32),
+        logits=pltpu.VMEM((nb, nht * c), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_layer", "n_head", "vocab", "eps",
+                                   "chunk", "interpret"))
+def fused_decode_step(tiles: jnp.ndarray, ln1: jnp.ndarray, ln2: jnp.ndarray,
+                      lnf: jnp.ndarray, x: jnp.ndarray, k_cache: jnp.ndarray,
+                      v_cache: jnp.ndarray, pos: jnp.ndarray, *,
+                      n_layer: int, n_head: int, vocab: int,
+                      eps: float = 1e-5, chunk: int = 512,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One whole decode step for B streams in one kernel launch.
+
+    Args:
+      tiles: (P, C, C) bf16 from ``pack_step_weights``.
+      ln1, ln2: (L, C) scale stacks; lnf: (C,) final scale.
+      x: (B, C) input embeddings (wpe already added).
+      k_cache, v_cache: (L, B, S, C); position ``pos`` NOT yet written —
+        the kernel reads only history [0, pos) and emits the current
+        rows for the caller to scatter.
+      pos: (B,) int32 current positions.
+    Returns: (tokens (B,), k_rows (B, L, C), v_rows (B, L, C)).
+    """
+    l_, b, s, c = k_cache.shape
+    chunk = min(chunk, s)
+    assert s % chunk == 0
+    scal = jnp.asarray(pos, jnp.int32)
+    kernel = partial(_step_kernel, n_layer=n_layer, n_head=n_head,
+                     chunk=chunk, nb=b, vocab=vocab, eps=eps)
+    tok, k_rows, v_rows = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, l_, c), k_cache.dtype),
+            jax.ShapeDtypeStruct((b, l_, c), v_cache.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(scal, x, ln1, ln2, jnp.reshape(lnf, (1, -1)), tiles, k_cache, v_cache)
+    return tok[:, 0], k_rows, v_rows
