@@ -62,11 +62,16 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert t % block_q == 0 and t % block_k == 0
     scale = 1.0 / math.sqrt(d)
     nq = t // block_q
+    # bf16 operands: one-pass MXU matmul with f32 accumulation is exact
+    # for bf16 inputs and ~8x faster than forcing the f32 (HIGHEST)
+    # path; f32 operands keep HIGHEST so the default-precision bf16
+    # truncation bug can't creep back in (see ops/nn.py).
+    mm_prec = (lax.Precision.HIGHEST if q.dtype == jnp.float32
+               else lax.Precision.DEFAULT)
 
     def q_body(carry, qi):
         qb = lax.dynamic_slice(q, (0, qi * block_q, 0, 0),
                                (b, block_q, h, d))
-        qb32 = qb.astype(jnp.float32)
         iq = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         ik = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
 
@@ -76,12 +81,12 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         def k_compute(ci, carry2):
             m, l, acc = carry2
             kb = lax.dynamic_slice(k, (0, ci * block_k, 0, 0),
-                                   (b, block_k, h, d)).astype(jnp.float32)
+                                   (b, block_k, h, d))
             vb = lax.dynamic_slice(v, (0, ci * block_k, 0, 0),
-                                   (b, block_k, h, d)).astype(jnp.float32)
-            s = jnp.einsum("bqhd,bkhd->bhqk", qb32, kb,
+                                   (b, block_k, h, d))
+            s = jnp.einsum("bqhd,bkhd->bhqk", qb, kb,
                            preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST) * scale
+                           precision=mm_prec) * scale
             causal = (qi * block_q + iq) >= (ci * block_k + ik)
             s = jnp.where(causal[None, None], s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -89,9 +94,9 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * corr + jnp.einsum(
-                "bhqk,bkhd->bhqd", p, vb,
+                "bhqk,bkhd->bhqd", p.astype(q.dtype), vb,
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST)
+                precision=mm_prec)
             return m_new, l_new, acc_new
 
         m0 = jnp.full((b, h, block_q, 1), NEG_INF, jnp.float32)
