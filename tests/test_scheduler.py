@@ -95,3 +95,18 @@ def test_adaptive_block_growth_matches_fixed_blocks():
     adapt_chunks, _ = _run(deltas, adaptive)
     assert b"".join(fixed_chunks) == b"".join(adapt_chunks)
     assert len(adapt_chunks) == len(fixed_chunks)
+
+
+def test_fused_first_chunk_matches_unfused():
+    """The fused decode+synth first block must produce the same audio as
+    the two-call path (same tokens, same bucket program)."""
+    import dataclasses
+    deltas = ["a sentence for the fused first chunk."]
+    off = dataclasses.replace(SERVE_CFG, fused_first_chunk=False)
+    on = dataclasses.replace(SERVE_CFG, fused_first_chunk=True)
+    coff, _ = _run(deltas, off)
+    con, _ = _run(deltas, on)
+    woff = np.frombuffer(b"".join(coff), dtype="<f4")
+    won = np.frombuffer(b"".join(con), dtype="<f4")
+    assert len(woff) == len(won)
+    np.testing.assert_allclose(won, woff, atol=1e-4, rtol=1e-3)
