@@ -93,3 +93,79 @@ def test_unknown_path_404(server):
     conn = http.client.HTTPConnection(host, port, timeout=10)
     conn.request("GET", "/nope")
     assert conn.getresponse().status == 404
+
+
+class _FakeASR:
+    """run_asr counterpart of streams/asr.py (reference inference/asr.py):
+    decodes the base64 request body and returns a transcript."""
+
+    def __init__(self):
+        self.seen = None
+
+    def run_asr(self, body):
+        import base64
+        self.seen = base64.b64decode(body["audio_base64"])
+        return "what the user said."
+
+
+@pytest.fixture(scope="module")
+def voice_server():
+    import dataclasses
+    from llmvox_tpu.serve.server import TTSServer
+    port = _free_port()
+    cfg = dataclasses.replace(SERVE_CFG, api_host="127.0.0.1", api_port=port)
+    engines = make_engines(0, cfg)
+    scheduler = StreamingScheduler(engines, cfg)
+    stream_model = ScriptedStream(["A reply to the voice query."],
+                                  eos_token=cfg.eos_token)
+    asr = _FakeASR()
+    srv = TTSServer(scheduler, cfg, stream_model=stream_model, asr_model=asr)
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.serve())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+    yield ("127.0.0.1", port, asr)
+    srv.shutdown()
+    t.join(timeout=10)
+    loop.close()
+
+
+def test_voicechat_endpoint_runs_asr_then_streams(voice_server):
+    import base64
+    host, port, asr = voice_server
+    pcm = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype(np.int16)
+    wav, _ = collect_audio(stream_request(
+        host, port, "/voicechat",
+        {"audio_base64": base64.b64encode(pcm.tobytes()).decode(),
+         "source_language": "english", "target_language": "english"},
+        timeout=300))
+    assert asr.seen == pcm.tobytes()
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_vlmschat_and_multimodal_endpoints(voice_server):
+    import base64
+    host, port, asr = voice_server
+    pcm = (np.zeros(800)).astype(np.int16)
+    b64 = base64.b64encode(pcm.tobytes()).decode()
+    wav, _ = collect_audio(stream_request(
+        host, port, "/vlmschat",
+        {"audio_base64": b64, "image_base64": "aW1n",
+         "source_language": "english", "target_language": "english"},
+        timeout=300))
+    assert len(wav) > 0
+    wav, _ = collect_audio(stream_request(
+        host, port, "/multimodalchat",
+        {"audio_base64": b64, "image_list": ["aW1n"]}, timeout=300))
+    assert len(wav) > 0
