@@ -95,3 +95,49 @@ def save_opaque(path: str, tree) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     leaves = jax.tree_util.tree_leaves(tree)
     np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def average_checkpoints(paths):
+    """Element-wise mean of N saved parameter sets (the reference's
+    ``from_pretrained0911`` averages its 3 best val-loss checkpoints,
+    WavTokenizer/decoder/pretrained.py:117-156)."""
+    assert paths, "need at least one checkpoint"
+    trees = [load_params_npz(p) for p in paths]
+    flat = [jax.tree_util.tree_leaves(t) for t in trees]
+    n = len(flat)
+    avg = [np.mean(np.stack([f[i] for f in flat]), axis=0)
+           for i in range(len(flat[0]))]
+    treedef = jax.tree_util.tree_structure(trees[0])
+    return jax.tree_util.tree_unflatten(treedef, avg)
+
+
+def load_partial(template, path: str, keep=None):
+    """Partial resume: refill only the top-level groups named in ``keep``
+    from a saved parameter set, leaving the rest at the template's values
+    (the reference's selective state-dict resume loads encoder/decoder/
+    quantizer/backbone/head subsets, experiment.py:390-445)."""
+    saved = load_params_npz(path)
+    out = dict(template)
+    for key in (keep if keep is not None else saved.keys()):
+        if key in saved and key in out:
+            out[key] = jax.tree.map(
+                lambda t, s: np.asarray(s, dtype=np.asarray(t).dtype),
+                out[key], saved[key])
+    return out
+
+
+def save_orbax(path: str, tree) -> None:
+    """Orbax backend (optional): async-capable, sharding-aware checkpoint
+    directory — the production choice for multi-host pods where a single
+    npz on one host doesn't scale."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str, template=None):
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), item=template)
+        return ckptr.restore(os.path.abspath(path))

@@ -46,9 +46,40 @@ class MetricsLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
 
+    def log_audio(self, step: int, tag: str, wav, sample_rate: int) -> None:
+        """Audio + spectrogram-image logging every N steps (reference
+        experiment.py:195-216).  JSONL records the file path; W&B/TB get
+        the media objects when attached."""
+        import numpy as np
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        if self._wandb is not None:
+            self._wandb.log({tag: self._wandb.Audio(wav, sample_rate)},
+                            step=step)
+        if self._tb is not None:
+            self._tb.add_audio(tag, wav[None], step, sample_rate)
+            img = spectrogram_image(wav, sample_rate)
+            self._tb.add_image(tag + "/mel", img[None], step)
+
     def close(self) -> None:
         self._f.close()
         if self._wandb is not None:
             self._wandb.finish()
         if self._tb is not None:
             self._tb.close()
+
+
+def spectrogram_image(wav, sample_rate: int, n_fft: int = 1024,
+                      hop: int = 256, n_mels: int = 100):
+    """Log-mel spectrogram as a normalized uint8 image array (no
+    matplotlib dependency) — counterpart of the reference's
+    plot_spectrogram_to_numpy (decoder/helpers.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from llmvox_tpu.codec.mel import mel_spectrogram_features
+    wav = np.asarray(wav, np.float32).reshape(1, -1)
+    mel = np.asarray(mel_spectrogram_features(
+        jnp.asarray(wav), n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+        sample_rate=sample_rate))[0]          # (n_mels, frames)
+    lo, hi = mel.min(), mel.max()
+    norm = (mel - lo) / max(hi - lo, 1e-6)
+    return (norm[::-1] * 255.0).astype(np.uint8)  # low freqs at the bottom

@@ -46,3 +46,12 @@ def test_metrics_logger(tmp_path):
     import json
     lines = [json.loads(l) for l in open(log.path)]
     assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+
+
+def test_spectrogram_image():
+    from llmvox_tpu.utils.logging import spectrogram_image
+    wav = np.sin(np.linspace(0, 800 * np.pi, 24000)).astype(np.float32)
+    img = spectrogram_image(wav, 24000)
+    assert img.dtype == np.uint8
+    assert img.shape[0] == 100 and img.shape[1] > 10
+    assert img.max() == 255

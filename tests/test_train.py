@@ -144,3 +144,34 @@ def test_checkpoint_roundtrip(tiny_trainer):
     assert tiny_trainer.iter_num == it
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_average_and_partial_checkpoints(tmp_path):
+    from llmvox_tpu.train import checkpoint as ck
+    t1 = {"a": {"w": np.ones((2, 2), np.float32)},
+          "b": [np.full((3,), 2.0, np.float32)]}
+    t2 = {"a": {"w": np.full((2, 2), 3.0, np.float32)},
+          "b": [np.full((3,), 6.0, np.float32)]}
+    p1, p2 = str(tmp_path / "c1.npz"), str(tmp_path / "c2.npz")
+    ck.save_params_npz(p1, t1)
+    ck.save_params_npz(p2, t2)
+    avg = ck.average_checkpoints([p1, p2])
+    np.testing.assert_allclose(avg["a"]["w"], 2.0)
+    np.testing.assert_allclose(avg["b"][0], 4.0)
+    template = {"a": {"w": np.zeros((2, 2), np.float32)},
+                "b": [np.zeros((3,), np.float32)]}
+    part = ck.load_partial(template, p2, keep=["a"])
+    np.testing.assert_allclose(part["a"]["w"], 3.0)
+    np.testing.assert_allclose(part["b"][0], 0.0)
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from llmvox_tpu.train import checkpoint as ck
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "nested": {"b": np.ones((4,), np.float32)}}
+    path = str(tmp_path / "orbax_ckpt")
+    ck.save_orbax(path, tree)
+    out = ck.load_orbax(path, template=jax.tree.map(np.zeros_like, tree))
+    np.testing.assert_array_equal(out["w"], tree["w"])
+    np.testing.assert_array_equal(out["nested"]["b"], tree["nested"]["b"])
