@@ -17,6 +17,7 @@ def main(argv=None) -> None:
     from llmvox_tpu.train.codec_data import CodecDataset
     from llmvox_tpu.train.codec_trainer import CodecTrainer
     from llmvox_tpu.train.checkpoint import save_params_npz
+    from llmvox_tpu.utils.logging import MetricsLogger
 
     parser = argparse.ArgumentParser(description="LLMVoX-TPU codec GAN training")
     add_dataclass_args(parser, CodecTrainConfig)
@@ -26,6 +27,10 @@ def main(argv=None) -> None:
     cfg = apply_cli_overrides(CodecConfig(), args)
 
     trainer = CodecTrainer(cfg, tcfg)
+    logger = MetricsLogger(tcfg.out_dir, "codec",
+                           use_wandb=getattr(tcfg, "use_wandb", False),
+                           use_tensorboard=getattr(tcfg, "use_tensorboard",
+                                                   False))
     train_ds = CodecDataset(tcfg.filelist_train, tcfg, train=True,
                             seed=tcfg.seed)
     val_ds = (CodecDataset(tcfg.filelist_val, tcfg, train=False)
@@ -36,6 +41,7 @@ def main(argv=None) -> None:
     t0 = time.time()
     for audio in batches:
         logs = trainer.step(audio)
+        logger.log(trainer.iter_num, logs)
         if trainer.iter_num % tcfg.log_interval == 0:
             dt = time.time() - t0
             t0 = time.time()
@@ -46,8 +52,17 @@ def main(argv=None) -> None:
         if trainer.iter_num % tcfg.val_interval == 0:
             if val_ds is not None:
                 val_audio = next(val_ds.batches(tcfg.val_batch_size))
-                print(f"step {trainer.iter_num}: "
-                      f"{trainer.validation_metrics(val_audio)}")
+                vm = trainer.validation_metrics(val_audio)
+                logger.log(trainer.iter_num, vm)
+                # reconstruction audio + mel image (reference
+                # experiment.py:195-216 logs these every val pass)
+                try:
+                    recon = trainer.reconstruct(val_audio[:1])
+                    logger.log_audio(trainer.iter_num, "val/recon", recon,
+                                     cfg.sample_rate)
+                except Exception as e:  # logging must never kill training
+                    print(f"audio logging skipped: {e}")
+                print(f"step {trainer.iter_num}: {vm}")
             trainer.save_checkpoint()
             save_params_npz(
                 os.path.join(tcfg.out_dir, "codec_inference.npz"),
@@ -55,6 +70,7 @@ def main(argv=None) -> None:
         if trainer.iter_num >= tcfg.max_steps:
             break
     trainer.save_checkpoint()
+    logger.close()
 
 
 if __name__ == "__main__":

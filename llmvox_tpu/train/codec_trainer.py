@@ -264,6 +264,15 @@ class CodecTrainer:
                               sample_rate=self.tcfg.sample_rate)
         return {"val_mel_loss": float(mel)}
 
+    def reconstruct(self, audio: np.ndarray) -> np.ndarray:
+        """Copy-synthesize a batch with the current generator (for audio
+        logging during validation, experiment.py:195-216)."""
+        y = jnp.asarray(audio, jnp.float32)
+        y_hat, _, _ = generator_forward(
+            self.state.gen_params, self.state.vq_state, y, jnp.int32(0),
+            jax.random.PRNGKey(0), self.cfg, self.tcfg, train=False)
+        return np.asarray(y_hat)
+
     def save_checkpoint(self, tag: str = "codec_ckpt") -> str:
         out = self.tcfg.out_dir
         path = os.path.join(out, f"{tag}.npz")
