@@ -251,7 +251,8 @@ class CodecTrainer:
         self.iter_num += 1
         return {k: float(v) for k, v in logs.items()}
 
-    def validation_metrics(self, audio: np.ndarray) -> Dict[str, float]:
+    def validation_metrics(self, audio: np.ndarray,
+                           full: bool = False) -> Dict[str, float]:
         """Mel distance + commit on held-out audio (experiment.py:227-258;
         UTMOS/PESQ plug in externally when their models are present)."""
         key = jax.random.PRNGKey(0)
@@ -262,7 +263,24 @@ class CodecTrainer:
         tlen = min(y.shape[-1], y_hat.shape[-1])
         mel = losses.mel_loss(y_hat[:, :tlen], y[:, :tlen],
                               sample_rate=self.tcfg.sample_rate)
-        return {"val_mel_loss": float(mel)}
+        out = {"val_mel_loss": float(mel)}
+        if full:
+            # periodicity/pitch/F1 (+ PESQ/UTMOS when their models are
+            # installed) — the reference's val metric set
+            # (experiment.py:227-309, metrics/periodicity.py)
+            from llmvox_tpu.codec import metrics as cm
+            yh = np.asarray(y_hat[:, :tlen])
+            yy = np.asarray(y[:, :tlen])
+            agg = {}
+            for i in range(yh.shape[0]):
+                for k, v in cm.evaluate_pair(
+                        yh[i], yy[i],
+                        sample_rate=self.tcfg.sample_rate).items():
+                    if v is not None:
+                        agg.setdefault(k, []).append(float(v))
+            out.update({f"val_{k}": float(np.mean(v))
+                        for k, v in agg.items()})
+        return out
 
     def reconstruct(self, audio: np.ndarray) -> np.ndarray:
         """Copy-synthesize a batch with the current generator (for audio

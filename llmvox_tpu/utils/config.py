@@ -313,6 +313,8 @@ class CodecTrainConfig:
     out_dir: str = "results_codec"
     log_interval: int = 100
     val_interval: int = 10000
+    use_wandb: bool = False
+    use_tensorboard: bool = False
     dp_size: int = -1
 
 

@@ -185,3 +185,14 @@ def test_codec_main_cli_smoke(tmp_path):
         "--n_fft", "16", "--hop_length", "4",
     ])
     assert any(out.iterdir())
+
+
+def test_validation_metrics_full():
+    trainer = CodecTrainer(TINY_CODEC, TINY_TRAIN)
+    audio = 0.1 * RNG.standard_normal(
+        (2, TINY_TRAIN.num_samples)).astype(np.float32)
+    m = trainer.validation_metrics(audio, full=True)
+    assert np.isfinite(m["val_mel_loss"])
+    assert "val_si_snr" in m and np.isfinite(m["val_si_snr"])
+    assert "val_periodicity_rmse" in m or "val_f1" in m or any(
+        k.startswith("val_") for k in m)
