@@ -169,3 +169,22 @@ def test_vlmschat_and_multimodal_endpoints(voice_server):
         host, port, "/multimodalchat",
         {"audio_base64": b64, "image_list": ["aW1n"]}, timeout=300))
     assert len(wav) > 0
+
+
+@pytest.mark.slow
+def test_native_loadgen_against_server(server):
+    """The C++ load generator (csrc/llmvox_loadgen) streams real audio
+    from the tiny server and reports sane stats."""
+    import json as jsonlib
+    import subprocess
+    import pathlib
+    exe = pathlib.Path(__file__).resolve().parents[1] / "csrc" / "llmvox_loadgen"
+    if not exe.exists():
+        pytest.skip("loadgen not built (make -C csrc)")
+    host, port = server
+    out = subprocess.run(
+        [str(exe), host, str(port), "2", "4", "a short load test."],
+        capture_output=True, text=True, timeout=300)
+    stats = jsonlib.loads(out.stdout.strip())
+    assert stats["failed"] == 0 and stats["completed"] == 4
+    assert stats["audio_s"] > 0 and stats["mean_first_chunk_ms"] > 0
