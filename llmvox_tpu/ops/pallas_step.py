@@ -27,15 +27,21 @@ Counterpart of the reference's per-token GPT forward (src/model.py:
 
 STATUS: correct (interpret-mode equivalence vs the lax step, and
 token-exact single steps on a real v5e-1) but EXPERIMENTAL and off by
-default.  Measured ~0.5 ms/step standalone vs ~0.3 ms/step for the
-per-layer XLA + pallas-attention path: XLA already streams the 60 MB of
-step weights near-optimally with deeper DMA pipelining than this
-kernel's two-deep tile stream, and embedding the kernel in the decode
-scan adds cache-buffer copies around the custom call.  Next-round notes:
-(a) larger DMA pieces (one per weight matrix, ~18 waits/step instead of
-54), (b) defer the row scatter to the top of the next scan iteration so
-the caches stay a single donated buffer, (c) profile scalar-core
-semaphore overhead.
+default.  In the decode scan: 14.2 ms per 8-stream 32-token block vs
+9.5 ms for the per-layer XLA + pallas-attention path.  Two scan-glue
+lessons already applied: (a) the row scatter is DEFERRED to the top of
+the next scan step (the kernel only reads history < pos, so writing
+step i's rows at step i+1 keeps the caches one donated buffer), and
+(b) the scatter uses per-layer static-leading-index `.at[l, b, pos]`
+updates — the full-L advanced-index form lowered to ~2.6 ms/step of
+whole-cache copies (97 -> 14 ms/block from that one change).  The
+remaining 0.15 ms/step gap vs XLA is the weight-tile stream: 54 small
+(C, C) DMAs with a 3-slot buffer can't match XLA's deeper matmul
+software pipeline.  Next-round ideas: fewer/bigger pieces (one DMA per
+weight matrix with lane-sliced buffer views + a transposed-rhs
+dot_general for wproj), or pallas grid-over-layers with BlockSpec
+index maps so the pallas pipeline itself streams the per-layer
+weights.
 """
 from __future__ import annotations
 
