@@ -96,6 +96,10 @@ class DecodePool:
         self._task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
         self.steps = 0
+        self._synth_q: Deque = deque()
+        self._synth_task: Optional[asyncio.Task] = None
+        self._synth_wake: Optional[asyncio.Event] = None
+        self.synth_calls = 0
 
     # -- slot lifecycle -------------------------------------------------
     def acquire(self) -> int:
@@ -180,7 +184,92 @@ class DecodePool:
                 # streams can join the next gather
                 await asyncio.sleep(0)
 
+    # -- batched synthesis ------------------------------------------------
+    # Concurrent requests' chunks are grouped per bucket and vocoded in ONE
+    # ragged batched codec call (decode_codes_ragged): under N-way request
+    # concurrency the per-chunk device round trip is paid once per group
+    # instead of once per stream.  The batch dim is padded to ONE fixed
+    # size so there is exactly one compiled program per chunk bucket
+    # (padding rows cost a valid_len-1 masked decode — trivial), and
+    # ``warmup()`` compiles them all before traffic.
+    SYNTH_BATCH = 8
+
+    def submit_synth(self, codes: Sequence[int]) -> asyncio.Future:
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._synth_q.append((list(codes), fut))
+        if self._synth_wake is not None:
+            self._synth_wake.set()
+        return fut
+
+    def _synth_batch(self, reqs):
+        hop = self.codec.cfg.hop_length
+        bucket = self.codec.bucket_for(max(max(len(c) for c, _ in reqs), 1))
+        bpad = self.SYNTH_BATCH
+        codes = np.zeros((bpad, bucket), np.int32)
+        lengths = np.ones((bpad,), np.int32)
+        for i, (c, _) in enumerate(reqs):
+            codes[i, : len(c)] = c
+            lengths[i] = max(len(c), 1)
+        wavs = self.codec.decode_codes_ragged(codes, lengths)
+        self.synth_calls += 1
+        out = []
+        for i, (c, _) in enumerate(reqs):
+            n = len(c) * hop
+            out.append(np.asarray(wavs[i][:n], dtype="<f4").tobytes())
+        return out
+
+    async def _synth_loop(self) -> None:
+        while True:
+            await self._synth_wake.wait()
+            self._synth_wake.clear()
+            while self._synth_q:
+                batch = []
+                while self._synth_q:
+                    batch.append(self._synth_q.popleft())
+                groups: Dict[int, list] = {}
+                for codes, fut in batch:
+                    b = self.codec.bucket_for(max(len(codes), 1))
+                    groups.setdefault(b, []).append((codes, fut))
+                for reqs in groups.values():
+                    for i in range(0, len(reqs), self.SYNTH_BATCH):
+                        part = reqs[i: i + self.SYNTH_BATCH]
+                        try:
+                            chunks = await asyncio.to_thread(
+                                self._synth_batch, part)
+                        except Exception as e:
+                            for _, fut in part:
+                                if not fut.done():
+                                    fut.set_exception(e)
+                            continue
+                        for (_, fut), chunk in zip(part, chunks):
+                            if not fut.done():
+                                fut.set_result(chunk)
+                await asyncio.sleep(0)
+
+    def warmup(self) -> None:
+        """Compile the batched decode block and every bucket's batched
+        synth program before traffic (compiles are the only source of
+        multi-second latency; everything after is steady-state)."""
+        pad = self.dcfg.pad_token_id
+        windows = np.full((self.B, self.block), pad, np.int32)
+        tokens, _, self.states = dec.decode_block_batch(
+            self.params, self.text_table, self.codebook, self.states,
+            jnp.asarray(windows), np.ones((self.B,), np.int32),
+            np.ones((self.B,), np.int32), self.dcfg, block=self.block)
+        np.asarray(tokens)
+        for i, s in enumerate(self.slots):
+            s.pending_reset = True
+        self._apply_resets()
+        for bucket in self.codec.buckets:
+            codes = np.zeros((self.SYNTH_BATCH, bucket), np.int32)
+            lengths = np.ones((self.SYNTH_BATCH,), np.int32)
+            self.codec.decode_codes_ragged(codes, lengths)
+
     def start(self) -> None:
+        if self._synth_task is None:
+            self._synth_wake = asyncio.Event()
+            self._synth_task = asyncio.create_task(self._synth_loop())
         if self._task is None:
             self._wake = asyncio.Event()
             self._task = asyncio.create_task(self._step_loop())
@@ -208,6 +297,9 @@ class DecodePool:
         if self._task is not None:
             self._task.cancel()
             self._task = None
+        if self._synth_task is not None:
+            self._synth_task.cancel()
+            self._synth_task = None
 
 
 class PooledEngine:
@@ -263,6 +355,11 @@ class PooledEngine:
         arr = np.asarray(codes, np.int32)[None]
         wav = self.codec.decode_codes(arr)[0]
         return np.asarray(wav, dtype="<f4").tobytes()
+
+    async def synthesize_async(self, codes: Sequence[int]) -> bytes:
+        """Route through the pool's batching synth queue: chunks from
+        concurrent requests vocode in one ragged batched codec call."""
+        return await self.pool.submit_synth(codes)
 
     def close(self) -> None:
         self.pool.release(self.slot)

@@ -167,13 +167,20 @@ class StreamingScheduler:
         # ---- ordered synthesis worker --------------------------------
         synth_q: asyncio.Queue = asyncio.Queue()
 
+        synth_async = getattr(engine, "synthesize_async", None)
+
         async def synth_worker():
             while True:
                 item = await synth_q.get()
                 if isinstance(item, list):
                     with trace.span(f"synth_r{index}"):
-                        chunk = await asyncio.to_thread(
-                            engine.synthesize, item)
+                        if synth_async is not None:
+                            # pooled engines batch concurrent requests'
+                            # chunks into one codec call
+                            chunk = await synth_async(item)
+                        else:
+                            chunk = await asyncio.to_thread(
+                                engine.synthesize, item)
                     await audio_q.put(chunk)
                 else:
                     await audio_q.put(item)

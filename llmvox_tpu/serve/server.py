@@ -223,4 +223,6 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
         from llmvox_tpu.streams.asr import WhisperASR
         asr_model = WhisperASR(cfg)
         asr_model.load()
+    if pool is not None:
+        pool.warmup()
     return TTSServer(scheduler, cfg, stream_model, asr_model, pool=pool)
