@@ -175,3 +175,32 @@ def test_orbax_roundtrip(tmp_path):
     out = ck.load_orbax(path, template=jax.tree.map(np.zeros_like, tree))
     np.testing.assert_array_equal(out["w"], tree["w"])
     np.testing.assert_array_equal(out["nested"]["b"], tree["nested"]["b"])
+
+
+def test_train_cli_smoke(tmp_path):
+    """The decoder training CLI (reference train.py:47-136 counterpart)
+    runs end-to-end on a tiny synthetic dataset."""
+    from llmvox_tpu.train import __main__ as train_main
+    from llmvox_tpu.train.data import Sample, save_prepared
+
+    rng = np.random.default_rng(0)
+    samples = [Sample(text_ids=rng.integers(0, 384, 12).astype(np.int32),
+                      codes=rng.integers(0, 16, 20).astype(np.int32))
+               for _ in range(4)]
+    data = tmp_path / "data.npz"
+    save_prepared(str(data), samples)
+
+    out = tmp_path / "out"
+    train_main.main([
+        "--data_path", str(data), "--out_dir", str(out),
+        "--max_iters", "3", "--batch_size", "2", "--dp_size", "2",
+        "--gradient_accumulation_steps", "1",
+        "--eval_interval", "2", "--eval_iters", "1", "--log_interval", "1",
+        "--bucket", "32",
+        # tiny model
+        "--n_layer", "2", "--n_head", "2", "--n_embd", "32",
+        "--block_size", "64", "--vocab_size", "16",
+        "--text_embed_dim", "12", "--speech_embed_dim", "20",
+        "--eoa_token_id", "15",
+    ])
+    assert any(out.iterdir())
