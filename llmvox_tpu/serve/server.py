@@ -190,6 +190,8 @@ class TTSServer:
                 await forever
             except asyncio.CancelledError:
                 pass
+            if self.pool is not None:
+                self.pool.stop()
 
     def shutdown(self) -> None:
         """Thread-safe graceful stop: ``serve()`` returns and the listening
