@@ -62,33 +62,53 @@ def head_tiles(c: int, vocab: int) -> int:
     return -(-vocab // c)
 
 
-def tiles_per_layer() -> int:
-    return 3 + 1 + 4 + 4  # qkv, wo, fc x4, proj x4
+def piece_widths(cfg):
+    """Static per-piece column widths, all (C, w) row-major with w <= 3C.
+
+    Per layer: qkv (3C) | wo (C) | fcA (3C) | fcB (C) | projT-A (3C) |
+    projT-B (C) — wproj is packed TRANSPOSED so every piece keeps C rows
+    (the kernel contracts it with a transposed-rhs dot_general).  The
+    head pads its columns to a multiple of C and splits into <=3C pieces.
+    """
+    c, v = cfg.n_embd, cfg.vocab_size
+    per_layer = [3 * c, c, 3 * c, c, 3 * c, c]
+    widths = per_layer * cfg.n_layer
+    rem = head_tiles(c, v) * c
+    while rem > 0:
+        w = min(rem, 3 * c)
+        widths.append(w)
+        rem -= w
+    return widths
 
 
 def pack_step_weights(params: Dict, cfg, dtype=None) -> jnp.ndarray:
-    """Stack every step weight into (P, C, C) bf16 tiles in kernel order.
+    """Stack every step weight into (P, C, 3C) row-major pieces in kernel
+    order (columns beyond each piece's true width are zero padding that
+    is never transferred — the kernel DMAs ``[:, :width]`` slices).
 
-    Cheap (one 66 MB device copy per decode_block call, amortized over
+    Cheap (one ~66 MB device copy per decode_block call, amortized over
     the block); keeps the kernel's DMA schedule fully static.
     """
     c, v, l_ = cfg.n_embd, cfg.vocab_size, cfg.n_layer
     h = params["h"]
-    tiles = []
+    pieces = []
     for l in range(l_):
-        wqkv = h["wqkv"][l]                      # (C, 3C)
-        tiles += [wqkv[:, i * c:(i + 1) * c] for i in range(3)]
-        tiles.append(h["wo"][l])                 # (C, C)
-        wfc = h["wfc"][l]                        # (C, 4C)
-        tiles += [wfc[:, i * c:(i + 1) * c] for i in range(4)]
-        wproj = h["wproj"][l]                    # (4C, C)
-        tiles += [wproj[i * c:(i + 1) * c] for i in range(4)]
+        pieces.append(h["wqkv"][l])                     # (C, 3C)
+        pieces.append(h["wo"][l])                       # (C, C)
+        wfc = h["wfc"][l]                               # (C, 4C)
+        pieces += [wfc[:, :3 * c], wfc[:, 3 * c:]]
+        wpt = h["wproj"][l].T                           # (C, 4C)
+        pieces += [wpt[:, :3 * c], wpt[:, 3 * c:]]
     nh = head_tiles(c, v)
-    head = params["head"]                        # (C, V)
-    head = jnp.pad(head, ((0, 0), (0, nh * c - v)))
-    tiles += [head[:, i * c:(i + 1) * c] for i in range(nh)]
+    head = jnp.pad(params["head"], ((0, 0), (0, nh * c - v)))
+    off = 0
+    while off < nh * c:
+        w = min(nh * c - off, 3 * c)
+        pieces.append(head[:, off:off + w])
+        off += w
+    padded = [jnp.pad(p, ((0, 0), (0, 3 * c - p.shape[1]))) for p in pieces]
     return jnp.stack([t.astype(dtype) if dtype is not None else t
-                      for t in tiles])
+                      for t in padded])
 
 
 def _ln(x, scale, eps):
@@ -111,7 +131,15 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
     d = c // n_head
     scale = 1.0 / math.sqrt(d)
     nht = head_tiles(c, vocab)
-    n_tiles = n_layer * tiles_per_layer() + nht
+    # static piece schedule (see piece_widths)
+    widths = [3 * c, c, 3 * c, c, 3 * c, c] * n_layer
+    rem = nht * c
+    head_ws = []
+    while rem > 0:
+        head_ws.append(min(rem, 3 * c))
+        rem -= head_ws[-1]
+    widths += head_ws
+    n_pieces = len(widths)
 
     ci_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
     hi_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
@@ -119,32 +147,49 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
     row_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
 
     def body(wbuf, wsem, kcbuf, vcbuf, csems, attn, logits):
-        # ---- static weight-tile stream ------------------------------
-        # 3-slot rotation: the slot a prefetch writes into was last READ
-        # one piece earlier, never in the same piece — the scalar core
-        # runs ahead of the vector core, so enqueueing a DMA into a
-        # buffer the current dot is still reading would race it.
+        # ---- static weight-piece stream ------------------------------
+        # One DMA per weight matrix (qkv / wo / fc / projT halves / head
+        # halves) — exact [:, :width] slices, zero padding transferred.
+        # 3-slot rotation: a prefetch never targets the slot the current
+        # compute is reading (the scalar core runs ahead of the vector
+        # core, so same-piece reuse would race the DMA with the dot).
         pctr = [0]
 
         def wdma(slot, p):
-            return pltpu.make_async_copy(tiles_hbm.at[p], wbuf.at[slot],
-                                         wsem.at[slot])
+            w = widths[p]
+            return pltpu.make_async_copy(
+                tiles_hbm.at[p, :, pl.ds(0, w)],
+                wbuf.at[slot, :, pl.ds(0, w)], wsem.at[slot])
 
         wdma(0, 0).start()
-        if n_tiles > 1:
+        if n_pieces > 1:
             wdma(1, 1).start()
 
-        def take_dot(hval):
-            """(nb, C) @ next tile -> (nb, C); prefetches two ahead."""
+        def take(width):
+            """Wait the next piece (must have this width); prefetch two
+            ahead; return its buffer slot."""
             p = pctr[0]
+            assert widths[p] == width, (p, widths[p], width)
             slot = p % 3
             wdma(slot, p).wait()
-            r = jnp.dot(hval, wbuf[slot].astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
-            if p + 2 < n_tiles:
+            if p + 2 < n_pieces:
                 wdma((p + 2) % 3, p + 2).start()
             pctr[0] = p + 1
-            return r
+            return slot
+
+        def take_dot(hval, width):
+            slot = take(width)
+            return jnp.dot(hval,
+                           wbuf[slot][:, :width].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+
+        def take_dot_t(hval, width):
+            """hval (nb, width) @ piece(C, width)^T -> (nb, C)."""
+            slot = take(width)
+            return lax.dot_general(
+                hval, wbuf[slot][:, :width].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         # ---- per-layer step -----------------------------------------
         x = x_ref[:].astype(jnp.float32)                  # (nb, C)
@@ -158,9 +203,10 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
 
         for l in range(n_layer):
             h1 = _ln(x, ln1_ref[pl.ds(l, 1)].astype(jnp.float32), eps)
-            q = take_dot(h1)
-            k = take_dot(h1)
-            v = take_dot(h1)
+            qkv = take_dot(h1, 3 * c)                     # (nb, 3C)
+            q = qkv[:, :c]
+            k = qkv[:, c:2 * c]
+            v = qkv[:, 2 * c:]
 
             # emit this layer's k/v rows; the caller scatters them into
             # the (L, B, S, C) caches (HBM cache refs are tiled on
@@ -246,18 +292,20 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
                 out_row = acc / l_full                   # (1, C)
                 attn[:] = jnp.where(row_iota == b, out_row, attn[:])
 
-            x = x + take_dot(attn[:])                    # wo
+            x = x + take_dot(attn[:], c)                  # wo
 
             h2 = _ln(x, ln2_ref[pl.ds(l, 1)].astype(jnp.float32), eps)
-            mparts = [_gelu_tanh(take_dot(h2)) for _ in range(4)]
-            for mp in mparts:
-                x = x + take_dot(mp)
+            m1 = _gelu_tanh(take_dot(h2, 3 * c))          # (nb, 3C)
+            m2 = _gelu_tanh(take_dot(h2, c))              # (nb, C)
+            x = x + take_dot_t(m1, 3 * c)                 # projT first 3C
+            x = x + take_dot_t(m2, c)                     # projT last C
 
         # ---- head + argmax ------------------------------------------
         hf = _ln(x, lnf_ref[:].astype(jnp.float32), eps)
-        for t in range(nht):
-            part = take_dot(hf)                          # (nb, C)
-            logits[:, t * c:(t + 1) * c] = part
+        off = 0
+        for w in head_ws:
+            logits[:, off:off + w] = take_dot(hf, w)
+            off += w
         lg = logits[:]
         col = lax.broadcasted_iota(jnp.int32, lg.shape, 1)
         lg = jnp.where(col < vocab, lg, NEG_INF)
@@ -267,7 +315,7 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
     nht = head_tiles(c, vocab)
     pl.run_scoped(
         body,
-        wbuf=pltpu.VMEM((3, c, c), tiles_hbm.dtype),
+        wbuf=pltpu.VMEM((3, c, 3 * c), tiles_hbm.dtype),
         wsem=pltpu.SemaphoreType.DMA((3,)),
         kcbuf=pltpu.VMEM((2, chunk, c), k_in.dtype),
         vcbuf=pltpu.VMEM((2, chunk, c), v_in.dtype),
@@ -289,7 +337,7 @@ def fused_decode_step(tiles: jnp.ndarray, ln1: jnp.ndarray, ln2: jnp.ndarray,
     """One whole decode step for B streams in one kernel launch.
 
     Args:
-      tiles: (P, C, C) bf16 from ``pack_step_weights``.
+      tiles: (P, C, 3C) bf16 pieces from ``pack_step_weights``.
       ln1, ln2: (L, C) scale stacks; lnf: (C,) final scale.
       x: (B, C) input embeddings (wpe already added).
       k_cache, v_cache: (L, B, S, C); position ``pos`` NOT yet written —
