@@ -146,7 +146,8 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
     sel = (ci_idx // d == hi_idx).astype(jnp.float32)    # (C, H)
     row_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
 
-    def body(wbuf, wsem, kcbuf, vcbuf, csems, attn, logits):
+    def body(wbuf, wsem, kcbuf, vcbuf, csems, mall, lall, accall,
+             logits):
         # ---- static weight-piece stream ------------------------------
         # One DMA per weight matrix (qkv / wo / fc / projT halves / head
         # halves) — exact [:, :width] slices, zero padding transferred.
@@ -217,15 +218,17 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
             krows_ref[:, l, :] = k.astype(krows_ref.dtype)
             vrows_ref[:, l, :] = v.astype(vrows_ref.dtype)
 
-            # ---- attention: history chunks + current-token term ------
+            # ---- attention ------------------------------------------
+            # Per-stream loops handle only the HISTORY chunks (positions
+            # differ per stream); the current-token term and the final
+            # softmax merge run vectorized over all streams — the per-b
+            # unrolled form of those ~10 vector ops dominated the step.
             for b in range(nb):
                 pos_b = scal_ref[b]
                 nch = (pos_b + chunk - 1) // chunk   # history = [0, pos)
                 onehot = (lax.broadcasted_iota(jnp.int32, (1, nb), 1)
                           == b).astype(jnp.float32)
                 qb = jnp.dot(onehot, q, preferred_element_type=jnp.float32)
-                kb = jnp.dot(onehot, k, preferred_element_type=jnp.float32)
-                vb = jnp.dot(onehot, v, preferred_element_type=jnp.float32)
 
                 @pl.when(nch > 0)
                 def _(b=b, l=l):
@@ -273,26 +276,28 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
                 a0 = jnp.zeros((1, c), jnp.float32)
                 m, lsum, acc = lax.fori_loop(0, nch, chunk_body,
                                              (m0, l0, a0))
+                mall[:] = jnp.where(row_iota == b, m, mall[:])
+                lall[:] = jnp.where(row_iota == b, lsum, lall[:])
+                accall[:] = jnp.where(row_iota == b, acc, accall[:])
 
-                # current token (position pos_b), straight from registers
-                tcur = kb * qb
-                lg = jnp.dot(tcur, sel,
-                             preferred_element_type=jnp.float32) * scale
-                m_new = jnp.maximum(m, lg)
-                p = jnp.exp(lg - m_new)                  # (1, H)
-                corr = jnp.exp(m - m_new)
-                l_new = lsum * corr + p
-                p_full = jnp.dot(p, sel.T,
-                                 preferred_element_type=jnp.float32)
-                corr_full = jnp.dot(corr, sel.T,
-                                    preferred_element_type=jnp.float32)
-                acc = acc * corr_full + vb * p_full
-                l_full = jnp.dot(l_new, sel.T,
-                                 preferred_element_type=jnp.float32)
-                out_row = acc / l_full                   # (1, C)
-                attn[:] = jnp.where(row_iota == b, out_row, attn[:])
+            # current-token term + merge, vectorized over streams
+            lg = jnp.dot(q * k, sel,
+                         preferred_element_type=jnp.float32) * scale
+            m = mall[:]                                   # (nb, H)
+            m_new = jnp.maximum(m, lg)
+            p = jnp.exp(lg - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = lall[:] * corr + p
+            p_full = jnp.dot(p, sel.T,
+                             preferred_element_type=jnp.float32)   # (nb, C)
+            corr_full = jnp.dot(corr, sel.T,
+                                preferred_element_type=jnp.float32)
+            acc = accall[:] * corr_full + v * p_full
+            l_full = jnp.dot(l_new, sel.T,
+                             preferred_element_type=jnp.float32)
+            a_out = acc / l_full                          # (nb, C)
 
-            x = x + take_dot(attn[:], c)                  # wo
+            x = x + take_dot(a_out, c)                    # wo
 
             h2 = _ln(x, ln2_ref[pl.ds(l, 1)].astype(jnp.float32), eps)
             m1 = _gelu_tanh(take_dot(h2, 3 * c))          # (nb, 3C)
@@ -320,7 +325,9 @@ def _step_kernel(scal_ref, x_ref, ln1_ref, ln2_ref, lnf_ref, tiles_hbm,
         kcbuf=pltpu.VMEM((2, chunk, c), k_in.dtype),
         vcbuf=pltpu.VMEM((2, chunk, c), v_in.dtype),
         csems=pltpu.SemaphoreType.DMA((2, 2)),
-        attn=pltpu.VMEM((nb, c), jnp.float32),
+        mall=pltpu.VMEM((nb, n_head), jnp.float32),
+        lall=pltpu.VMEM((nb, n_head), jnp.float32),
+        accall=pltpu.VMEM((nb, c), jnp.float32),
         logits=pltpu.VMEM((nb, nht * c), jnp.float32),
     )
 
