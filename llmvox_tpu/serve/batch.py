@@ -21,6 +21,42 @@ from llmvox_tpu.text.byt5 import ByT5Tokenizer
 from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
 
 
+def make_sharded_decode(cfg: DecoderConfig, block: int, mesh):
+    """Multi-chip batched decode: streams shard over the mesh's dp axis.
+
+    ``shard_map`` runs the full per-shard decode program (including the
+    Pallas attention kernels, which custom-call GSPMD cannot partition on
+    its own) on each chip's slice of the stream batch; weights replicate,
+    KV caches shard on the stream axis, and no collectives are needed —
+    streams are independent.  This is the TPU answer to "more concurrent
+    dialogues": one program over an ICI mesh instead of the reference's
+    one-replica-per-GPU processes (streaming_server.py:163-169).
+    """
+    import functools
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from llmvox_tpu.parallel.mesh import DP_AXIS
+
+    rep = P()
+    bsh = P(DP_AXIS)
+    state_specs = dec.DecodeState(
+        k_cache=P(None, DP_AXIS, None, None),
+        v_cache=P(None, DP_AXIS, None, None),
+        pos=bsh, prev_token=bsh, done=bsh)
+
+    fn = functools.partial(dec.decode_block_batch, cfg=cfg, block=block)
+
+    def wrapped(params, table, codebook, states, windows, text_lens, limits):
+        return fn(params, table, codebook, states, windows, text_lens,
+                  limits)
+
+    return jax.jit(shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(rep, rep, rep, state_specs, P(DP_AXIS, None), bsh, bsh),
+        out_specs=(P(DP_AXIS, None), bsh, state_specs),
+        check_rep=False))
+
+
 class BatchTTS:
     """Fixed-capacity batched decoder + codec for multi-stream synthesis."""
 
@@ -30,7 +66,7 @@ class BatchTTS:
                  scfg: Optional[ServeConfig] = None,
                  device: Optional[jax.Device] = None,
                  cache_dtype=jnp.bfloat16, param_dtype=None,
-                 block: Optional[int] = None):
+                 block: Optional[int] = None, mesh=None):
         self.dcfg = dcfg or DecoderConfig()
         self.scfg = scfg or ServeConfig()
         self.codec = codec
@@ -61,10 +97,24 @@ class BatchTTS:
         self.text_table = jnp.asarray(text_table)
         self.codebook = codec.params["codebooks"][0]
         self.tokenizer = ByT5Tokenizer()
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None:
+            dp = mesh.shape[next(iter(mesh.axis_names))]
+            assert self.B % dp == 0, (
+                f"{self.B} streams not divisible over {dp}-way dp mesh")
+            self._sharded = make_sharded_decode(self.dcfg, self.block, mesh)
 
     def decode_batch(self, states: dec.DecodeState, windows: np.ndarray,
                      text_lens: np.ndarray, limits: np.ndarray
                      ) -> Tuple[np.ndarray, dec.DecodeState]:
+        if self._sharded is not None:
+            tokens, _, states = self._sharded(
+                self.params, self.text_table, self.codebook, states,
+                jnp.asarray(windows, jnp.int32),
+                jnp.asarray(text_lens, jnp.int32),
+                jnp.asarray(limits, jnp.int32))
+            return tokens, states
         tokens, _, states = dec.decode_block_batch(
             self.params, self.text_table, self.codebook, states,
             jnp.asarray(windows, jnp.int32), jnp.asarray(text_lens, jnp.int32),

@@ -60,3 +60,22 @@ def test_tts_batch_matches_single_stream_tts():
     for i, (wav, (swav, stoks)) in enumerate(zip(wavs, singles)):
         assert wav.shape == swav.shape, f"stream {i}"
         np.testing.assert_allclose(wav, swav, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_batch_matches_unsharded():
+    """Streams sharded over a dp mesh decode identically to one chip."""
+    from llmvox_tpu.parallel import create_mesh
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    texts = [f"stream number {i} says something." for i in range(8)]
+
+    def make(mesh=None):
+        return BatchTTS(eng.params, np.asarray(eng.text_table), eng.codec,
+                        max_streams=8, dcfg=DEC_CFG, scfg=SERVE_CFG,
+                        cache_dtype=jnp.float32, mesh=mesh)
+
+    ref = make().tts_batch(texts, max_tokens=12)
+    got = make(create_mesh(dp_size=4, tp_size=1)).tts_batch(
+        texts, max_tokens=12)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
