@@ -32,15 +32,16 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     """(B, T, H, D) q/k/v -> (B, T, H, D), causal, softmax in fp32."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
+    from llmvox_tpu.ops.nn import mm_precision
     logits = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST) * scale
+                        precision=mm_precision(q.dtype)) * scale
     t = q.shape[1]
     mask = jnp.tril(jnp.ones((t, t), dtype=bool))
     logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", w, v,
-                      precision=lax.Precision.HIGHEST)
+                      precision=mm_precision(q.dtype))
 
 
 def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

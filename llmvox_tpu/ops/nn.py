@@ -63,6 +63,21 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return y.astype(x.dtype)
 
 
+def mm_precision(dtype) -> lax.Precision:
+    """Matmul precision by operand dtype.
+
+    f32 operands force HIGHEST: the default would silently truncate them
+    to bf16 on the MXU (the original parity bug — see conv/linear call
+    sites and the torch-oracle tests).  bf16 operands use DEFAULT: a
+    single MXU pass with f32 internal accumulation is already exact for
+    bf16 inputs, and HIGHEST would select a multi-pass algorithm several
+    times slower (measured 394 -> ~100 ms on the T=8192 training
+    forward).
+    """
+    return (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
+
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
            *, stride: int = 1, padding="SAME", dilation: int = 1,
            groups: int = 1) -> jnp.ndarray:
@@ -76,7 +91,7 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        precision=lax.Precision.HIGHEST,
+        precision=mm_precision(x.dtype),
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -98,7 +113,7 @@ def conv1d_transpose(x: jnp.ndarray, w: jnp.ndarray,
         x, w.astype(x.dtype), strides=(stride,), padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
         transpose_kernel=True,
-        precision=lax.Precision.HIGHEST,
+        precision=mm_precision(x.dtype),
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -109,7 +124,7 @@ def linear(x: jnp.ndarray, w: jnp.ndarray,
            b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dense layer; w is (Cin, Cout) — torch Linear.weight transposed."""
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype,
-                precision=lax.Precision.HIGHEST)
+                precision=mm_precision(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -126,7 +141,7 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        precision=lax.Precision.HIGHEST,
+        precision=mm_precision(x.dtype),
     )
     if b is not None:
         y = y + b.astype(y.dtype)
