@@ -79,7 +79,14 @@ def main(argv=None) -> None:
     if tcfg.eval_only:
         print(f"eval loss: {trainer.estimate_loss(batches, tcfg.eval_iters):.4f}")
         return
-    trainer.train(batches)
+    from llmvox_tpu.utils.logging import MetricsLogger
+    logger = MetricsLogger(tcfg.out_dir, tcfg.wandb_run_name,
+                           use_wandb=tcfg.wandb_log,
+                           wandb_project=tcfg.wandb_project)
+    try:
+        trainer.train(batches, logger=logger)
+    finally:
+        logger.close()
 
 
 if __name__ == "__main__":

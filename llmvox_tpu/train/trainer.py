@@ -156,7 +156,12 @@ class Trainer:
 
     # -- loop ------------------------------------------------------------
     def train(self, batches: Iterator[Tuple[np.ndarray, np.ndarray]],
-              max_iters: Optional[int] = None, log=print) -> None:
+              max_iters: Optional[int] = None, log=print,
+              logger=None) -> None:
+        """``logger``: optional utils.logging.MetricsLogger — mirrors the
+        reference's W&B logging of iter/loss/lr/mfu (train.py:343-350)."""
+        from llmvox_tpu.train.optim import lr_schedule
+        lr_fn = lr_schedule(self.tcfg)
         tcfg = self.tcfg
         max_iters = max_iters or tcfg.max_iters
         t0 = time.time()
@@ -165,6 +170,8 @@ class Trainer:
                     self.iter_num > 0):
                 val = self.estimate_loss(batches, tcfg.eval_iters)
                 log(f"iter {self.iter_num}: eval loss {val:.4f}")
+                if logger is not None:
+                    logger.log(self.iter_num, {"val/loss": float(val)})
                 self.save_checkpoint()
                 if tcfg.always_save_checkpoint:
                     self.save_checkpoint(
@@ -178,3 +185,7 @@ class Trainer:
                 mfu = estimate_mfu(self.mcfg, self.n_params, tokens, max(dt, 1e-9))
                 log(f"iter {self.iter_num}: loss {loss:.4f}, "
                     f"time {dt * 1000:.1f}ms, mfu {mfu * 100:.2f}%")
+                if logger is not None:
+                    logger.log(self.iter_num, {
+                        "train/loss": float(loss),
+                        "lr": float(lr_fn(self.iter_num)), "mfu": mfu})

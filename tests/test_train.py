@@ -204,3 +204,42 @@ def test_train_cli_smoke(tmp_path):
         "--eoa_token_id", "15",
     ])
     assert any(out.iterdir())
+
+
+def test_grad_accumulation_matches_big_batch():
+    """optax.MultiSteps(k) over k micro-batches == one k-times-bigger
+    batch step (reference grad-accum semantics, train.py:353-365)."""
+    import dataclasses
+    from llmvox_tpu.train.trainer import Trainer
+    from llmvox_tpu.utils.config import DecoderConfig, TrainConfig
+
+    mcfg = DecoderConfig(n_layer=1, n_head=2, n_embd=32, block_size=32,
+                         vocab_size=16, text_embed_dim=12,
+                         speech_embed_dim=20, eoa_token_id=15)
+    base = TrainConfig(batch_size=4, gradient_accumulation_steps=1,
+                       dp_size=1, dtype="float32", grad_clip=0.0,
+                       warmup_iters=0, lr_decay_iters=100)
+    accum = dataclasses.replace(base, batch_size=2,
+                                gradient_accumulation_steps=2)
+    rng = np.random.default_rng(0)
+    table = (0.02 * rng.standard_normal((mcfg.text_vocab_size,
+                                         mcfg.text_embed_dim))
+             ).astype(np.float32)
+    cb = (0.02 * rng.standard_normal((16, mcfg.speech_embed_dim))
+          ).astype(np.float32)
+    text = rng.integers(0, 384, (4, 16)).astype(np.int32)
+    tgt = rng.integers(0, 16, (4, 16)).astype(np.int32)
+
+    tr_big = Trainer(base, mcfg, table, cb)
+    tr_acc = Trainer(accum, mcfg, table, cb)
+    # same init params
+    tr_acc.state = tr_acc.state._replace(params=jax.device_put(
+        jax.device_get(tr_big.state.params)))
+    tr_big.step(text, tgt)
+    tr_acc.step(text[:2], tgt[:2])
+    tr_acc.step(text[2:], tgt[2:])
+    pa = jax.device_get(tr_big.state.params)
+    pb = jax.device_get(tr_acc.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
