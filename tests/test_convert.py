@@ -213,3 +213,45 @@ def test_prepare_data_cli(tmp_path):
     assert len(ds) == 2
     assert ds[0].codes.dtype == np.int32 and len(ds[0].codes) > 0
     assert ds[0].text_ids.dtype == np.int32 and len(ds[0].text_ids) > 0
+
+
+def test_copy_synthesis_cli(tmp_path):
+    """Codec copy-synthesis CLI (WavTokenizer/infer.py:44-68 counterpart):
+    wav -> encode -> decode -> reconstruction wav."""
+    import wave as wavemod
+    import jax
+    from llmvox_tpu.codec.codec import init_codec_params
+    from llmvox_tpu.tools import copy_synthesis as cs
+    from llmvox_tpu.train.checkpoint import save_params_npz
+    from llmvox_tpu.utils.audio import read_wav
+    from llmvox_tpu.utils.config import CodecConfig
+
+    cfg = CodecConfig(downsamples=(2, 2), n_filters=4, seanet_dimension=16,
+                      vq_dim=16, vq_bins=32, backbone_input_channels=16,
+                      backbone_dim=32, backbone_intermediate_dim=96,
+                      backbone_num_layers=1, n_fft=16, hop_length=4)
+    params = jax.device_get(
+        init_codec_params(jax.random.PRNGKey(1), cfg, with_encoder=True))
+    cp = tmp_path / "codec.npz"
+    save_params_npz(str(cp), params)
+
+    rng = np.random.default_rng(1)
+    pcm = (rng.standard_normal(800) * 3000).astype(np.int16)
+    src = tmp_path / "in.wav"
+    with wavemod.open(str(src), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(pcm.tobytes())
+
+    orig = cs.WavCodec.from_pretrained
+    cs.WavCodec.from_pretrained = classmethod(
+        lambda cls, path, **kw: orig(path, cfg=cfg))
+    try:
+        out_dir = tmp_path / "recon"
+        cs.main(["--codec_params", str(cp), "--inputs", str(src),
+                 "--out_dir", str(out_dir)])
+    finally:
+        cs.WavCodec.from_pretrained = orig
+    wav, sr = read_wav(str(out_dir / "in_recon.wav"))
+    assert sr == 24000 and len(wav) > 0 and np.isfinite(wav).all()
