@@ -188,3 +188,25 @@ def test_native_loadgen_against_server(server):
     stats = jsonlib.loads(out.stdout.strip())
     assert stats["failed"] == 0 and stats["completed"] == 4
     assert stats["audio_s"] > 0 and stats["mean_first_chunk_ms"] > 0
+
+
+@pytest.mark.slow
+def test_warmup_cache_cli(tmp_path, monkeypatch):
+    """The AOT warmup CLI compiles every serving program (tiny shapes)."""
+    monkeypatch.setenv("LLMVOX_COMPILE_CACHE", str(tmp_path / "cache"))
+    from llmvox_tpu.tools import warmup_cache
+    warmup_cache.main([
+        "--decode_block", "8", "--decode_block_large", "0",
+        "--initial_dump_size_1", "4", "--initial_dump_size_2", "8",
+        "--max_dump_size", "16", "--max_audio_length", "10",
+        "--chunk_buckets", "[4, 8]",
+        "--pool_capacity", "4", "--batch_streams", "2",
+        "--n_layer", "2", "--n_head", "2", "--n_embd", "32",
+        "--block_size", "64", "--vocab_size", "16",
+        "--text_embed_dim", "12", "--speech_embed_dim", "20",
+        "--eoa_token_id", "15",
+        "--vq_bins", "16", "--vq_dim", "20",
+        "--backbone_input_channels", "20", "--backbone_dim", "32",
+        "--backbone_intermediate_dim", "96", "--backbone_num_layers", "1",
+        "--n_fft", "16", "--hop_length", "4",
+    ])
