@@ -110,3 +110,27 @@ def test_fused_first_chunk_matches_unfused():
     won = np.frombuffer(b"".join(con), dtype="<f4")
     assert len(woff) == len(won)
     np.testing.assert_allclose(won, woff, atol=1e-4, rtol=1e-3)
+
+
+def test_long_dialogue_ping_pong_soak():
+    """Six sentences alternate replicas; every sentence emits audio and
+    the request terminates cleanly (the 'infinite dialogue' mechanism —
+    per-sentence KV reset keeps going indefinitely).
+
+    max_dump_size is capped below max_audio_length so the grown dump
+    ladder stays reachable in later sentences (the ladder persists per
+    replica across sentences, exactly like the reference; with the tiny
+    stack's default max_dump 16 > cap 10, sentences after the first
+    would faithfully discard their sub-dump buffers at the cap and emit
+    nothing).
+    """
+    import dataclasses
+    cfg = dataclasses.replace(SERVE_CFG, max_dump_size=8,
+                              initial_dump_size_2=4)
+    deltas = []
+    for i in range(6):
+        deltas += [f"sentence number {i} part one", "and its ending."]
+    chunks, trace = _run(deltas, cfg)
+    assert len(chunks) >= 6           # at least one chunk per sentence
+    total = sum(len(c) for c in chunks)
+    assert total % 4 == 0 and total > 0

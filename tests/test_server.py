@@ -210,3 +210,22 @@ def test_warmup_cache_cli(tmp_path, monkeypatch):
         "--backbone_intermediate_dim", "96", "--backbone_num_layers", "1",
         "--n_fft", "16", "--hop_length", "4",
     ])
+
+
+def test_client_disconnect_mid_stream_recovers(server):
+    """Dropping the connection mid-stream must not wedge the server."""
+    import http.client
+    host, port = server
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    body = '{"text": "a request that will be abandoned"}'
+    conn.request("POST", "/tts", body,
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    resp.read(8)          # take a few bytes of the stream...
+    conn.close()          # ...then hang up
+    time.sleep(0.5)
+    # the server must still serve a full request afterwards
+    wav, _ = collect_audio(
+        stream_request(host, port, "/tts", {"text": "still alive"},
+                       timeout=300))
+    assert len(wav) > 0
