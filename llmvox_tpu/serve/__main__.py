@@ -12,7 +12,8 @@ import argparse
 import numpy as np
 
 from llmvox_tpu.utils.config import (
-    DecoderConfig, ServeConfig, add_dataclass_args, apply_cli_overrides)
+    CodecConfig, DecoderConfig, ServeConfig, add_dataclass_args,
+    apply_cli_overrides)
 
 
 def main(argv=None) -> None:
@@ -29,9 +30,11 @@ def main(argv=None) -> None:
 
     parser = argparse.ArgumentParser(description="LLMVoX-TPU streaming server")
     add_dataclass_args(parser, ServeConfig)
+    add_dataclass_args(parser, CodecConfig)
     parser.add_argument("--byt5_table", type=str, required=False)
     args = parser.parse_args(argv)
     cfg = apply_cli_overrides(ServeConfig(), args)
+    ccfg = apply_cli_overrides(CodecConfig(), args)
 
     # decoder
     dec_params = load_params_npz(cfg.llmvox_checkpoint_path)
@@ -51,7 +54,8 @@ def main(argv=None) -> None:
              else jnp.float32)
     engines = []
     for dev in devs:
-        codec = WavCodec(codec_params, buckets=cfg.chunk_buckets, device=dev)
+        codec = WavCodec(codec_params, ccfg, buckets=cfg.chunk_buckets,
+                         device=dev)
         engines.append(TTSEngine(dec_params, table, codec, dcfg, cfg,
                                  device=dev, cache_dtype=dtype))
     print("warming up (compiling decode + synthesis buckets)...")

@@ -210,6 +210,10 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
     pool), requests run concurrently through the continuous-batching
     pool instead of the dedicated dual replicas."""
     scheduler = StreamingScheduler(engines, cfg) if engines else None
+    if stream_model is None and cfg.scripted_reply:
+        from llmvox_tpu.streams.scripted import ScriptedStream
+        stream_model = ScriptedStream([cfg.scripted_reply],
+                                      eos_token=cfg.eos_token)
     if stream_model is None:
         if cfg.chat_type in ("voice", "text"):
             from llmvox_tpu.streams.hf_llm import HFStreamModel

@@ -141,6 +141,12 @@ class ServeConfig:
     tokenizer_path: str = "google/byt5-small"
     llmvox_checkpoint_path: str = ""
 
+    # Text-stream source: when ``scripted_reply`` is non-empty the server
+    # answers every request with this fixed text through a ScriptedStream
+    # (demo/smoke-test mode, no LLM needed); otherwise the chat_type-
+    # appropriate HF streamer is loaded.
+    scripted_reply: str = ""
+
     # LLM settings (external text-stream source)
     llm_checkpoint: str = "meta-llama/Llama-3.1-8B-Instruct"
     llm_device: str = "cpu"
