@@ -51,3 +51,15 @@ def test_hf_llm_adapter_streams_deltas():
     deltas = list(sm.predict({"system": "be brief", "prompt": "hello"}))
     assert deltas, "streamer produced no deltas"
     assert all(isinstance(d, str) and d.strip() for d in deltas)
+
+
+def test_asr_base64_decode():
+    """base64 int16 PCM -> float32 [-1, 1] (inference/asr.py semantics)."""
+    import base64
+    from llmvox_tpu.streams.asr import WhisperASR
+    pcm = np.array([0, 16384, -32768, 32767], np.int16)
+    out = WhisperASR().decode_base64_audio(
+        base64.b64encode(pcm.tobytes()).decode())
+    np.testing.assert_allclose(
+        out, [0.0, 0.5, -1.0, 32767 / 32768.0], atol=1e-6)
+    assert out.dtype == np.float32
