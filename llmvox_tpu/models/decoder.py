@@ -95,12 +95,28 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
                   train: bool = False) -> jnp.ndarray:
     """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal."""
     b, t, c = emb.shape
-    x = emb + params["wpe"][:t].astype(emb.dtype)
-    if train and cfg.dropout > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - cfg.dropout, x.shape)
-        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+    use_dropout = train and cfg.dropout > 0.0 and dropout_rng is not None
 
-    def block(x, p):
+    def drop(x, rng):
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
+        return jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+
+    x = emb + params["wpe"][:t].astype(emb.dtype)
+    if use_dropout:
+        # reference dropout sites (src/model.py): embedding drop, the two
+        # residual drops per block (after attention proj and after the
+        # MLP proj).  The attention-matrix dropout inside SDPA is omitted
+        # (inactive at the deployed dropout=0.0, and incompatible with
+        # the blockwise flash path).
+        emb_rng, layers_rng = jax.random.split(dropout_rng)
+        x = drop(x, emb_rng)
+        layer_rngs = jax.random.split(layers_rng, cfg.n_layer * 2).reshape(
+            cfg.n_layer, 2, -1)
+    else:
+        layer_rngs = jnp.zeros((cfg.n_layer, 2, 2), jnp.uint32)
+
+    def block(x, scan_in):
+        p, rngs = scan_in
         hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
         qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -109,14 +125,20 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
         k = k.reshape(b, t, cfg.n_head, hd)
         v = v.reshape(b, t, cfg.n_head, hd)
         a = causal_attention_auto(q, k, v).reshape(b, t, c)
-        x = x + nn.linear(a, p["wo"], _get(p, "bo"))
+        a = nn.linear(a, p["wo"], _get(p, "bo"))
+        if use_dropout:
+            a = drop(a, rngs[0])
+        x = x + a
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.linear(hnorm, p["wfc"], _get(p, "bfc"))
         m = nn.gelu_tanh(m)
-        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
+        m = nn.linear(m, p["wproj"], _get(p, "bproj"))
+        if use_dropout:
+            m = drop(m, rngs[1])
+        x = x + m
         return x, None
 
-    x, _ = lax.scan(block, x, params["h"])
+    x, _ = lax.scan(block, x, (params["h"], layer_rngs))
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     return nn.linear(x, params["head"]).astype(jnp.float32)
 

@@ -168,3 +168,23 @@ def test_crop_block_size():
     crop = dec.apply_decoder(cropped, emb, ccfg)
     np.testing.assert_allclose(np.asarray(full), np.asarray(crop),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dropout_sites_active_in_training():
+    """With dropout > 0 the forward is stochastic per rng and averages
+    near the eval forward (embedding + two residual drops per block,
+    src/model.py parity)."""
+    cfg = dataclasses.replace(SMALL, dropout=0.5)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    emb = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, cfg.n_embd)), jnp.float32)
+    a = dec.apply_decoder(params, emb, cfg,
+                          dropout_rng=jax.random.PRNGKey(1), train=True)
+    b = dec.apply_decoder(params, emb, cfg,
+                          dropout_rng=jax.random.PRNGKey(2), train=True)
+    c = dec.apply_decoder(params, emb, cfg, train=False)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+    # eval (train=False) ignores dropout entirely and is deterministic
+    d = dec.apply_decoder(params, emb, cfg, train=False)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
