@@ -285,3 +285,20 @@ def test_serve_cli_smoke(tmp_path):
     wav, _ = collect_audio(stream_request(
         "127.0.0.1", port, "/tts", {"text": "hello"}, timeout=300))
     assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_terminal_demo_against_server(server, tmp_path, monkeypatch):
+    """TerminalDemo drives one round trip against the live server
+    (reference run_ui.py counterpart, headless path: no PyAudio)."""
+    import builtins
+    from llmvox_tpu.serve.ui import TerminalDemo
+    host, port = server
+    prompts = iter(["say something short", "exit"])
+    monkeypatch.setattr(builtins, "input", lambda *_: next(prompts))
+    demo = TerminalDemo(host, port, save_dir=str(tmp_path))
+    demo.chat()
+    saved = list(tmp_path.glob("reply_*.wav"))
+    assert len(saved) == 1
+    from llmvox_tpu.utils.audio import read_wav
+    wav, sr = read_wav(str(saved[0]))
+    assert sr == 24000 and len(wav) > 0
