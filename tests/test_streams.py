@@ -63,3 +63,28 @@ def test_asr_base64_decode():
     np.testing.assert_allclose(
         out, [0.0, 0.5, -1.0, 32767 / 32768.0], atol=1e-6)
     assert out.dtype == np.float32
+
+
+def test_multimodal_decode_helpers():
+    """base64 audio/image decoding (multimodal_streaming.py semantics:
+    int16 -> [-1,1] float; base64 -> RGB PIL)."""
+    import base64
+    import io
+    pytest.importorskip("PIL")
+    from PIL import Image
+    from llmvox_tpu.streams.hf_multimodal import HFStreamMultimodal
+    from llmvox_tpu.streams.hf_vlm import HFStreamVLM
+
+    pcm = np.array([-32768, 0, 32767], np.int16)
+    wav, sr = HFStreamMultimodal.decode_audio(
+        base64.b64encode(pcm.tobytes()).decode())
+    assert sr == 16000
+    np.testing.assert_allclose(wav, [-1.0, 0.0, 32767 / 32768.0], atol=1e-6)
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 3), 128).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    imgs = HFStreamMultimodal.decode_images([b64])
+    assert len(imgs) == 1 and imgs[0].mode == "RGB" and imgs[0].size == (4, 3)
+    img = HFStreamVLM.decode_image(b64)
+    assert img.mode == "RGB" and img.size == (4, 3)
