@@ -58,7 +58,9 @@ def validate_decoder(reference: str, ckpt: str, tol: float = 2e-3) -> bool:
     from src.model import GPT, GPTConfig  # reference implementation
     blob = torch.load(ckpt, map_location="cpu", weights_only=False)
     margs = dict(blob["model_args"])
-    margs.setdefault("is_train", False)
+    # is_train=True makes the reference SDPA causal — required for a
+    # full-sequence logit comparison (src/model.py:85-93)
+    margs["is_train"] = True
     model = GPT(GPTConfig(**{k: v for k, v in margs.items()
                              if k in GPTConfig.__dataclass_fields__}))
     sd = {k.replace("_orig_mod.", ""): v for k, v in blob["model"].items()}
@@ -72,18 +74,49 @@ def validate_decoder(reference: str, ckpt: str, tol: float = 2e-3) -> bool:
 
     ours = np.asarray(dec.apply_decoder(params, jnp.asarray(emb), cfg))
     with torch.no_grad():
-        ref_logits, _ = model(torch.from_numpy(emb), train=True) \
-            if "train" in model.forward.__code__.co_varnames else \
-            model(torch.from_numpy(emb))
+        # GPT.forward returns (logits, loss, new_kvcache); passing targets
+        # makes it emit full-sequence logits (src/model.py:201-237)
+        dummy_targets = torch.zeros((1, t), dtype=torch.long)
+        ref_logits = model(torch.from_numpy(emb), targets=dummy_targets)[0]
     ref = ref_logits.float().numpy()
     if ref.shape[1] == 1:  # inference mode returns last position only
         ours = ours[:, -1:]
     return _report("decoder logits", ours, ref, tol)
 
 
+def _stub_torchaudio() -> None:
+    """The reference codec imports torchaudio, which isn't in this image;
+    the Encodec decode path never calls it, so satisfy the imports with a
+    stub (HTK mel converters included for completeness)."""
+    import sys
+    import types
+    try:
+        import torchaudio  # noqa: F401
+        return
+    except ImportError:
+        pass
+    ta = types.ModuleType("torchaudio")
+    ta.__path__ = []
+    tr = types.ModuleType("torchaudio.transforms")
+    tr.MelSpectrogram = None
+    fn = types.ModuleType("torchaudio.functional")
+    fn.__path__ = []
+    fnf = types.ModuleType("torchaudio.functional.functional")
+    fnf._hz_to_mel = lambda f, mel_scale="htk": 2595.0 * np.log10(
+        1.0 + f / 700.0)
+    fnf._mel_to_hz = lambda m, mel_scale="htk": 700.0 * (
+        10.0 ** (m / 2595.0) - 1.0)
+    ta.transforms, ta.functional, fn.functional = tr, fn, fnf
+    for name, mod in (("torchaudio", ta), ("torchaudio.transforms", tr),
+                      ("torchaudio.functional", fn),
+                      ("torchaudio.functional.functional", fnf)):
+        sys.modules.setdefault(name, mod)
+
+
 def validate_codec(reference: str, ckpt: str, config_yaml: str = "",
                    tol: float = 5e-3) -> bool:
     import torch
+    _stub_torchaudio()
     import jax.numpy as jnp
     from llmvox_tpu.codec.codec import WavCodec
     from llmvox_tpu.tools.convert import convert_wavtokenizer_ckpt
