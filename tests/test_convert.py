@@ -260,7 +260,12 @@ def test_copy_synthesis_cli(tmp_path):
 
 
 @pytest.mark.slow
-def test_validate_parity_harness_success_path(tmp_path):
+@pytest.mark.parametrize("cfg", [
+    CFG,
+    DecoderConfig(n_layer=4, n_head=8, n_embd=768, block_size=8192,
+                  vocab_size=4096, bias=False),   # deployed shapes
+], ids=["tiny", "deployed"])
+def test_validate_parity_harness_success_path(tmp_path, cfg):
     """tools/validate_parity against a SYNTHETIC reference-format
     checkpoint: converts it, imports the actual reference torch model
     from /root/reference, and must report parity (proves the harness
@@ -271,11 +276,11 @@ def test_validate_parity_harness_success_path(tmp_path):
     from llmvox_tpu.tools import validate_parity
 
     gen = np.random.default_rng(5)
-    sd = _make_decoder_sd(CFG, gen, prefix="_orig_mod.")
+    sd = _make_decoder_sd(cfg, gen, prefix="_orig_mod.")
     blob = {"model": sd,
-            "model_args": dict(n_layer=CFG.n_layer, n_head=CFG.n_head,
-                               n_embd=CFG.n_embd, block_size=CFG.block_size,
-                               bias=CFG.bias, vocab_size=CFG.vocab_size,
+            "model_args": dict(n_layer=cfg.n_layer, n_head=cfg.n_head,
+                               n_embd=cfg.n_embd, block_size=cfg.block_size,
+                               bias=cfg.bias, vocab_size=cfg.vocab_size,
                                dropout=0.0)}
     ckpt = tmp_path / "synthetic_ref.pt"
     torch.save(blob, str(ckpt))
