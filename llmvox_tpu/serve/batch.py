@@ -33,7 +33,10 @@ def make_sharded_decode(cfg: DecoderConfig, block: int, mesh):
     one-replica-per-GPU processes (streaming_server.py:163-169).
     """
     import functools
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from llmvox_tpu.parallel.mesh import DP_AXIS
 
@@ -50,11 +53,17 @@ def make_sharded_decode(cfg: DecoderConfig, block: int, mesh):
         return fn(params, table, codebook, states, windows, text_lens,
                   limits)
 
-    return jax.jit(shard_map(
-        wrapped, mesh=mesh,
-        in_specs=(rep, rep, rep, state_specs, P(DP_AXIS, None), bsh, bsh),
-        out_specs=(P(DP_AXIS, None), bsh, state_specs),
-        check_rep=False))
+    kwargs = dict(mesh=mesh,
+                  in_specs=(rep, rep, rep, state_specs, P(DP_AXIS, None),
+                            bsh, bsh),
+                  out_specs=(P(DP_AXIS, None), bsh, state_specs))
+    # the per-shard program mixes shard-varying carries with replicated
+    # constants (and pallas custom calls), so the replication/vma checker
+    # must be off — flag name depends on the jax version
+    try:
+        return jax.jit(shard_map(wrapped, check_vma=False, **kwargs))
+    except TypeError:
+        return jax.jit(shard_map(wrapped, check_rep=False, **kwargs))
 
 
 class BatchTTS:
