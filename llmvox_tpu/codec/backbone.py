@@ -64,7 +64,9 @@ def init_backbone(key: jax.Array, cfg: CodecConfig) -> Dict:
     gamma0 = 1.0 / nlayers  # layer_scale_init_value (models.py:183)
 
     def stack(i, f):
-        ks = jax.random.split(keys[15], nlayers)
+        # Fold the group index in so dwconv/pw1/pw2 get independent init
+        # streams (previously all three split the same key).
+        ks = jax.random.split(jax.random.fold_in(keys[15], i), nlayers)
         return jnp.stack([f(ks[j]) for j in range(nlayers)])
 
     convnext = {

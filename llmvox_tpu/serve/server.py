@@ -22,8 +22,9 @@ reference crosses 3 thread boundaries per chunk, streaming_server.py:513-534).
 from __future__ import annotations
 
 import asyncio
+import collections
 import json
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from llmvox_tpu.serve.scheduler import StreamingScheduler
 from llmvox_tpu.streams.protocol import aiter_stream
@@ -56,7 +57,7 @@ class TTSServer:
             self._busy = asyncio.Semaphore(max(pool.B // 2, 1))
         else:
             self._busy = asyncio.Lock()
-        self.traces: List[Dict] = []
+        self.traces = collections.deque(maxlen=50)
 
     # -- request -> text stream ---------------------------------------
     def _make_text_stream(self, path: str, body: Dict):
@@ -111,7 +112,7 @@ class TTSServer:
                     "version": "1.0.0",
                 })
             elif method == "GET" and path == "/stats":
-                await self._plain(writer, 200, {"requests": self.traces[-50:]})
+                await self._plain(writer, 200, {"requests": list(self.traces)})
             elif method == "POST" and path in (
                     "/tts", "/voicechat", "/multimodalchat", "/vlmschat"):
                 await self._stream_response(writer, path,
@@ -142,33 +143,47 @@ class TTSServer:
         await writer.drain()
 
     async def _stream_response(self, writer, path: str, body: Dict) -> None:
+        # Validate the body and construct the text stream BEFORE the 200
+        # header: a bad request (missing "text", ASR failure, ...) must
+        # surface as a clean JSON error response, not a raw status line
+        # spliced into an already-open chunked body.
+        text_stream = aiter_stream(self._make_text_stream(path, body))
         writer.write(
             b"HTTP/1.1 200 OK\r\n"
             b"Content-Type: application/octet-stream\r\n"
             b"Transfer-Encoding: chunked\r\n"
             b"Access-Control-Allow-Origin: *\r\nConnection: close\r\n\r\n")
         await writer.drain()
-        async with self._busy:
-            trace = Trace(path)
-            text_stream = aiter_stream(self._make_text_stream(path, body))
-            if self.pool is not None:
-                from llmvox_tpu.serve.pool import PooledEngine
-                engines = [PooledEngine(self.pool, self.cfg),
-                           PooledEngine(self.pool, self.cfg)]
-                scheduler = StreamingScheduler(engines, self.cfg)
-            else:
-                engines = None
-                scheduler = self.scheduler
-            try:
-                async for chunk in scheduler.run(text_stream, trace=trace):
-                    writer.write(f"{len(chunk):x}\r\n".encode() + chunk
-                                 + b"\r\n")
-                    await writer.drain()
-            finally:
-                if engines is not None:
-                    for e in engines:
-                        e.close()
-            self.traces.append(trace.summary())
+        try:
+            async with self._busy:
+                trace = Trace(path)
+                if self.pool is not None:
+                    from llmvox_tpu.serve.pool import PooledEngine
+                    engines = [PooledEngine(self.pool, self.cfg),
+                               PooledEngine(self.pool, self.cfg)]
+                    scheduler = StreamingScheduler(engines, self.cfg)
+                else:
+                    engines = None
+                    scheduler = self.scheduler
+                try:
+                    async for chunk in scheduler.run(text_stream,
+                                                     trace=trace):
+                        writer.write(f"{len(chunk):x}\r\n".encode() + chunk
+                                     + b"\r\n")
+                        await writer.drain()
+                finally:
+                    if engines is not None:
+                        for e in engines:
+                            e.close()
+                self.traces.append(trace.summary())
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                BrokenPipeError):
+            raise
+        except Exception as e:  # noqa: BLE001 — streaming already began
+            # The 200 header is on the wire; a second status line would be
+            # malformed HTTP.  Terminate the chunked body instead so the
+            # client sees a short (truncated-audio) but valid response.
+            print(f"[server] error mid-stream on {path}: {e!r}")
         writer.write(b"0\r\n\r\n")
         await writer.drain()
 

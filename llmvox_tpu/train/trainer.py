@@ -165,6 +165,7 @@ class Trainer:
         tcfg = self.tcfg
         max_iters = max_iters or tcfg.max_iters
         t0 = time.time()
+        last_log_iter = self.iter_num
         while self.iter_num < max_iters:
             if (self.iter_num % tcfg.eval_interval == 0 and
                     self.iter_num > 0):
@@ -181,7 +182,11 @@ class Trainer:
             if self.iter_num % tcfg.log_interval == 0:
                 dt = time.time() - t0
                 t0 = time.time()
-                tokens = text_ids.shape[0] * text_ids.shape[1]
+                # dt spans every iteration since the last log, so tokens
+                # must too (with log_interval=1 this is one batch).
+                n_iters = max(self.iter_num - last_log_iter, 1)
+                last_log_iter = self.iter_num
+                tokens = text_ids.shape[0] * text_ids.shape[1] * n_iters
                 mfu = estimate_mfu(self.mcfg, self.n_params, tokens, max(dt, 1e-9))
                 log(f"iter {self.iter_num}: loss {loss:.4f}, "
                     f"time {dt * 1000:.1f}ms, mfu {mfu * 100:.2f}%")

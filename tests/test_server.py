@@ -302,3 +302,27 @@ def test_terminal_demo_against_server(server, tmp_path, monkeypatch):
     from llmvox_tpu.utils.audio import read_wav
     wav, sr = read_wav(str(saved[0]))
     assert sr == 24000 and len(wav) > 0
+
+
+def test_missing_text_key_yields_clean_json_error(server):
+    """ADVICE r1: the body must be validated BEFORE the 200 chunked header
+    goes out, so a bad request gets one well-formed JSON error response —
+    not a raw status line spliced into an open chunked body."""
+    import http.client
+    import json
+    host, port = server
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("POST", "/tts", json.dumps({}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 500
+    err = json.loads(resp.read())
+    assert "error" in err
+
+
+def test_traces_are_bounded(server):
+    """ADVICE r1: per-request traces must not grow without bound."""
+    from llmvox_tpu.serve.server import TTSServer
+    from tests.tiny_stack import SERVE_CFG
+    srv = TTSServer(None, SERVE_CFG)
+    assert srv.traces.maxlen == 50

