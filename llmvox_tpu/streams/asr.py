@@ -21,10 +21,17 @@ class WhisperASR:
         self.transcriber = None
 
     def load(self) -> None:
+        import os
+
         from transformers import pipeline
-        model_name = f"openai/whisper-{self.config.asr_model}"
+        # A bare variant name ("small", "large-v3") maps to the openai hub
+        # repo like the reference (inference/asr.py:31); a path or an
+        # org-qualified id is used verbatim so local models work.
+        name = self.config.asr_model
+        if not (os.path.sep in name or "/" in name or os.path.isdir(name)):
+            name = f"openai/whisper-{name}"
         self.transcriber = pipeline(
-            "automatic-speech-recognition", model=model_name,
+            "automatic-speech-recognition", model=name,
             device=self.config.asr_device)
 
     def decode_base64_audio(self, audio_base64: str) -> np.ndarray:
