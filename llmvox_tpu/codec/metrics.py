@@ -7,17 +7,36 @@ Built-in, dependency-free metrics:
   pitch tracker (the reference uses torchcrepe, metrics/periodicity.py;
   same metric definitions over a lighter F0 estimator)
 
-Optional plug-ins, used when their packages/models are installed:
-- ``pesq_score`` (pesq package), ``utmos_score`` (UTMOS checkpoint) —
-  mirroring experiment.py:241-255.
+Optional plug-ins, used when their packages/models are installed (or when
+a backend is registered with ``register_plugin``):
+- ``pesq_score`` (pesq package), ``stoi_score`` (pystoi package),
+  ``utmos_score`` (UTMOS checkpoint) — mirroring experiment.py:241-255 and
+  metrics/infer.py:1-115.
+
+Batch evaluation over a decoded test set: ``llmvox_tpu.codec.eval``.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 from llmvox_tpu.codec.mel import mel_spectrogram, safe_log
+
+# Plug-in backends: name -> callable.  Lets deployments (and tests) inject
+# a scorer without the optional package/checkpoint being importable here —
+# e.g. ``register_plugin("utmos", my_predictor)`` where my_predictor takes
+# (wav, sr) and returns a float.
+_PLUGINS: Dict[str, Callable] = {}
+
+
+def register_plugin(name: str, fn: Optional[Callable]) -> None:
+    """Register (or, with ``fn=None``, remove) a metric backend.
+    Names: ``"pesq"``, ``"stoi"``, ``"utmos"``."""
+    if fn is None:
+        _PLUGINS.pop(name, None)
+    else:
+        _PLUGINS[name] = fn
 
 
 def mel_distance(y_hat: np.ndarray, y: np.ndarray,
@@ -94,7 +113,10 @@ def pitch_metrics(y_hat: np.ndarray, y: np.ndarray, sr: int = 16000,
 
 def pesq_score(y_hat: np.ndarray, y: np.ndarray,
                sr: int = 16000) -> Optional[float]:
-    """Wideband PESQ when the pesq package is installed (experiment.py:246-255)."""
+    """Wideband PESQ (experiment.py:246-255): registered backend first,
+    else the pesq package, else None."""
+    if "pesq" in _PLUGINS:
+        return float(_PLUGINS["pesq"](y_hat, y, sr))
     try:
         from pesq import pesq
     except ImportError:
@@ -102,8 +124,25 @@ def pesq_score(y_hat: np.ndarray, y: np.ndarray,
     return float(pesq(sr, y, y_hat, "wb", on_error=1))
 
 
+def stoi_score(y_hat: np.ndarray, y: np.ndarray,
+               sr: int = 16000) -> Optional[float]:
+    """STOI intelligibility (metrics/infer.py uses pystoi): registered
+    backend first, else the pystoi package, else None."""
+    if "stoi" in _PLUGINS:
+        return float(_PLUGINS["stoi"](y_hat, y, sr))
+    try:
+        from pystoi import stoi
+    except ImportError:
+        return None
+    t = min(len(y_hat), len(y))
+    return float(stoi(y[:t], y_hat[:t], sr, extended=False))
+
+
 def utmos_score(y_hat: np.ndarray, sr: int = 16000) -> Optional[float]:
-    """UTMOS MOS prediction when its checkpoint stack is installed."""
+    """UTMOS MOS prediction (metrics/UTMOS.py counterpart): registered
+    backend first, else torch.hub's SpeechMOS checkpoint, else None."""
+    if "utmos" in _PLUGINS:
+        return float(_PLUGINS["utmos"](y_hat, sr))
     try:
         import torch
         predictor = torch.hub.load("tarepan/SpeechMOS:v1.2.0",
@@ -129,6 +168,9 @@ def evaluate_pair(y_hat: np.ndarray, y: np.ndarray,
     p = pesq_score(yh16, y16)
     if p is not None:
         out["pesq"] = p
+    s = stoi_score(yh16, y16)
+    if s is not None:
+        out["stoi"] = s
     u = utmos_score(yh16)
     if u is not None:
         out["utmos"] = u

@@ -55,3 +55,108 @@ def test_spectrogram_image():
     assert img.dtype == np.uint8
     assert img.shape[0] == 100 and img.shape[1] > 10
     assert img.max() == 255
+
+
+def _write_wav(path, wav, sr=24000):
+    import wave as wavemod
+    pcm = np.clip(wav * 32767, -32768, 32767).astype(np.int16)
+    with wavemod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def test_plugin_scores_through_fake_models():
+    """The UTMOS/PESQ/STOI plug-in paths (experiment.py:241-255,
+    metrics/infer.py) run through registered fake backends."""
+    from llmvox_tpu.codec import metrics as M
+
+    M.register_plugin("pesq", lambda y_hat, y, sr: 3.5)
+    M.register_plugin("stoi", lambda y_hat, y, sr: 0.91)
+    M.register_plugin("utmos", lambda y_hat, sr: 4.2)
+    try:
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal(24000).astype(np.float32) * 0.1
+        out = M.evaluate_pair(y + 0.01, y)
+        assert out["pesq"] == 3.5
+        assert out["stoi"] == 0.91
+        assert out["utmos"] == 4.2
+        assert np.isfinite(out["mel_distance"]) and np.isfinite(out["si_snr"])
+    finally:
+        for name in ("pesq", "stoi", "utmos"):
+            M.register_plugin(name, None)
+
+
+def test_eval_cli_over_recon_dir(tmp_path):
+    """Batch evaluator over pre-decoded files (metrics/infer.py:1-115
+    counterpart): filelist + recon dir -> per-file rows + mean report."""
+    from llmvox_tpu.codec import eval as E
+    from llmvox_tpu.codec import metrics as M
+
+    rng = np.random.default_rng(0)
+    recon_dir = tmp_path / "recon"
+    recon_dir.mkdir()
+    refs = []
+    for i, recon_name in enumerate(["a_recon.wav", "b.wav"]):
+        y = rng.standard_normal(12000).astype(np.float32) * 0.1
+        ref = tmp_path / f"{'ab'[i]}.wav"
+        _write_wav(ref, y)
+        _write_wav(recon_dir / recon_name, y + 0.005)
+        refs.append(str(ref))
+    filelist = tmp_path / "files.txt"
+    filelist.write_text("\n".join(refs))
+    # a missing reconstruction is skipped with a warning, not a crash
+    extra = tmp_path / "c.wav"
+    _write_wav(extra, rng.standard_normal(6000).astype(np.float32) * 0.1)
+
+    M.register_plugin("utmos", lambda y_hat, sr: 4.0)
+    try:
+        out_json = tmp_path / "report.json"
+        report = E.main(["--refs", str(filelist), str(extra),
+                         "--recon_dir", str(recon_dir),
+                         "--out_json", str(out_json)])
+    finally:
+        M.register_plugin("utmos", None)
+    assert report["n"] == 2
+    assert {"mel_distance", "si_snr", "utmos"} <= set(report["mean"])
+    assert report["mean"]["utmos"] == 4.0
+    assert out_json.exists()
+    import json
+    saved = json.loads(out_json.read_text())
+    assert saved["n"] == 2 and len(saved["per_file"]) == 2
+
+
+def test_eval_cli_codec_synthesis_mode(tmp_path):
+    """--codec_params mode: copy-synthesize through a tiny codec, then
+    score (WavTokenizer/infer.py + metrics/infer.py in one command)."""
+    import jax
+    from llmvox_tpu.codec import eval as E
+    from llmvox_tpu.codec.codec import init_codec_params
+    from llmvox_tpu.train.checkpoint import save_params_npz
+
+    cp = tmp_path / "codec.npz"
+    from llmvox_tpu.utils.config import CodecConfig
+    cfg = CodecConfig(downsamples=(2, 2), n_filters=4, seanet_dimension=16,
+                      vq_dim=16, vq_bins=32, backbone_input_channels=16,
+                      backbone_dim=32, backbone_intermediate_dim=96,
+                      backbone_num_layers=1, n_fft=16, hop_length=4)
+    params = jax.device_get(
+        init_codec_params(jax.random.PRNGKey(1), cfg, with_encoder=True))
+    save_params_npz(str(cp), params)
+
+    rng = np.random.default_rng(1)
+    ref = tmp_path / "in.wav"
+    _write_wav(ref, rng.standard_normal(800).astype(np.float32) * 0.1)
+
+    report = E.main(["--refs", str(ref), "--codec_params", str(cp),
+                     "--downsamples", "[2, 2]", "--n_filters", "4",
+                     "--seanet_dimension", "16", "--vq_dim", "16",
+                     "--vq_bins", "32", "--backbone_input_channels", "16",
+                     "--backbone_dim", "32",
+                     "--backbone_intermediate_dim", "96",
+                     "--backbone_num_layers", "1",
+                     "--n_fft", "16", "--hop_length", "4"])
+    assert report["n"] == 1
+    assert np.isfinite(report["mean"]["mel_distance"])
+    assert np.isfinite(report["mean"]["si_snr"])
