@@ -465,50 +465,20 @@ def decode_block_batch(params: Dict, text_table: jnp.ndarray,
       (tokens (B, block) with -1 at inactive slots, n (B,), states)
     """
     compute_dtype = states.k_cache.dtype
-    b = text_windows.shape[0]
 
-    fused = None
-    if cfg.use_fused_step:
-        # one Pallas launch per step: all layers + head + argmax fused
-        # around a static weight-tile DMA stream (ops/pallas_step.py)
-        from llmvox_tpu.ops import pallas_step as ps
-        assert not cfg.bias, "fused step supports the no-bias config only"
-        tiles = ps.pack_step_weights(params, cfg)
-        hp = params["h"]
-        interp = jax.default_backend() == "cpu"
+    # NOTE on a road not taken: round 1 built a monolithic fused decode-step
+    # Pallas kernel (all layers + head + argmax around a static weight-tile
+    # DMA stream).  After three optimization rounds it ran 14.2 ms per
+    # 8x32 block vs 9.5 ms for this per-layer XLA + Pallas-attention path:
+    # at this shape the step is DMA-latency-bound, the 16 MB VMEM budget
+    # caps the weight double-buffer at ~3.5 MB pieces, and XLA's deeper
+    # matmul software pipeline wins.  The kernel was removed (git history:
+    # ops/pallas_step.py); its transferable lessons — defer row scatters
+    # one scan step to keep caches a single donated buffer, use per-layer
+    # static-index cache scatters (the advanced-index form copies the
+    # whole cache, ~2.6 ms/step) — are already applied here.
 
-        barange = jnp.arange(b)
-
-        def fused(x, st, pending):
-            # Deferred row scatter: step i's k/v rows are written at the
-            # START of step i+1 (and after the scan for the last step).
-            # The kernel only reads history < pos, so correctness is
-            # unchanged — but the caches flow scatter -> kernel-read ->
-            # carry as one donated buffer, instead of being copied
-            # around the custom call every step.
-            krows_p, vrows_p, pos_p = pending
-            # per-layer static-index scatters lower to cheap in-place
-            # row updates; the full-L advanced-index form measured ~3x
-            # slower standalone
-            kc, vc = st.k_cache, st.v_cache
-            for l in range(cfg.n_layer):
-                kc = kc.at[l, barange, pos_p].set(krows_p[l])
-                vc = vc.at[l, barange, pos_p].set(vrows_p[l])
-            x = x + params["wpe"][st.pos].astype(x.dtype)
-            tokens, krows, vrows = ps.fused_decode_step(
-                tiles, hp["ln1_s"], hp["ln2_s"], params["lnf_s"], x,
-                kc, vc, st.pos, n_layer=cfg.n_layer,
-                n_head=cfg.n_head, vocab=cfg.vocab_size, eps=cfg.ln_eps,
-                interpret=interp)
-            new_pending = (jnp.swapaxes(krows, 0, 1),
-                           jnp.swapaxes(vrows, 0, 1), st.pos)
-            return tokens, kc, vc, new_pending
-
-    def step(carry, i):
-        if fused is not None:
-            st, pending = carry
-        else:
-            st = carry
+    def step(st, i):
         active = jnp.logical_and(i < limits, jnp.logical_not(st.done))
         tid = jnp.where(st.pos < text_lens, text_windows[:, i],
                         cfg.pad_token_id)
@@ -519,38 +489,16 @@ def decode_block_batch(params: Dict, text_table: jnp.ndarray,
         x = nn.l2_normalize(jnp.concatenate([temb, sfeat], axis=-1))
         x = x.astype(compute_dtype)
 
-        if fused is not None:
-            tokens, new_k, new_v, pending = fused(x, st, pending)
-        else:
-            tokens, new_k, new_v = _decode_one_batch(params, cfg, x, st)
+        tokens, new_k, new_v = _decode_one_batch(params, cfg, x, st)
         pos = jnp.where(active, st.pos + 1, st.pos)
         prev = jnp.where(active, tokens, st.prev_token)
         done = jnp.logical_or(
             st.done, jnp.logical_and(active, tokens == cfg.eoa_token_id))
         out = jnp.where(active, tokens, jnp.int32(-1))
-        new_st = DecodeState(new_k, new_v, pos, prev, done)
-        if fused is not None:
-            return (new_st, pending), out
-        return new_st, out
+        return DecodeState(new_k, new_v, pos, prev, done), out
 
-    if fused is not None:
-        # self-scatter of the current cache rows = a no-op first write
-        barange = jnp.arange(b)
-        pending0 = (states.k_cache[:, barange, states.pos],
-                    states.v_cache[:, barange, states.pos], states.pos)
-        (states, pending), tokens = lax.scan(
-            step, (states, pending0), jnp.arange(block, dtype=jnp.int32))
-        # flush the last step's rows
-        krows_p, vrows_p, pos_p = pending
-        kc, vc = states.k_cache, states.v_cache
-        for l in range(cfg.n_layer):
-            kc = kc.at[l, barange, pos_p].set(krows_p[l])
-            vc = vc.at[l, barange, pos_p].set(vrows_p[l])
-        states = DecodeState(kc, vc, states.pos, states.prev_token,
-                             states.done)
-    else:
-        states, tokens = lax.scan(step, states,
-                                  jnp.arange(block, dtype=jnp.int32))
+    states, tokens = lax.scan(step, states,
+                              jnp.arange(block, dtype=jnp.int32))
     tokens = jnp.swapaxes(tokens, 0, 1)                         # (B, block)
     n = jnp.sum((tokens >= 0).astype(jnp.int32), axis=-1)
     return tokens, n, states

@@ -64,9 +64,6 @@ class DecoderConfig:
     unroll_layers: bool = False   # unroll the decode layer loop (compile
                                   # time vs marginal step speed)
     use_pallas_attention: bool = False  # Pallas fused decode attention
-    use_fused_step: bool = False  # whole decode step (all layers + head +
-                                  # argmax) as ONE Pallas launch; batched
-                                  # path only, requires bias=False
 
     @property
     def head_dim(self) -> int:
