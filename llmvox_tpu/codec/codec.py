@@ -145,6 +145,16 @@ class WavCodec:
         hop = self.cfg.hop_length
         return [wav[i, : int(lengths[i]) * hop] for i in range(b)]
 
+    def decode_codes_device(self, codes: jnp.ndarray, lengths,
+                            bandwidth_id: int = 0) -> jnp.ndarray:
+        """Device-chained ragged decode: (B, bucket) int32 DEVICE codes
+        (already padded to a bucket width) -> (B, bucket*hop) device
+        waveform.  No host transfer on either side — callers chain this on
+        other device computations (e.g. the pool's fused first chunk) and
+        fetch everything in one round trip."""
+        return _decode_codes(self.params, codes, jnp.int32(bandwidth_id),
+                             jnp.asarray(lengths, jnp.int32), self.cfg)
+
     def decode(self, features: jnp.ndarray, bandwidth_id: int = 0) -> jnp.ndarray:
         """(B, L, 512) features -> (B, hop*L) waveform (device array)."""
         return _decode_features(self.params, features,

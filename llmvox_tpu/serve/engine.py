@@ -169,17 +169,20 @@ class TTSEngine:
 
     def decode_block_fused_async(self, state: dec.DecodeState,
                                  text_window: np.ndarray, text_len: int,
-                                 limit: int, dump: int
+                                 limit: int, dump: int,
+                                 block: Optional[int] = None
                                  ) -> Tuple[PendingFused, dec.DecodeState]:
         """Dispatch decode + synthesis of the block's first ``dump``
         tokens as one device call (one round trip for the sentence's
-        first audio chunk)."""
+        first audio chunk).  ``block`` overrides the block length (the
+        scheduler uses a short first block: the first chunk needs only
+        ``dump`` tokens)."""
         bucket = self.codec.bucket_for(dump)
         packed, state = _fused_first_block(
             self.params, self.codec.params, self.text_table, self.codebook,
             state, jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
-            jnp.int32(limit), self.dcfg, self.codec.cfg, self.block, dump,
-            bucket)
+            jnp.int32(limit), self.dcfg, self.codec.cfg,
+            block or self.block, dump, bucket)
         return PendingFused(packed, dump * self.codec.cfg.hop_length), state
 
     def decode_block(self, state: dec.DecodeState, text_window: np.ndarray,
@@ -208,18 +211,30 @@ class TTSEngine:
             window = np.full(big, self.dcfg.pad_token_id, np.int32)
             p, _ = self.decode_block_async(state, window, 1, 1, block=big)
             p.fetch()
+        first = self.scfg.first_decode_block
+        if first >= self.block:
+            first = 0  # the scheduler only ever shrinks the first call
+        if first:
+            state = self.new_state()
+            window = np.full(first, self.dcfg.pad_token_id, np.int32)
+            p, _ = self.decode_block_async(state, window, 1, 1, block=first)
+            p.fetch()
         if self.scfg.fused_first_chunk:
             # the dump-ladder sizes a sentence can start with that fit in
-            # one decode block all get a compiled fused program
-            d = self.scfg.initial_dump_size_1
-            while d <= self.block:
-                state = self.new_state()
-                window = np.full(self.block, self.dcfg.pad_token_id,
-                                 np.int32)
-                p, _ = self.decode_block_fused_async(state, window, 1,
-                                                     self.block, d)
-                p.fetch()
-                d *= self.scfg.dump_growth_factor
+            # one decode block all get a compiled fused program, at both
+            # first-block lengths the scheduler can pick
+            blocks = {self.block}
+            if first:
+                blocks.add(first)
+            for blk in sorted(blocks):
+                d = self.scfg.initial_dump_size_1
+                while d <= blk:
+                    state = self.new_state()
+                    window = np.full(blk, self.dcfg.pad_token_id, np.int32)
+                    p, _ = self.decode_block_fused_async(state, window, 1,
+                                                         blk, d, block=blk)
+                    p.fetch()
+                    d *= self.scfg.dump_growth_factor
         self.codec.warmup()
 
     # -- offline TTS ---------------------------------------------------

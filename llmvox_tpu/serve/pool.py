@@ -29,14 +29,40 @@ from llmvox_tpu.models import decoder as dec
 from llmvox_tpu.utils.config import DecoderConfig, ServeConfig
 
 
-class _Request:
-    __slots__ = ("window", "text_len", "limit", "future")
+from functools import partial
 
-    def __init__(self, window, text_len, limit, future):
+
+@partial(jax.jit, static_argnames=("bucket",))
+def _gather_rows(tokens: jnp.ndarray, idx: jnp.ndarray,
+                 bucket: int) -> jnp.ndarray:
+    """Select fused slots' token rows and shape them for the ragged
+    vocoder: (S, bucket) int32, inactive (-1) entries clamped to code 0."""
+    rows = jnp.maximum(tokens[idx], 0)
+    b = rows.shape[1]
+    if bucket <= b:
+        return rows[:, :bucket]
+    return jnp.pad(rows, ((0, 0), (0, bucket - b)))
+
+
+@jax.jit
+def _masked_reset(states, mask):
+    zi = jnp.int32(0)
+    return states._replace(
+        pos=jnp.where(mask, zi, states.pos),
+        prev_token=jnp.where(mask, zi, states.prev_token),
+        done=jnp.where(mask, False, states.done))
+
+
+class _Request:
+    __slots__ = ("window", "text_len", "limit", "future", "fused_dump")
+
+    def __init__(self, window, text_len, limit, future, fused_dump=0):
         self.window = window
         self.text_len = text_len
         self.limit = limit
         self.future = future
+        self.fused_dump = fused_dump  # >0: vocode the block's first N
+                                      # tokens on-device with the decode
 
 
 class _Slot:
@@ -92,6 +118,9 @@ class DecodePool:
 
         self.states = dec.init_decode_state_batch(self.dcfg, self.B,
                                                   cache_dtype)
+        # one fixed vocoder bucket for fused first chunks (dump <= block)
+        self._fuse_bucket = codec.bucket_for(min(self.block,
+                                                 max(codec.buckets)))
         self.slots = [_Slot() for _ in range(self.B)]
         self._task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
@@ -123,12 +152,14 @@ class DecodePool:
 
     # -- stepping -------------------------------------------------------
     def submit(self, idx: int, window: np.ndarray, text_len: int,
-               limit: int) -> asyncio.Future:
-        """Enqueue a block request; resolves with the block's tokens."""
+               limit: int, fused_dump: int = 0) -> asyncio.Future:
+        """Enqueue a block request; resolves with the block's tokens (or,
+        with ``fused_dump > 0``, with ``(tokens, first_chunk_bytes|None)``)."""
         loop = asyncio.get_running_loop()
         fut = loop.create_future()
         self.slots[idx].queue.append(
-            _Request(np.array(window, np.int32), text_len, limit, fut))
+            _Request(np.array(window, np.int32), text_len, limit, fut,
+                     fused_dump))
         if self._wake is not None:
             self._wake.set()
         return fut
@@ -139,12 +170,13 @@ class DecodePool:
             return
         # Resetting pos/prev/done suffices: cache rows beyond pos are never
         # attended (mask idx <= pos) and get overwritten before being read.
-        idx = jnp.asarray(idxs, jnp.int32)
-        st = self.states
-        self.states = st._replace(
-            pos=st.pos.at[idx].set(0),
-            prev_token=st.prev_token.at[idx].set(0),
-            done=st.done.at[idx].set(False))
+        # Fixed-shape (B,) mask, NOT a gather over the reset indices: an
+        # index-array scatter compiles one program per distinct reset
+        # count, which made the first concurrent batch after startup pay
+        # up to B tunnel compile/load stalls (~10 s observed).
+        mask = np.zeros((self.B,), bool)
+        mask[idxs] = True
+        self.states = _masked_reset(self.states, jnp.asarray(mask))
         for i in idxs:
             self.slots[i].pending_reset = False
 
@@ -172,14 +204,47 @@ class DecodePool:
                     self.params, self.text_table, self.codebook, self.states,
                     jnp.asarray(windows), jnp.asarray(text_lens),
                     jnp.asarray(limits), self.dcfg, block=self.block)
-                toks = await asyncio.to_thread(np.asarray, tokens)
+                # Fused first chunks: vocode each fused slot's first
+                # fused_dump tokens in a device call CHAINED on the decode
+                # output — the sentence's first audio costs one host
+                # round trip, like the dedicated engines' fused path.
+                fused = [(i, req) for i, req in heads
+                         if req.fused_dump > 0][: self.SYNTH_BATCH]
+                wavs = None
+                if fused:
+                    fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
+                    flens = np.ones((self.SYNTH_BATCH,), np.int32)
+                    for j, (i, req) in enumerate(fused):
+                        fidx[j] = i
+                        flens[j] = req.fused_dump
+                    rows = _gather_rows(tokens, jnp.asarray(fidx),
+                                        self._fuse_bucket)
+                    wavs = self.codec.decode_codes_device(rows, flens)
+                    self.synth_calls += 1
+                toks, wavs_h = await asyncio.to_thread(
+                    jax.device_get, (tokens, wavs))
                 self.steps += 1
+                # slot -> (synth row, dump): rows follow the FUSED list
+                # order, not the heads order (a staggered step mixes fused
+                # and non-fused slots)
+                fused_slots = {i: (j, req.fused_dump)
+                               for j, (i, req) in enumerate(fused)}
+                hop = self.codec.cfg.hop_length
                 for i, req in heads:
                     if self.slots[i].queue and self.slots[i].queue[0] is req:
                         self.slots[i].queue.popleft()
-                    if not req.future.done():
-                        req.future.set_result(
-                            [int(t) for t in toks[i] if t >= 0])
+                    if req.future.done():
+                        continue
+                    out = [int(t) for t in toks[i] if t >= 0]
+                    if req.fused_dump > 0:
+                        audio = None
+                        if i in fused_slots and len(out) >= req.fused_dump:
+                            j, dump = fused_slots[i]
+                            audio = np.asarray(wavs_h[j][: dump * hop],
+                                               dtype="<f4").tobytes()
+                        req.future.set_result((out, audio))
+                    else:
+                        req.future.set_result(out)
                 # yield so consumers can enqueue follow-up blocks and new
                 # streams can join the next gather
                 await asyncio.sleep(0)
@@ -258,6 +323,11 @@ class DecodePool:
             jnp.asarray(windows), np.ones((self.B,), np.int32),
             np.ones((self.B,), np.int32), self.dcfg, block=self.block)
         np.asarray(tokens)
+        # fused first-chunk path: gather + chained ragged vocode
+        rows = _gather_rows(tokens, jnp.zeros((self.SYNTH_BATCH,), jnp.int32),
+                            self._fuse_bucket)
+        np.asarray(self.codec.decode_codes_device(
+            rows, np.ones((self.SYNTH_BATCH,), np.int32)))
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
@@ -349,6 +419,19 @@ class PooledEngine:
         assert block is None or block == self.block, \
             "pool slots decode at the pool's fixed block size"
         fut = self.pool.submit(self.slot, window, text_len, limit)
+        return PooledEngine._Pending(fut), None
+
+    def decode_block_fused_async(self, state, window: np.ndarray,
+                                 text_len: int, limit: int, dump: int,
+                                 block: Optional[int] = None):
+        """Decode + on-device vocode of the block's first ``dump`` tokens:
+        the pool chains the ragged synth on the batched decode output, so
+        the sentence's first chunk costs one host round trip (the pooled
+        counterpart of TTSEngine.decode_block_fused_async)."""
+        assert block is None or block == self.block
+        assert dump <= self.block
+        fut = self.pool.submit(self.slot, window, text_len, limit,
+                               fused_dump=dump)
         return PooledEngine._Pending(fut), None
 
     def synthesize(self, codes: Sequence[int]) -> bytes:

@@ -158,6 +158,9 @@ class StreamingScheduler:
         block = engine.block
         fixed = getattr(engine, "fixed_block", False)
         big_block = 0 if fixed else (cfg.decode_block_large or 0)
+        first_block = 0 if fixed else (cfg.first_decode_block or 0)
+        if first_block >= block:
+            first_block = 0  # only ever SHRINK the first device call
         can_fuse = (cfg.fused_first_chunk
                     and hasattr(engine, "decode_block_fused_async"))
 
@@ -267,6 +270,13 @@ class StreamingScheduler:
                     if (big_block > block
                             and st.n_generated >= cfg.decode_block_switch):
                         cur = big_block
+                    elif (first_block and issued == 0
+                          and st.n_generated == 0
+                          and dump_size <= first_block):
+                        # sentence's first device call: a short block — the
+                        # first chunk needs only dump_size tokens, so the
+                        # extra decode_block-dump steps would just delay it
+                        cur = first_block
                     if issued + cur > dcfg.block_size:
                         # KV-cache capacity guard (the reference would
                         # assert at 8192, src/model.py:205); close out like
@@ -289,7 +299,7 @@ class StreamingScheduler:
                             if (can_fuse and issued == 0
                                     and st.n_generated == 0
                                     and dump_size <= limit
-                                    and cur == block):
+                                    and cur in (block, first_block)):
                                 # sentence's first block: synthesize its
                                 # first dump-size chunk in the same device
                                 # call — one round trip to first audio
@@ -297,7 +307,7 @@ class StreamingScheduler:
                                     engine.decode_block_fused_async(
                                         dec_state, window,
                                         len(st.text_ids), limit,
-                                        dump_size))
+                                        dump_size, block=cur))
                             else:
                                 nxt, dec_state = engine.decode_block_async(
                                     dec_state, window, len(st.text_ids),

@@ -193,6 +193,11 @@ class ServeConfig:
     # detection.  Set decode_block_large=0 to disable.
     decode_block_large: int = 128
     decode_block_switch: int = 192
+    # Smaller FIRST block for the sentence's first device call (dedicated
+    # engines only): the first chunk needs just ``initial_dump_size_1``
+    # tokens, so decoding a short block shaves the extra steps off the
+    # first-audio latency.  0 disables (first block = decode_block).
+    first_decode_block: int = 16
     # Fuse the sentence's first decode block with synthesis of its first
     # dump-size chunk into one device program: the first audio chunk costs
     # one host round-trip instead of two.

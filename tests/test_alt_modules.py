@@ -1,6 +1,7 @@
 """Alternative codec modules: IMDCT heads, ResNet backbone, mel features,
 SEANet decoder — the reference's shipped-but-not-deployed variants."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -60,6 +61,7 @@ def test_imdct_heads_run():
     assert np.isfinite(np.asarray(audio)).all()
 
 
+@pytest.mark.slow
 def test_resnet_backbone_shapes():
     p = bb.init_resnet_backbone(jax.random.PRNGKey(0), input_channels=8,
                                 dim=16, num_blocks=2)
@@ -77,6 +79,7 @@ def test_mel_features_shapes():
         assert np.isfinite(np.asarray(feats)).all()
 
 
+@pytest.mark.slow
 def test_seanet_decoder_roundtrip_shapes():
     cfg = CodecConfig(downsamples=(2, 2), n_filters=4, seanet_dimension=16)
     enc = seanet.init_seanet_encoder(jax.random.PRNGKey(0), cfg)
@@ -90,6 +93,7 @@ def test_seanet_decoder_roundtrip_shapes():
     assert np.isfinite(np.asarray(recon)).all()
 
 
+@pytest.mark.slow
 def test_msstft_discriminator_runs():
     from llmvox_tpu.codec import discriminators as disc
     params = disc.init_msstft(jax.random.PRNGKey(0), fft_sizes=(256,),

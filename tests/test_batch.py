@@ -1,5 +1,6 @@
 """Multi-stream batched decode tests: batched == per-stream results."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from llmvox_tpu.serve.batch import BatchTTS
 from tests.tiny_stack import CODEC_CFG, DEC_CFG, SERVE_CFG, make_engines
 
 
+@pytest.mark.slow
 def test_decode_block_batch_matches_single():
     eng = make_engines(0, SERVE_CFG, n=1)[0]
     rng = np.random.default_rng(1)
@@ -34,6 +36,7 @@ def test_decode_block_batch_matches_single():
         np.testing.assert_array_equal(toks_b[i], np.asarray(toks))
 
 
+@pytest.mark.slow
 def test_ragged_batched_codec_decode_matches_exact():
     eng = make_engines(0, SERVE_CFG, n=1)[0]
     codec: WavCodec = eng.codec
@@ -49,6 +52,7 @@ def test_ragged_batched_codec_decode_matches_exact():
         np.testing.assert_allclose(wavs[i], exact[0], atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_tts_batch_matches_single_stream_tts():
     eng = make_engines(0, SERVE_CFG, n=1)[0]
     batch = BatchTTS(eng.params, np.asarray(eng.text_table), eng.codec,
@@ -62,6 +66,7 @@ def test_tts_batch_matches_single_stream_tts():
         np.testing.assert_allclose(wav, swav, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_unsharded():
     """Streams sharded over a dp mesh decode identically to one chip."""
     from llmvox_tpu.parallel import create_mesh

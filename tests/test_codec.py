@@ -84,6 +84,7 @@ def test_full_backbone_matches_torch(small_params):
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_full_codec_decode_matches_torch(small_params):
     rng = np.random.default_rng(6)
     params = _randomize(small_params, rng)
@@ -95,6 +96,7 @@ def test_full_codec_decode_matches_torch(small_params):
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_bucket_padding_matches_exact():
     """Padded-to-bucket decode must equal exact-length decode bit-for-bit
     on the kept samples (valid_len masking through GroupNorm stats,
@@ -118,6 +120,7 @@ def test_decode_is_deterministic(small_params):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_frame40_config_decode_matches_torch():
     """WavTokenizer 40-token/s variant (reference
     wavtokenizer/configs/*frame40*: n_fft 2400, hop 600) end-to-end at the

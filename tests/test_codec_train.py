@@ -53,6 +53,7 @@ def test_mel_filterbank_shape_and_coverage():
     assert mel.shape == (1, 100, 4096 // 256 + 1)
 
 
+@pytest.mark.slow
 def test_discriminator_p_structure():
     params = disc.init_mpd(jax.random.PRNGKey(0), periods=(2, 3))
     x = jnp.asarray(RNG.standard_normal((1, 600)), jnp.float32)
@@ -62,6 +63,7 @@ def test_discriminator_p_structure():
     assert score.ndim == 2 and score.shape[0] == 1
 
 
+@pytest.mark.slow
 def test_discriminator_r_structure():
     params = disc.init_mrd(jax.random.PRNGKey(0),
                            resolutions=((256, 64, 256),))
@@ -71,6 +73,7 @@ def test_discriminator_r_structure():
     assert np.isfinite(np.asarray(score)).all()
 
 
+@pytest.mark.slow
 def test_dac_discriminator_structure():
     params = disc.init_dac(jax.random.PRNGKey(0), periods=(2,),
                            fft_sizes=(512,))
@@ -92,6 +95,7 @@ def test_hinge_losses_reference_values():
     np.testing.assert_allclose(float(losses.generator_loss(gen)), 1.75)
 
 
+@pytest.mark.slow
 def test_vq_train_step_semantics():
     key = jax.random.PRNGKey(0)
     state = vq_train.init_vq_state(key, bins=8, dim=4)
@@ -122,6 +126,7 @@ def test_data_utils():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_codec_gan_step_end_to_end():
     from llmvox_tpu.parallel import create_mesh
     trainer = CodecTrainer(TINY_CODEC, TINY_TRAIN,
@@ -144,6 +149,7 @@ def test_codec_gan_step_end_to_end():
     assert np.isfinite(m["val_mel_loss"])
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_codec_main_cli_smoke(tmp_path):
     """The training CLI (WavTokenizer/train.py:7-15 counterpart) runs
@@ -187,6 +193,7 @@ def test_codec_main_cli_smoke(tmp_path):
     assert any(out.iterdir())
 
 
+@pytest.mark.slow
 def test_validation_metrics_full():
     trainer = CodecTrainer(TINY_CODEC, TINY_TRAIN)
     audio = 0.1 * RNG.standard_normal(

@@ -161,6 +161,7 @@ def test_byt5_embedding_resize():
     np.testing.assert_allclose(out[385], w.mean(axis=0), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_prepare_data_cli(tmp_path):
     """Offline dataset prep: wav + manifest -> prepared npz (counterpart
     of the reference's in-dataloader encode, src/data.py:94-96)."""
@@ -265,6 +266,7 @@ def test_copy_synthesis_cli(tmp_path):
     DecoderConfig(n_layer=4, n_head=8, n_embd=768, block_size=8192,
                   vocab_size=4096, bias=False),   # deployed shapes
 ], ids=["tiny", "deployed"])
+@pytest.mark.slow
 def test_validate_parity_harness_success_path(tmp_path, cfg):
     """tools/validate_parity against a SYNTHETIC reference-format
     checkpoint: converts it, imports the actual reference torch model
@@ -287,6 +289,7 @@ def test_validate_parity_harness_success_path(tmp_path, cfg):
     assert validate_parity.validate_decoder("/root/reference", str(ckpt))
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_validate_parity_codec_success_path(tmp_path):
     """Deployed-size codec golden check: instantiate the reference model

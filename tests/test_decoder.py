@@ -78,6 +78,7 @@ def _greedy_reference(params, cfg, text_table, codebook, text_ids, n_steps):
     return tokens
 
 
+@pytest.mark.slow
 def test_decode_block_matches_full_context_greedy():
     # EOA placed outside the vocab so the random model never terminates —
     # this test checks pure decode parity, not termination.

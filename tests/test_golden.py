@@ -15,8 +15,10 @@ from llmvox_tpu.models import decoder as dec
 from tests.tiny_stack import CODEC_CFG, DEC_CFG
 
 GOLD_WAV_64_72 = np.array(
-    [-0.00112053, -0.00101594, 0.00505602, 0.01782391, 0.0125955,
-     -0.00437088, -0.00211064, -0.00712393], np.float32)
+    [-0.00071269, -0.00138509, 0.00525481, 0.01789602, 0.01238939,
+     -0.00470402, -0.00181157, -0.00708952], np.float32)
+# regenerated 2026-08-16: the ConvNeXt stack init decorrelation (fold_in
+# of the group index) legitimately changed seed-7 init values
 GOLD_LOGITS_LAST6 = np.array(
     [-0.16990805, 0.10210532, 0.08495979, 0.04162084, -0.08015186,
      0.1314225], np.float32)

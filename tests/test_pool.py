@@ -27,6 +27,7 @@ def _reference_chunks(deltas):
     return asyncio.run(asyncio.wait_for(go(), timeout=300))
 
 
+@pytest.mark.slow
 def test_concurrent_pooled_requests_match_single_engine():
     eng = make_engines(0, SERVE_CFG, n=1)[0]
     requests = [

@@ -120,6 +120,7 @@ def _fake_batches(cfg, bs, rng):
         yield dmod.collate(samples, cfg, bucket=16)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss_on_dp8_mesh(tiny_trainer):
     rng = np.random.default_rng(2)
     batches = _fake_batches(TINY, 8, rng)
@@ -177,6 +178,7 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(out["nested"]["b"], tree["nested"]["b"])
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     """The decoder training CLI (reference train.py:47-136 counterpart)
     runs end-to-end on a tiny synthetic dataset."""
@@ -206,6 +208,7 @@ def test_train_cli_smoke(tmp_path):
     assert any(out.iterdir())
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_big_batch():
     """optax.MultiSteps(k) over k micro-batches == one k-times-bigger
     batch step (reference grad-accum semantics, train.py:353-365)."""
