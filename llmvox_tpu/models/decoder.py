@@ -138,7 +138,12 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
         x = x + m
         return x, None
 
-    x, _ = lax.scan(block, x, (params["h"], layer_rngs))
+    # remat_layers: recompute each block in the backward pass instead of
+    # saving its intermediates (qkv, attention output, f32 MLP hidden —
+    # the 4x(B,T,4C) f32 gelu inputs alone are 3 GB at bs8/T8192).
+    # Trades ~1 extra forward of FLOPs for O(layers) less live memory.
+    body = jax.checkpoint(block) if cfg.remat_layers else block
+    x, _ = lax.scan(body, x, (params["h"], layer_rngs))
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     return nn.linear(x, params["head"]).astype(jnp.float32)
 

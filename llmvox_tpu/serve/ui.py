@@ -146,7 +146,13 @@ class MicrophoneListener(threading.Thread):
 # PyQt5 UI (gated)
 # ---------------------------------------------------------------------------
 
-def launch_qt_ui(host: str = "127.0.0.1", port: int = 5003) -> None:
+def build_qt_window(host: str = "127.0.0.1", port: int = 5003,
+                    start_threads: bool = True):
+    """Construct the Qt application + 3-tab window (reference
+    run_ui.py:253-855).  ``start_threads=False`` skips the webcam/mic
+    capture threads so the window can be built headless
+    (QT_QPA_PLATFORM=offscreen) for smoke tests.  Returns (app, window).
+    """
     try:
         from PyQt5 import QtCore, QtGui, QtWidgets
     except ImportError as e:
@@ -201,7 +207,8 @@ def launch_qt_ui(host: str = "127.0.0.1", port: int = 5003) -> None:
             vlay.addWidget(self.voice_status)
             tabs.addTab(voice_tab, "Voice Chat")
             self.mic = MicrophoneListener(self._on_utterance)
-            self.mic.start()
+            if start_threads:
+                self.mic.start()
 
             # -- visual tab ------------------------------------------
             visual_tab = QtWidgets.QWidget()
@@ -210,7 +217,8 @@ def launch_qt_ui(host: str = "127.0.0.1", port: int = 5003) -> None:
             vilay.addWidget(self.cam_label)
             tabs.addTab(visual_tab, "Visual Chat")
             self.webcam.frame_ready.connect(self._show_frame)
-            self.webcam.start()
+            if start_threads:
+                self.webcam.start()
 
         def _show_frame(self, frame):
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
@@ -250,8 +258,14 @@ def launch_qt_ui(host: str = "127.0.0.1", port: int = 5003) -> None:
             for chunk in tts_client.stream_request(host, port, path, payload):
                 player.play(chunk)
 
-    app = QtWidgets.QApplication(sys.argv)
+    app = QtWidgets.QApplication.instance() or QtWidgets.QApplication(
+        sys.argv)
     win = ChatWindow()
+    return app, win
+
+
+def launch_qt_ui(host: str = "127.0.0.1", port: int = 5003) -> None:
+    app, win = build_qt_window(host, port)
     win.show()
     sys.exit(app.exec_())
 

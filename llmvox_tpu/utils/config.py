@@ -64,6 +64,9 @@ class DecoderConfig:
     unroll_layers: bool = False   # unroll the decode layer loop (compile
                                   # time vs marginal step speed)
     use_pallas_attention: bool = False  # Pallas fused decode attention
+    remat_layers: bool = False    # jax.checkpoint each transformer block
+                                  # in training (needed for bs >= 8 at
+                                  # T=8192 on one 16 GB chip)
 
     @property
     def head_dim(self) -> int:

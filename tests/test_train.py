@@ -297,3 +297,29 @@ def test_mfu_accounts_for_log_interval():
     expect = estimate_mfu(TINY, tr.n_params, b * t, 1.0)
     for m in mfus:
         np.testing.assert_allclose(m, expect, rtol=1e-6)
+
+
+def test_remat_layers_matches_non_remat():
+    """remat_layers (jax.checkpoint per block) must not change the math —
+    same loss and grads, just less backward memory (the bs8/T8192 OOM
+    fix; VERDICT r1 #6)."""
+    import dataclasses
+    from llmvox_tpu.models import decoder as dec2
+
+    cfg = TINY
+    rcfg = dataclasses.replace(TINY, remat_layers=True)
+    params = dec2.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((2, 12, cfg.n_embd)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)), jnp.int32)
+
+    def loss_fn(c):
+        return lambda p: dec2.decoder_loss(p, emb, tgt, c, train=False)
+
+    l0, g0 = jax.value_and_grad(loss_fn(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(rcfg))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
