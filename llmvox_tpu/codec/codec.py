@@ -34,8 +34,9 @@ DEFAULT_BUCKETS = (16, 32, 96, 288, 512, 896, 1280)
 
 
 def init_codec_params(key: jax.Array, cfg: CodecConfig,
-                      with_encoder: bool = False) -> Dict:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+                      with_encoder: bool = False,
+                      with_decoder: bool = False) -> Dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params = {
         "codebooks": vq.init_codebooks(k1, cfg.num_quantizers, cfg.vq_bins,
                                        cfg.vq_dim),
@@ -44,6 +45,8 @@ def init_codec_params(key: jax.Array, cfg: CodecConfig,
     }
     if with_encoder:
         params["encoder"] = seanet.init_seanet_encoder(k4, cfg)
+    if with_decoder:
+        params["seanet_decoder"] = seanet.init_seanet_decoder(k5, cfg)
     return params
 
 
@@ -179,3 +182,95 @@ class WavCodec:
         for n in self.buckets:
             self.decode_codes(np.zeros((batch_size, n), np.int32),
                               pad_to_bucket=False)
+
+    # -- Encodec frame segmentation (encoder/model.py:126-188) -------------
+    def segment_geometry(self, segment_s: Optional[float],
+                         overlap: float = 0.01):
+        """(segment_length, stride) in samples; (None, None) = whole signal
+        (the deployed config, encoder/model.py:112-123)."""
+        if segment_s is None:
+            return None, None
+        seg = int(segment_s * self.cfg.sample_rate)
+        return seg, max(1, int((1 - overlap) * seg))
+
+    def encode_frames(self, wav, segment_s: Optional[float] = None,
+                      overlap: float = 0.01, normalize: bool = False,
+                      bandwidth_id: int = 0):
+        """Segmented encode (EncodecModel.encode, encoder/model.py:126-163):
+        slice (B, T) audio into segment_length windows every stride
+        samples; each frame is optionally volume-normalized (scale = rms
+        + 1e-8) then SEANet-encoded + quantized.  Returns a list of
+        (codes (B, L), scale (B, 1) | None) frames.
+        """
+        wav = np.asarray(wav, np.float32)
+        b, length = wav.shape
+        seg, stride = self.segment_geometry(segment_s, overlap)
+        if seg is None:
+            seg = stride = length
+        frames = []
+        for off in range(0, length, stride):
+            x = wav[:, off: off + seg]
+            scale = None
+            if normalize:
+                volume = np.sqrt(np.mean(x ** 2, axis=-1, keepdims=True))
+                scale = 1e-8 + volume
+                x = x / scale
+            _, codes = self.encode_infer(x, bandwidth_id)
+            frames.append((np.asarray(codes), scale))
+        return frames
+
+    def decode_frames(self, frames, segment_s: Optional[float] = None,
+                      overlap: float = 0.01) -> np.ndarray:
+        """Segmented decode (EncodecModel.decode, encoder/model.py:166-188):
+        each frame's codes go through the SEANet DECODER (the Encodec
+        reconstruction path; the streaming path uses the ConvNeXt/ISTFT
+        head instead), scaled back if normalized, then merged by linear
+        overlap-add.  Output may be slightly longer than the input; the
+        caller trims (model.py:189-191).
+        """
+        if "seanet_decoder" not in self.params:
+            raise ValueError("codec params have no SEANet decoder weights")
+        _, stride = self.segment_geometry(segment_s, overlap)
+        outs = []
+        for codes, scale in frames:
+            feats = self.codes_to_features(codes)
+            wav = np.asarray(_seanet_decode(self.params, feats, self.cfg))
+            if scale is not None:
+                wav = wav * np.asarray(scale)
+            outs.append(wav)
+        if stride is None:
+            assert len(outs) == 1
+            return outs[0]
+        return linear_overlap_add(outs, stride)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _seanet_decode(params: Dict, feats: jnp.ndarray,
+                   cfg: CodecConfig) -> jnp.ndarray:
+    return seanet.apply_seanet_decoder(params["seanet_decoder"], feats, cfg)
+
+
+def linear_overlap_add(frames, stride: int) -> np.ndarray:
+    """Triangle-weighted overlap-add (encoder/utils.py:16-60
+    ``_linear_overlap_add``): each frame is weighted by a triangle peaking
+    at its middle; the sum is normalized by the total weight per position,
+    so a single-frame region is a no-op and a two-frame overlap is the
+    exact linear crossfade.
+    """
+    assert len(frames)
+    frames = [np.asarray(f, np.float32) for f in frames]
+    shape = frames[0].shape[:-1]
+    total = stride * (len(frames) - 1) + frames[-1].shape[-1]
+    frame_length = frames[0].shape[-1]
+    t = np.linspace(0, 1, frame_length + 2, dtype=np.float32)[1:-1]
+    weight = 0.5 - np.abs(t - 0.5)
+    sum_weight = np.zeros((total,), np.float32)
+    out = np.zeros(shape + (total,), np.float32)
+    offset = 0
+    for frame in frames:
+        n = frame.shape[-1]
+        out[..., offset: offset + n] += weight[:n] * frame
+        sum_weight[offset: offset + n] += weight[:n]
+        offset += stride
+    assert sum_weight.min() > 0
+    return out / sum_weight
