@@ -288,6 +288,55 @@ def convert_wavtokenizer_ckpt(ckpt_path: str, with_encoder: bool = True) -> Dict
 # ---------------------------------------------------------------------------
 # ByT5 embedding table
 # ---------------------------------------------------------------------------
+# Encodec LM (encoder/model.py:27-66; pretrained encodec_lm_*.th)
+# ---------------------------------------------------------------------------
+
+def convert_lm_state_dict(sd: Mapping, n_q: int, num_layers: int = 5) -> Dict:
+    """torch ``LMModel`` state dict -> ``codec/lm.py`` params.
+
+    Layer weights are stacked on a leading depth axis (the lax.scan
+    layout); ``in_proj_weight`` (3D, D) becomes the (D, 3D) ``qkv.w`` so
+    q/k/v are column slices.
+    """
+    sd = strip_prefix(dict(sd))
+
+    def stack(fmt: str, f=_np):
+        return np.stack([f(sd[fmt.format(i)]) for i in range(num_layers)])
+
+    t = "transformer.layers.{}."
+    layers = {
+        "qkv": {"w": stack(t + "self_attn.in_proj_weight", _lin_w),
+                "b": stack(t + "self_attn.in_proj_bias")},
+        "out": {"w": stack(t + "self_attn.out_proj.weight", _lin_w),
+                "b": stack(t + "self_attn.out_proj.bias")},
+        "ff1": {"w": stack(t + "linear1.weight", _lin_w),
+                "b": stack(t + "linear1.bias")},
+        "ff2": {"w": stack(t + "linear2.weight", _lin_w),
+                "b": stack(t + "linear2.bias")},
+        "norm1": {"scale": stack(t + "norm1.weight"),
+                  "bias": stack(t + "norm1.bias")},
+        "norm2": {"scale": stack(t + "norm2.weight"),
+                  "bias": stack(t + "norm2.bias")},
+    }
+    transformer = {"layers": layers}
+    if "transformer.norm_in.weight" in sd:
+        transformer["norm_in"] = {
+            "scale": _np(sd["transformer.norm_in.weight"]),
+            "bias": _np(sd["transformer.norm_in.bias"]),
+        }
+    return {
+        "emb": np.stack([_np(sd[f"emb.{k}.weight"]) for k in range(n_q)]),
+        "heads": {
+            "w": np.stack([_lin_w(sd[f"linears.{k}.weight"])
+                           for k in range(n_q)]),
+            "b": np.stack([_np(sd[f"linears.{k}.bias"])
+                           for k in range(n_q)]),
+        },
+        "transformer": transformer,
+    }
+
+
+# ---------------------------------------------------------------------------
 
 def convert_byt5_embeddings(embed_weight, target_rows: int = 386) -> np.ndarray:
     """T5 encoder.embed_tokens (V, 256) -> (386, 256) with mean-init rows

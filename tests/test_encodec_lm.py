@@ -303,3 +303,40 @@ def test_compress_rejects_wrong_n_q():
     params = lm.init_lm(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError, match="codebooks"):
         compress_codes(params, np.zeros((3, 4), np.int32), cfg)
+
+
+def test_convert_lm_state_dict_matches_oracle(oracle_pair):
+    """A reference-format LMModel checkpoint (self_attn/linear1/linears/emb
+    key names) converts to params that reproduce the oracle's output."""
+    from llmvox_tpu.tools.convert import convert_lm_state_dict
+    oracle, _ = oracle_pair
+    sd = {}
+    sd["transformer.norm_in.weight"] = oracle.transformer.norm_in.weight
+    sd["transformer.norm_in.bias"] = oracle.transformer.norm_in.bias
+    for i, ol in enumerate(oracle.transformer.layers):
+        t = f"transformer.layers.{i}."
+        sd[t + "self_attn.in_proj_weight"] = ol.attn.in_proj_weight
+        sd[t + "self_attn.in_proj_bias"] = ol.attn.in_proj_bias
+        sd[t + "self_attn.out_proj.weight"] = ol.attn.out_proj.weight
+        sd[t + "self_attn.out_proj.bias"] = ol.attn.out_proj.bias
+        sd[t + "linear1.weight"] = ol.ff1.weight
+        sd[t + "linear1.bias"] = ol.ff1.bias
+        sd[t + "linear2.weight"] = ol.ff2.weight
+        sd[t + "linear2.bias"] = ol.ff2.bias
+        sd[t + "norm1.weight"] = ol.norm1.weight
+        sd[t + "norm1.bias"] = ol.norm1.bias
+        sd[t + "norm2.weight"] = ol.norm2.weight
+        sd[t + "norm2.bias"] = ol.norm2.bias
+    for k in range(CFG.n_q):
+        sd[f"emb.{k}.weight"] = oracle.emb[k].weight
+        sd[f"linears.{k}.weight"] = oracle.heads[k].weight
+        sd[f"linears.{k}.bias"] = oracle.heads[k].bias
+    sd = {k: v.detach() for k, v in sd.items()}
+    params = jax.tree.map(jnp.asarray,
+                          convert_lm_state_dict(sd, CFG.n_q, CFG.num_layers))
+    idx = np.random.default_rng(3).integers(0, CFG.card + 1, (1, CFG.n_q, 6))
+    with torch.no_grad():
+        want, _, _ = oracle(torch.as_tensor(idx, dtype=torch.long))
+    got, _ = lm.apply_lm(params, jnp.asarray(idx, jnp.int32),
+                         lm.init_stream_state(CFG, 1), CFG)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)

@@ -160,3 +160,52 @@ def test_eval_cli_codec_synthesis_mode(tmp_path):
     assert report["n"] == 1
     assert np.isfinite(report["mean"]["mel_distance"])
     assert np.isfinite(report["mean"]["si_snr"])
+
+
+def test_predict_pitch_reference_pipeline():
+    """predict_pitch mirrors metrics/periodicity.py:16-69: silence gating
+    via A-weighted dB, unvoiced -> NaN pitch."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    pitch, per = metrics.predict_pitch(tone, sr)
+    voiced = ~np.isnan(pitch)
+    assert voiced.mean() > 0.95
+    assert abs(np.nanmedian(pitch) - 220.0) < 1.0
+    assert np.median(per[voiced]) > 0.9
+
+    # digital silence: periodicity zeroed, all frames unvoiced
+    ps, pers = metrics.predict_pitch(np.zeros(sr, np.float32), sr)
+    assert np.isnan(ps).all() and (pers == 0).all()
+
+    # a -100 dB tone is periodic but silent -> gated unvoiced
+    pq, perq = metrics.predict_pitch((1e-5 * tone).astype(np.float32), sr)
+    assert np.isnan(pq).all() and (perq == 0).all()
+
+    # broadband noise: essentially everything unvoiced
+    noise = np.random.default_rng(0).standard_normal(sr).astype(np.float32)
+    pn, _ = metrics.predict_pitch(0.3 * noise, sr)
+    assert (~np.isnan(pn)).mean() < 0.1
+
+
+def test_yin_tracks_harmonic_rich_waves_without_octave_errors():
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f in (80.0, 110.0, 440.0, 523.0):
+        w = (np.sin(2 * np.pi * f * t) + 0.5 * np.sin(4 * np.pi * f * t)
+             + 0.3 * np.sin(6 * np.pi * f * t)).astype(np.float32)
+        pitch, _ = metrics.predict_pitch(w, sr)
+        est = np.nanmedian(pitch)
+        assert abs(1200 * np.log2(est / f)) < 10, (f, est)
+
+
+def test_crepe_plugin_backend_overrides_yin():
+    sr = 16000
+    tone = np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+    metrics.register_plugin(
+        "crepe", lambda a, s: (np.full(10, 100.0), np.full(10, 0.9)))
+    try:
+        pitch, per = metrics.predict_pitch(tone, sr)
+        assert len(pitch) == 10 and pitch[0] == 100.0 and per[0] == 0.9
+    finally:
+        metrics.register_plugin("crepe", None)
