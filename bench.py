@@ -108,6 +108,48 @@ def main() -> None:
         rtfs.append(r)
         audio_s, wall = a, w
 
+    # ---- pooled concurrent serving (continuous batching) ---------------
+    from llmvox_tpu.serve.pool import DecodePool, PooledEngine
+    pool = DecodePool(params, text_table, engines[0].codec, capacity=8,
+                      dcfg=dcfg, scfg=scfg, device=dev)
+    pool.warmup()
+
+    async def pooled_request():
+        pengines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
+        psched = StreamingScheduler(pengines, scfg)
+        stream = ScriptedStream(deltas, eos_token=scfg.eos_token)
+        n_bytes = 0
+        t_start = time.perf_counter()
+        first = None
+        async for chunk in psched.run(stream.predict({})):
+            if first is None:
+                first = (time.perf_counter() - t_start) * 1000.0
+            n_bytes += len(chunk)
+        wall = time.perf_counter() - t_start
+        for e in pengines:
+            e.close()
+        return first, n_bytes / 4 / ccfg.sample_rate, wall
+
+    async def pooled_wave(n=4):
+        t0 = time.perf_counter()
+        res = await asyncio.gather(*[pooled_request() for _ in range(n)])
+        wall = time.perf_counter() - t0
+        return ([r[0] for r in res], sum(r[1] for r in res) / wall)
+
+    async def pooled_bench():
+        # one event loop for all waves: the pool's step/synth tasks bind
+        # to the running loop at first engine acquisition
+        first_wave, _ = await pooled_wave()   # post-warmup cold wave
+        firsts, rtfs = [], []
+        for _ in range(3):
+            f, r = await pooled_wave()
+            firsts.extend(f)
+            rtfs.append(r)
+        pool.stop()
+        return first_wave, firsts, rtfs
+
+    pool_first_wave_ms, pool_firsts, pool_rtf = asyncio.run(pooled_bench())
+
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
     nstreams = 8
@@ -142,6 +184,11 @@ def main() -> None:
         "batch8_aggregate_rtf": round(batch_rtf, 2),
         "batch8_audio_s": round(batch_audio, 2),
         "batch8_wall_s": round(batch_wall, 2),
+        "pooled_first_wave_after_warmup_ms": round(
+            statistics.median(pool_first_wave_ms), 1),
+        "pooled_p50_first_chunk_ms": round(
+            statistics.median(pool_firsts), 1),
+        "pooled_agg_rtf_4way": round(statistics.median(pool_rtf), 2),
     }))
 
 
