@@ -204,11 +204,21 @@ class TTSEngine:
         """Compile decode + all codec buckets before serving traffic."""
         state = self.new_state()
         window = np.full(self.block, self.dcfg.pad_token_id, np.int32)
+        # each block program twice: the first call takes the host-made
+        # state (default layouts), the second takes the jit-output state
+        # whose TPU layouts can differ — i.e. the SECOND executable, the
+        # one every mid-sentence follow-up block actually runs.  Without
+        # it, the first sentence's second block pays a compile/cache-load
+        # (~1.4 s measured on the pool's counterpart program).
+        _, state = self.decode_block(state, window, 1, 1)
         self.decode_block(state, window, 1, 1)
         big = self.scfg.decode_block_large
         if big and big != self.block:
             state = self.new_state()
             window = np.full(big, self.dcfg.pad_token_id, np.int32)
+            p, state = self.decode_block_async(state, window, 1, 1,
+                                               block=big)
+            p.fetch()
             p, _ = self.decode_block_async(state, window, 1, 1, block=big)
             p.fetch()
         first = self.scfg.first_decode_block
@@ -231,10 +241,16 @@ class TTSEngine:
                 while d <= blk:
                     state = self.new_state()
                     window = np.full(blk, self.dcfg.pad_token_id, np.int32)
-                    p, _ = self.decode_block_fused_async(state, window, 1,
-                                                         blk, d, block=blk)
+                    p, fstate = self.decode_block_fused_async(
+                        state, window, 1, blk, d, block=blk)
                     p.fetch()
                     d *= self.scfg.dump_growth_factor
+                # a sentence's follow-up block chains on the FUSED
+                # program's output state — warm that transition too
+                window = np.full(self.block, self.dcfg.pad_token_id,
+                                 np.int32)
+                p, _ = self.decode_block_async(fstate, window, 1, 1)
+                p.fetch()
         self.codec.warmup()
 
     # -- offline TTS ---------------------------------------------------

@@ -318,16 +318,34 @@ class DecodePool:
         multi-second latency; everything after is steady-state)."""
         pad = self.dcfg.pad_token_id
         windows = np.full((self.B, self.block), pad, np.int32)
-        tokens, _, self.states = dec.decode_block_batch(
-            self.params, self.text_table, self.codebook, self.states,
-            jnp.asarray(windows), np.ones((self.B,), np.int32),
-            np.ones((self.B,), np.int32), self.dcfg, block=self.block)
-        np.asarray(tokens)
+        # Run the step TWICE: the first call takes the constructor-made
+        # states (default layouts) and returns jit-output states whose TPU
+        # layouts can differ, so the steady-state program — the one every
+        # traffic step runs — is a SECOND executable.  Without the second
+        # call the first wave pays its compile/cache-load (measured
+        # +1.4 s on the first concurrent wave's first chunk).
+        for _ in range(2):
+            tokens, _, self.states = dec.decode_block_batch(
+                self.params, self.text_table, self.codebook, self.states,
+                jnp.asarray(windows), np.ones((self.B,), np.int32),
+                np.ones((self.B,), np.int32), self.dcfg, block=self.block)
+            np.asarray(tokens)
         # fused first-chunk path: gather + chained ragged vocode
         rows = _gather_rows(tokens, jnp.zeros((self.SYNTH_BATCH,), jnp.int32),
                             self._fuse_bucket)
         np.asarray(self.codec.decode_codes_device(
             rows, np.ones((self.SYNTH_BATCH,), np.int32)))
+        # cover the full traffic cycle step -> masked reset -> step: the
+        # reset program and the step-after-reset can each see a new input
+        # layout, i.e. a new executable
+        for i, s in enumerate(self.slots):
+            s.pending_reset = True
+        self._apply_resets()
+        tokens, _, self.states = dec.decode_block_batch(
+            self.params, self.text_table, self.codebook, self.states,
+            jnp.asarray(windows), np.ones((self.B,), np.int32),
+            np.ones((self.B,), np.int32), self.dcfg, block=self.block)
+        np.asarray(tokens)
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
