@@ -102,3 +102,59 @@ def test_msstft_discriminator_runs():
     scores, fmaps = disc.apply_msstft(params, x, fft_sizes=(256,))
     assert len(scores) == 1 and len(fmaps[0]) == 6
     assert np.isfinite(np.asarray(scores[0])).all()
+
+
+def test_resnet_backbone_matches_torch_oracle():
+    """VocosResNetBackbone/ResBlock1 parity (models.py:238-264,
+    modules.py:89-191): weight-norm embed conv + dilated HiFi-GAN blocks
+    with per-conv layer scale."""
+    dim, cin, num_blocks, L = 12, 8, 2, 17
+    gamma0 = 1.0 / num_blocks / 3.0
+    torch.manual_seed(0)
+
+    embed = torch.nn.utils.weight_norm(
+        torch.nn.Conv1d(cin, dim, 3, padding=1))
+    blocks = []
+    for _ in range(num_blocks):
+        convs1 = [torch.nn.utils.weight_norm(
+            torch.nn.Conv1d(dim, dim, 3, 1, dilation=d,
+                            padding=(3 * d - d) // 2)) for d in (1, 3, 5)]
+        convs2 = [torch.nn.utils.weight_norm(
+            torch.nn.Conv1d(dim, dim, 3, 1, padding=1)) for _ in range(3)]
+        gammas = [torch.nn.Parameter(gamma0 * torch.ones(dim, 1))
+                  for _ in range(3)]
+        blocks.append((convs1, convs2, gammas))
+
+    def oracle(x):
+        x = embed(x)
+        for convs1, convs2, gammas in blocks:
+            for c1, c2, g in zip(convs1, convs2, gammas):
+                xt = torch.nn.functional.leaky_relu(x, negative_slope=0.1)
+                xt = c1(xt)
+                xt = torch.nn.functional.leaky_relu(xt, negative_slope=0.1)
+                xt = c2(xt)
+                x = g * xt + x
+        return x.transpose(1, 2)
+
+    def wn(conv):
+        return {"g": jnp.asarray(conv.weight_g.detach().numpy()
+                                 .transpose(2, 1, 0)),
+                "v": jnp.asarray(conv.weight_v.detach().numpy()
+                                 .transpose(2, 1, 0)),
+                "b": jnp.asarray(conv.bias.detach().numpy())}
+
+    params = {
+        "embed": wn(embed),
+        "blocks": [{
+            "convs1": [wn(c) for c in convs1],
+            "convs2": [wn(c) for c in convs2],
+            "gamma": [jnp.asarray(g.detach().numpy()[:, 0])
+                      for g in gammas],
+        } for convs1, convs2, gammas in blocks],
+    }
+
+    x = RNG.standard_normal((2, L, cin)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    got = np.asarray(bb.apply_resnet_backbone(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
