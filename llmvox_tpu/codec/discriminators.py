@@ -266,7 +266,10 @@ def apply_msstft_one(p: Dict, x: jnp.ndarray, n_fft: int,
     (real/imag channels) -> Conv2d stack with time dilations."""
     hop = n_fft // 4
     s = stft(x, n_fft=n_fft, hop_length=hop, center=False)
-    s = s / jnp.sqrt(jnp.asarray(n_fft, jnp.float32))  # 'normalized' STFT
+    # torchaudio Spectrogram(normalized=True) is WINDOW normalization:
+    # divide by sqrt(sum(hann^2)) (= sqrt(0.375 n_fft)), not sqrt(n_fft)
+    from llmvox_tpu.codec.mel import hann_window
+    s = s / jnp.sqrt(jnp.sum(jnp.square(jnp.asarray(hann_window(n_fft)))))
     h = jnp.stack([jnp.real(s), jnp.imag(s)], axis=-1)  # (B, T', F, 2)
     fmap = []
     dil_pad = [(1, 1)] + [((3 - 1) * d // 2, 4) for d in _MSSTFT_DILATIONS]
@@ -286,8 +289,8 @@ def apply_msstft_one(p: Dict, x: jnp.ndarray, n_fft: int,
             h = _wn_conv2d(conv, h, padding=(1, 1))
         h = nn.leaky_relu(h, lrelu)
         fmap.append(h)
+    # the reference keeps conv_post OUT of fmap (msstftd.py:89-101)
     score = _wn_conv2d(p["post"], h, padding=(1, 1))
-    fmap.append(score)
     return score.reshape(score.shape[0], -1), fmap
 
 

@@ -100,7 +100,8 @@ def test_msstft_discriminator_runs():
                               filters=8)
     x = jnp.asarray(RNG.standard_normal((1, 2048)), jnp.float32)
     scores, fmaps = disc.apply_msstft(params, x, fft_sizes=(256,))
-    assert len(scores) == 1 and len(fmaps[0]) == 6
+    # 5 fmap entries: conv_post stays out of fmap (msstftd.py:95-101)
+    assert len(scores) == 1 and len(fmaps[0]) == 5
     assert np.isfinite(np.asarray(scores[0])).all()
 
 
@@ -158,3 +159,57 @@ def test_resnet_backbone_matches_torch_oracle():
         want = oracle(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
     got = np.asarray(bb.apply_resnet_backbone(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_msstft_matches_torch_oracle():
+    """DiscriminatorSTFT parity (encoder/msstftd.py:28-101): window-
+    normalized complex STFT -> weight-norm Conv2d stack with time
+    dilations; conv_post stays out of fmap."""
+    from llmvox_tpu.codec import discriminators as disc
+    n_fft, hop, filters = 128, 32, 4
+    torch.manual_seed(1)
+    wn = torch.nn.utils.weight_norm
+    convs = [wn(torch.nn.Conv2d(2, filters, (3, 9), padding=(1, 4)))]
+    for d in (1, 2, 4):
+        convs.append(wn(torch.nn.Conv2d(
+            filters, filters, (3, 9), stride=(1, 2), dilation=(d, 1),
+            padding=((3 - 1) * d // 2, 4))))
+    convs.append(wn(torch.nn.Conv2d(filters, filters, (3, 3),
+                                    padding=(1, 1))))
+    post = wn(torch.nn.Conv2d(filters, 1, (3, 3), padding=(1, 1)))
+    act = torch.nn.LeakyReLU(0.2)
+
+    def oracle(x):
+        window = torch.hann_window(n_fft)
+        z = torch.stft(x, n_fft, hop_length=hop, win_length=n_fft,
+                       window=window, center=False, return_complex=True)
+        z = z / window.pow(2).sum().sqrt()     # torchaudio normalized=True
+        z = torch.stack([z.real, z.imag], dim=1)     # (B, 2, F, T')
+        z = z.permute(0, 1, 3, 2)                    # b c w t -> b c t w
+        fmap = []
+        for c in convs:
+            z = act(c(z))
+            fmap.append(z)
+        return post(z), fmap
+
+    def export(c):
+        return {"g": jnp.asarray(c.weight_g.detach().numpy()
+                                 .transpose(2, 3, 1, 0)),
+                "v": jnp.asarray(c.weight_v.detach().numpy()
+                                 .transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(c.bias.detach().numpy())}
+
+    params = [{"convs": [export(c) for c in convs], "post": export(post)}]
+    x = RNG.standard_normal((2, 600)).astype(np.float32)
+    with torch.no_grad():
+        want_score, want_fmap = oracle(torch.from_numpy(x))
+    scores, fmaps = disc.apply_msstft(params, jnp.asarray(x),
+                                      fft_sizes=(n_fft,))
+    assert len(fmaps[0]) == len(want_fmap) == 5
+    np.testing.assert_allclose(
+        np.asarray(scores[0]),
+        want_score.numpy().transpose(0, 2, 3, 1).reshape(2, -1), atol=3e-5)
+    for got, want in zip(fmaps[0], want_fmap):
+        np.testing.assert_allclose(np.asarray(got),
+                                   want.numpy().transpose(0, 2, 3, 1),
+                                   atol=3e-5)
