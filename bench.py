@@ -116,19 +116,23 @@ def main() -> None:
 
     async def pooled_request():
         pengines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
-        psched = StreamingScheduler(pengines, scfg)
-        stream = ScriptedStream(deltas, eos_token=scfg.eos_token)
-        n_bytes = 0
-        t_start = time.perf_counter()
-        first = None
-        async for chunk in psched.run(stream.predict({})):
-            if first is None:
-                first = (time.perf_counter() - t_start) * 1000.0
-            n_bytes += len(chunk)
-        wall = time.perf_counter() - t_start
-        for e in pengines:
-            e.close()
-        return first, n_bytes / 4 / ccfg.sample_rate, wall
+        try:
+            psched = StreamingScheduler(pengines, scfg)
+            stream = ScriptedStream(deltas, eos_token=scfg.eos_token)
+            n_bytes = 0
+            t_start = time.perf_counter()
+            first = None
+            async for chunk in psched.run(stream.predict({})):
+                if first is None:
+                    first = (time.perf_counter() - t_start) * 1000.0
+                n_bytes += len(chunk)
+            wall = time.perf_counter() - t_start
+            return first, n_bytes / 4 / ccfg.sample_rate, wall
+        finally:
+            # always release the slots: a leaked slot turns every later
+            # wave into 'decode pool exhausted', masking the real error
+            for e in pengines:
+                e.close()
 
     async def pooled_wave(n=4):
         t0 = time.perf_counter()

@@ -82,10 +82,12 @@ class WavCodec:
     # -- factory ----------------------------------------------------------
     @classmethod
     def from_random(cls, seed: int = 0, cfg: Optional[CodecConfig] = None,
-                    with_encoder: bool = False, **kw) -> "WavCodec":
+                    with_encoder: bool = False, with_decoder: bool = False,
+                    **kw) -> "WavCodec":
         cfg = cfg or CodecConfig()
         params = init_codec_params(jax.random.PRNGKey(seed), cfg,
-                                   with_encoder=with_encoder)
+                                   with_encoder=with_encoder,
+                                   with_decoder=with_decoder)
         return cls(params, cfg, **kw)
 
     @classmethod

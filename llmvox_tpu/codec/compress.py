@@ -8,7 +8,7 @@ well-predicted codes cost (far) less than their raw width.
 
 Wire format (little-endian):
     u8  n_q        number of codebooks
-    u16 T          number of frames
+    u32 T          number of frames
     u8  pad        reserved (0)
     AC bitstream   n_q symbols per frame, frame-major
 
@@ -38,7 +38,7 @@ def compress_codes(params: Dict, codes: np.ndarray,
     if k != cfg.n_q:
         raise ValueError(f"codes have {k} codebooks, LM expects {cfg.n_q}")
     fo = io.BytesIO()
-    fo.write(struct.pack("<BHB", k, t, 0))
+    fo.write(struct.pack("<BIB", k, t, 0))
     coder = ArithmeticCoder(fo)
     state = lm_mod.init_stream_state(cfg, batch=1)
     # LM input at frame i is frame i-1's codes + 1; 0 means "no history"
@@ -57,7 +57,7 @@ def decompress_codes(params: Dict, data: bytes,
                      cfg: lm_mod.LMConfig) -> np.ndarray:
     """Inverse of :func:`compress_codes`; returns (n_q, T) int32 codes."""
     fo = io.BytesIO(data)
-    k, t, _ = struct.unpack("<BHB", fo.read(4))
+    k, t, _ = struct.unpack("<BIB", fo.read(6))
     if k != cfg.n_q:
         raise ValueError(f"stream has {k} codebooks, LM expects {cfg.n_q}")
     decoder = ArithmeticDecoder(fo)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -104,6 +105,7 @@ def main(argv=None) -> Dict:
         import tempfile
         codec = WavCodec.from_pretrained(args.codec_params, cfg=cfg)
         recon_dir = tempfile.mkdtemp(prefix="llmvox_eval_")
+        print(f"writing reconstructions to {recon_dir}", file=sys.stderr)
         for path in refs:
             wav = _load(path, cfg.sample_rate)
             _, codes = codec.encode_infer(wav[None])  # (B=1, T)

@@ -236,15 +236,23 @@ class TTSEngine:
             blocks = {self.block}
             if first:
                 blocks.add(first)
+            fstate = None
             for blk in sorted(blocks):
                 d = self.scfg.initial_dump_size_1
                 while d <= blk:
+                    if first and blk != first and d <= first:
+                        # the scheduler routes dumps that fit the short
+                        # first block there, never here — don't compile
+                        # the unreachable (blk, d) variant
+                        d *= self.scfg.dump_growth_factor
+                        continue
                     state = self.new_state()
                     window = np.full(blk, self.dcfg.pad_token_id, np.int32)
                     p, fstate = self.decode_block_fused_async(
                         state, window, 1, blk, d, block=blk)
                     p.fetch()
                     d *= self.scfg.dump_growth_factor
+            if fstate is not None:
                 # a sentence's follow-up block chains on the FUSED
                 # program's output state — warm that transition too
                 window = np.full(self.block, self.dcfg.pad_token_id,

@@ -208,25 +208,29 @@ class DecodePool:
                 # fused_dump tokens in a device call CHAINED on the decode
                 # output — the sentence's first audio costs one host
                 # round trip, like the dedicated engines' fused path.
+                # More than SYNTH_BATCH fused slots in one step (a >16-slot
+                # pool's simultaneous sentence starts) chunk into extra
+                # vocode calls rather than silently losing the fused path.
                 fused = [(i, req) for i, req in heads
-                         if req.fused_dump > 0][: self.SYNTH_BATCH]
-                wavs = None
-                if fused:
+                         if req.fused_dump > 0]
+                wavs = []
+                for c0 in range(0, len(fused), self.SYNTH_BATCH):
+                    part = fused[c0: c0 + self.SYNTH_BATCH]
                     fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
                     flens = np.ones((self.SYNTH_BATCH,), np.int32)
-                    for j, (i, req) in enumerate(fused):
+                    for j, (i, req) in enumerate(part):
                         fidx[j] = i
                         flens[j] = req.fused_dump
                     rows = _gather_rows(tokens, jnp.asarray(fidx),
                                         self._fuse_bucket)
-                    wavs = self.codec.decode_codes_device(rows, flens)
+                    wavs.append(self.codec.decode_codes_device(rows, flens))
                     self.synth_calls += 1
                 toks, wavs_h = await asyncio.to_thread(
                     jax.device_get, (tokens, wavs))
                 self.steps += 1
-                # slot -> (synth row, dump): rows follow the FUSED list
-                # order, not the heads order (a staggered step mixes fused
-                # and non-fused slots)
+                # slot -> (flat synth row, dump): rows follow the FUSED
+                # list order, not the heads order (a staggered step mixes
+                # fused and non-fused slots)
                 fused_slots = {i: (j, req.fused_dump)
                                for j, (i, req) in enumerate(fused)}
                 hop = self.codec.cfg.hop_length
@@ -240,7 +244,9 @@ class DecodePool:
                         audio = None
                         if i in fused_slots and len(out) >= req.fused_dump:
                             j, dump = fused_slots[i]
-                            audio = np.asarray(wavs_h[j][: dump * hop],
+                            row = wavs_h[j // self.SYNTH_BATCH][
+                                j % self.SYNTH_BATCH]
+                            audio = np.asarray(row[: dump * hop],
                                                dtype="<f4").tobytes()
                         req.future.set_result((out, audio))
                     else:

@@ -126,7 +126,6 @@ def test_data_utils():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_codec_gan_step_end_to_end():
     from llmvox_tpu.parallel import create_mesh
     trainer = CodecTrainer(TINY_CODEC, TINY_TRAIN,
@@ -149,7 +148,6 @@ def test_codec_gan_step_end_to_end():
     assert np.isfinite(m["val_mel_loss"])
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_codec_main_cli_smoke(tmp_path):
     """The training CLI (WavTokenizer/train.py:7-15 counterpart) runs

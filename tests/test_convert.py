@@ -290,7 +290,6 @@ def test_validate_parity_harness_success_path(tmp_path, cfg):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_validate_parity_codec_success_path(tmp_path):
     """Deployed-size codec golden check: instantiate the reference model
     from its own YAML (random init), save its state dict as the

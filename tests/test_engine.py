@@ -40,3 +40,16 @@ def test_tts_pipelining_matches_blockwise_reference():
         if not got or (got and got[-1] == DEC_CFG.eoa_token_id):
             break
     assert toks == ref
+
+
+def test_warmup_handles_first_block_smaller_than_initial_dump():
+    """first_decode_block < initial_dump_size_1 leaves the short block's
+    fused ladder empty; warmup must not crash (engine.py warmup)."""
+    import dataclasses
+    from tests.tiny_stack import SERVE_CFG, make_engines
+    scfg = dataclasses.replace(SERVE_CFG, first_decode_block=2)
+    assert scfg.initial_dump_size_1 > 2
+    eng = make_engines(scfg=scfg, n=1)[0]
+    eng.warmup()
+    wav, toks = eng.tts("hi")
+    assert len(toks) > 0 and wav.size > 0

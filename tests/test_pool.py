@@ -61,3 +61,41 @@ def test_concurrent_pooled_requests_match_single_engine():
     results = asyncio.run(asyncio.wait_for(go(), timeout=600))
     for got, want in zip(results, expected):
         assert got == want
+
+
+def test_fused_first_chunks_beyond_synth_batch_all_get_audio():
+    """More simultaneous sentence starts than SYNTH_BATCH must chunk into
+    extra vocode calls, not silently drop the fused path (pool.py step
+    loop).  12 fused submissions land in ONE step: submissions are
+    synchronous, so the step loop can't run until the first await."""
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    n = 12
+    dump = SERVE_CFG.initial_dump_size_1
+    hop = eng.codec.cfg.hop_length
+
+    async def go():
+        pool = DecodePool(eng.params, np.asarray(eng.text_table), eng.codec,
+                          capacity=n, dcfg=eng.dcfg, scfg=SERVE_CFG,
+                          cache_dtype=jnp.float32, param_dtype=jnp.float32)
+        assert n > pool.SYNTH_BATCH
+        engines = [PooledEngine(pool, SERVE_CFG) for _ in range(n)]
+        window = np.full(pool.block, eng.dcfg.pad_token_id, np.int32)
+        window[0] = 7
+        pendings = []
+        for e in engines:
+            e.new_state()
+            p, _ = e.decode_block_fused_async(None, window, 1, pool.block,
+                                              dump)
+            pendings.append(p)
+        results = await asyncio.gather(*[p.afetch() for p in pendings])
+        steps = pool.steps
+        for e in engines:
+            e.close()
+        pool.stop()
+        return results, steps
+
+    results, steps = asyncio.run(asyncio.wait_for(go(), timeout=600))
+    assert steps == 1          # all 12 in one gathered step
+    for out, audio in results:
+        assert len(out) >= dump
+        assert audio is not None and len(audio) == dump * hop * 4

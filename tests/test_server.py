@@ -191,7 +191,6 @@ def test_native_loadgen_against_server(server):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_warmup_cache_cli(tmp_path, monkeypatch):
     """The AOT warmup CLI compiles every serving program (tiny shapes)."""
     monkeypatch.setenv("LLMVOX_COMPILE_CACHE", str(tmp_path / "cache"))
@@ -232,7 +231,6 @@ def test_client_disconnect_mid_stream_recovers(server):
     assert len(wav) > 0
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_serve_cli_smoke(tmp_path):
     """python -m llmvox_tpu.serve end-to-end: converted-npz checkpoints
