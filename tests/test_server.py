@@ -326,3 +326,72 @@ def test_traces_are_bounded(server):
     from tests.tiny_stack import SERVE_CFG
     srv = TTSServer(None, SERVE_CFG)
     assert srv.traces.maxlen == 50
+
+
+@pytest.mark.slow
+def test_serve_cli_pooled_smoke(tmp_path):
+    """python -m llmvox_tpu.serve --pool_capacity: the CLI builds AND
+    warms the continuous-batching pool; concurrent HTTP requests stream
+    audio through it (regression for the unwarmed-pool 55 s first wave)."""
+    import jax
+    from llmvox_tpu.codec.codec import init_codec_params
+    from llmvox_tpu.models import decoder as dec
+    from llmvox_tpu.serve import __main__ as serve_main
+    from llmvox_tpu.train.checkpoint import save_params_npz
+    from tests.tiny_stack import CODEC_CFG, DEC_CFG
+
+    dp = tmp_path / "dec.npz"
+    margs = {k: getattr(DEC_CFG, k) for k in (
+        "n_layer", "n_head", "n_embd", "block_size", "vocab_size", "bias",
+        "text_embed_dim", "speech_embed_dim", "text_vocab_size",
+        "pad_token_id", "text_eos_id", "eoa_token_id")}
+    save_params_npz(str(dp),
+                    jax.device_get(dec.init_decoder_params(
+                        jax.random.PRNGKey(0), DEC_CFG)),
+                    meta={"model_args": margs})
+    cp = tmp_path / "codec.npz"
+    save_params_npz(str(cp), jax.device_get(
+        init_codec_params(jax.random.PRNGKey(1), CODEC_CFG)))
+    bt = tmp_path / "byt5.npz"
+    np.savez(str(bt), table=np.random.default_rng(0).standard_normal(
+        (DEC_CFG.text_vocab_size, DEC_CFG.text_embed_dim)).astype(np.float32))
+
+    port = _free_port()
+    argv = ["--api_host", "127.0.0.1", "--api_port", str(port),
+            "--llmvox_checkpoint_path", str(dp),
+            "--wav_model_path", str(cp), "--byt5_table", str(bt),
+            "--scripted_reply", "A short scripted answer.",
+            "--compute_dtype", "float32",
+            "--pool_capacity", "4",
+            "--initial_dump_size_1", "4", "--initial_dump_size_2", "8",
+            "--max_dump_size", "16", "--max_audio_length", "10",
+            "--decode_block", "8", "--decode_block_large", "0",
+            "--chunk_buckets", "[4, 8, 16]",
+            "--vq_bins", "16", "--vq_dim", "20",
+            "--backbone_input_channels", "20", "--backbone_dim", "64",
+            "--backbone_intermediate_dim", "192",
+            "--backbone_num_layers", "2",
+            "--n_fft", "128", "--hop_length", "32"]
+    t = threading.Thread(target=serve_main.main, args=(argv,), daemon=True)
+    t.start()
+    for _ in range(300):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.2)
+
+    outs = [None, None]
+
+    def one(i):
+        wav, _ = collect_audio(stream_request(
+            "127.0.0.1", port, "/tts", {"text": f"hello {i}"}, timeout=300))
+        outs[i] = wav
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    for wav in outs:
+        assert wav is not None and len(wav) > 0 and np.isfinite(wav).all()
