@@ -110,7 +110,7 @@ def main() -> None:
 
     # ---- pooled concurrent serving (continuous batching) ---------------
     from llmvox_tpu.serve.pool import DecodePool, PooledEngine
-    pool = DecodePool(params, text_table, engines[0].codec, capacity=8,
+    pool = DecodePool(params, text_table, engines[0].codec, capacity=16,
                       dcfg=dcfg, scfg=scfg, device=dev)
     pool.warmup()
 
@@ -149,10 +149,16 @@ def main() -> None:
             f, r = await pooled_wave()
             firsts.extend(f)
             rtfs.append(r)
+        # 8-way: all 16 slots active in one batched decode program
+        rtf8 = 0.0
+        for _ in range(2):
+            _, r8 = await pooled_wave(8)
+            rtf8 = max(rtf8, r8)
         pool.stop()
-        return first_wave, firsts, rtfs
+        return first_wave, firsts, rtfs, rtf8
 
-    pool_first_wave_ms, pool_firsts, pool_rtf = asyncio.run(pooled_bench())
+    (pool_first_wave_ms, pool_firsts, pool_rtf,
+     pool_rtf8) = asyncio.run(pooled_bench())
 
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
@@ -193,6 +199,7 @@ def main() -> None:
         "pooled_p50_first_chunk_ms": round(
             statistics.median(pool_firsts), 1),
         "pooled_agg_rtf_4way": round(statistics.median(pool_rtf), 2),
+        "pooled_agg_rtf_8way": round(pool_rtf8, 2),
     }))
 
 

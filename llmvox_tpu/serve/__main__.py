@@ -68,12 +68,8 @@ def main(argv=None) -> None:
         pool = DecodePool(dec_params, table, engines[0].codec,
                           capacity=cfg.pool_capacity, dcfg=dcfg, scfg=cfg,
                           device=devs[0], cache_dtype=dtype)
-        # the pool has its OWN programs (batched decode step, batched
-        # ragged synth buckets) — without this the first concurrent wave
-        # pays every compile in-request (measured 55 s on the first four
-        # requests via the C++ loadgen)
-        pool.warmup()
         print(f"continuous-batching pool: {cfg.pool_capacity} slots")
+        # build_server warms the pool (decode step + ragged synth buckets)
 
     server = build_server(cfg, engines, pool=pool)
     server.run()

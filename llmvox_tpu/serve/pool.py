@@ -357,7 +357,12 @@ class DecodePool:
         self._apply_resets()
         for bucket in self.codec.buckets:
             codes = np.zeros((self.SYNTH_BATCH, bucket), np.int32)
-            lengths = np.ones((self.SYNTH_BATCH,), np.int32)
+            # lengths must REACH the bucket: decode_codes_ragged re-pads
+            # to bucket_for(lengths.max()), so all-ones lengths would
+            # truncate every iteration to the smallest bucket and compile
+            # ONE program 9 times — the real buckets then compiled
+            # in-request (measured 55 s of synth on a cold cache)
+            lengths = np.full((self.SYNTH_BATCH,), bucket, np.int32)
             self.codec.decode_codes_ragged(codes, lengths)
 
     def start(self) -> None:
