@@ -1,0 +1,288 @@
+"""Llama-family causal LM in JAX — the full-TPU text-stream host.
+
+SURVEY §7 "LLM hosting" names two options for the reference's torch +
+flash-attn 8B LLM (inference/llm_streaming.py:30-45): (a) an external
+text-stream endpoint, (b) a JAX port sharded with pjit.  (a) is
+``streams/hf_llm.py`` / ``streams/remote.py``; this module is (b): a
+RMSNorm / RoPE / GQA / SwiGLU decoder with the same TPU shape discipline
+as the speech decoder (models/decoder.py) —
+
+* stacked-layer parameters walked by one ``lax.scan`` (one compiled layer
+  body);
+* a fixed-capacity KV cache carried functionally through jit (position
+  masking, no dynamic shapes);
+* block decode: N tokens generated per device program, the host sees one
+  dispatch per block (``streams/jax_llm.py`` streams the text out).
+
+Weight layout matches ``tools/convert.py::convert_llama_state_dict`` (HF
+``LlamaForCausalLM`` checkpoints); numerics are verified against the HF
+torch implementation in ``tests/test_llama.py``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from llmvox_tpu.ops import nn as ops
+from llmvox_tpu.ops.attention import causal_attention_auto
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    n_layer: int = 32
+    n_head: int = 32
+    n_kv_head: int = 8            # GQA; == n_head -> MHA
+    n_embd: int = 4096
+    intermediate_size: int = 11008
+    max_seq_len: int = 4096       # KV-cache capacity
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_embd % self.n_head == 0
+        return self.n_embd // self.n_head
+
+    @property
+    def q_per_kv(self) -> int:
+        assert self.n_head % self.n_kv_head == 0
+        return self.n_head // self.n_kv_head
+
+
+jax.tree_util.register_static(LlamaConfig)
+
+
+def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
+    """Random params in the converted-checkpoint layout (HF init: N(0, 0.02),
+    RMSNorm scales 1)."""
+    hd, kvd = cfg.head_dim, cfg.n_kv_head * cfg.head_dim
+    ks = iter(jax.random.split(key, 8))
+
+    def norm(k, shape):
+        return 0.02 * jax.random.normal(k, shape, jnp.float32)
+
+    def stack(k, shape):
+        return norm(k, (cfg.n_layer,) + shape)
+
+    params = {
+        "tok_emb": norm(next(ks), (cfg.vocab_size, cfg.n_embd)),
+        "h": {
+            "ln1_s": jnp.ones((cfg.n_layer, cfg.n_embd)),
+            "wq": stack(next(ks), (cfg.n_embd, cfg.n_head * hd)),
+            "wk": stack(next(ks), (cfg.n_embd, kvd)),
+            "wv": stack(next(ks), (cfg.n_embd, kvd)),
+            "wo": stack(next(ks), (cfg.n_head * hd, cfg.n_embd)),
+            "ln2_s": jnp.ones((cfg.n_layer, cfg.n_embd)),
+            "wgate": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
+            "wup": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
+            "wdown": stack(next(ks), (cfg.intermediate_size, cfg.n_embd)),
+        },
+        "lnf_s": jnp.ones((cfg.n_embd,)),
+    }
+    if not cfg.tie_embeddings:
+        params["head"] = norm(next(ks), (cfg.n_embd, cfg.vocab_size))
+    return params
+
+
+def num_llama_params(params: Dict) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """LlamaRMSNorm: x / sqrt(mean(x^2) + eps) * scale, stats in fp32."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray,
+         theta: float) -> jnp.ndarray:
+    """HF-convention rotary embedding on (..., T, n_head, head_dim).
+
+    ``rotate_half`` splits the head dim in two contiguous halves:
+    x' = x * cos + [-x2, x1] * sin, with angles pos * theta^(-2i/hd).
+    """
+    hd = x.shape[-1]
+    half = hd // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
+                                * 2.0 / hd))
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, half)
+    cos = jnp.cos(ang)[..., None, :]                           # (..., T, 1, half)
+    sin = jnp.sin(ang)[..., None, :]
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :half], x32[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin,
+                           x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _repeat_kv(x: jnp.ndarray, q_per_kv: int) -> jnp.ndarray:
+    """(..., KV, hd) -> (..., KV*q_per_kv, hd), each kv head repeated for
+    its query-head group (HF repeat_kv)."""
+    if q_per_kv == 1:
+        return x
+    return jnp.repeat(x, q_per_kv, axis=-2)
+
+
+def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
+                positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Teacher-forced forward: (B, T) int32 -> (B, T, V) logits."""
+    b, t = tokens.shape
+    hd = cfg.head_dim
+    if positions is None:
+        positions = jnp.arange(t)[None, :]
+    x = params["tok_emb"][tokens]
+
+    def block(x, lp):
+        h = rms_norm(x, lp["ln1_s"], cfg.rms_eps)
+        q = ops.linear(h, lp["wq"]).reshape(b, t, cfg.n_head, hd)
+        k = ops.linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_head, hd)
+        v = ops.linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_head, hd)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        att = causal_attention_auto(
+            q, _repeat_kv(k, cfg.q_per_kv), _repeat_kv(v, cfg.q_per_kv))
+        x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
+        h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
+        gate = ops.linear(h, lp["wgate"])
+        up = ops.linear(h, lp["wup"])
+        x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
+                                       ).astype(up.dtype) * up, lp["wdown"])
+        return x, None
+
+    x, _ = lax.scan(block, x, params["h"])
+    x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
+    head = params.get("head")
+    if head is None:
+        head = params["tok_emb"].T
+    return ops.linear(x, head)
+
+
+class LlamaDecodeState(NamedTuple):
+    k: jnp.ndarray        # (L, B, S, KV, hd)
+    v: jnp.ndarray
+    pos: jnp.ndarray      # scalar int32: tokens cached so far
+
+
+def init_llama_decode_state(cfg: LlamaConfig, batch: int = 1,
+                            dtype=jnp.float32) -> LlamaDecodeState:
+    shape = (cfg.n_layer, batch, cfg.max_seq_len, cfg.n_kv_head,
+             cfg.head_dim)
+    return LlamaDecodeState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                            jnp.asarray(0, jnp.int32))
+
+
+def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
+                cfg: LlamaConfig):
+    """One layer for T new tokens at absolute positions pos..pos+T-1 with
+    the cache already holding ``pos`` tokens.  Returns (x, new_k, new_v)
+    where new_k/new_v are the cache slices for these tokens."""
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    positions = pos + jnp.arange(t)[None, :]
+    h = rms_norm(x, lp["ln1_s"], cfg.rms_eps)
+    q = ops.linear(h, lp["wq"]).reshape(b, t, cfg.n_head, hd)
+    k = ops.linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_head, hd)
+    v = ops.linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_head, hd)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    k_cache = lax.dynamic_update_slice(
+        k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
+    v_cache = lax.dynamic_update_slice(
+        v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
+    # attention over the cache: key j valid for query i iff j <= pos + i
+    kk = _repeat_kv(k_cache, cfg.q_per_kv)
+    vv = _repeat_kv(v_cache, cfg.q_per_kv)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum("bthd,bshd->bhts", q, kk,
+                        preferred_element_type=jnp.float32,
+                        precision=ops.mm_precision(q.dtype)) * scale
+    s = kk.shape[1]
+    jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    valid = jpos <= pos + ipos
+    logits = jnp.where(valid[None, None], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    att = jnp.einsum("bhts,bshd->bthd", w, vv,
+                     precision=ops.mm_precision(q.dtype))
+    x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
+    h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
+    gate = ops.linear(h, lp["wgate"])
+    up = ops.linear(h, lp["wup"])
+    x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
+                                   ).astype(up.dtype) * up, lp["wdown"])
+    return x, k_cache, v_cache
+
+
+def _forward_cached(params: Dict, tokens: jnp.ndarray,
+                    state: LlamaDecodeState, cfg: LlamaConfig
+                    ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """(B, T) new tokens -> (B, V) logits of the LAST position; cache
+    extended.  One lax.scan over the stacked layers."""
+    x = params["tok_emb"][tokens]
+
+    def body(carry, scan_in):
+        x = carry
+        lp, k_cache, v_cache = scan_in
+        x, k_cache, v_cache = _layer_step(lp, x, k_cache, v_cache,
+                                          state.pos, cfg)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["h"], state.k, state.v))
+    x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
+    head = params.get("head")
+    if head is None:
+        head = params["tok_emb"].T
+    logits = ops.linear(x, head)
+    return logits, LlamaDecodeState(new_k, new_v,
+                                    state.pos + tokens.shape[1])
+
+
+def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
+            top_k: int) -> jnp.ndarray:
+    """Greedy when temperature == 0, else top-k temperature sampling."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def prefill(params: Dict, tokens: jnp.ndarray, state: LlamaDecodeState,
+            cfg: LlamaConfig) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """Cache the prompt; returns (last-position logits (B, V), state)."""
+    return _forward_cached(params, tokens, state, cfg)
+
+
+@partial(jax.jit, static_argnames=("block", "temperature", "top_k"))
+def decode_block(params: Dict, first_token: jnp.ndarray,
+                 state: LlamaDecodeState, rng: jax.Array, cfg: LlamaConfig,
+                 block: int = 16, temperature: float = 0.0, top_k: int = 0
+                 ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """Generate ``block`` tokens on-device from ``first_token`` (B,) int32
+    (the token sampled from the prefill logits).  Returns tokens generated
+    AFTER first_token: (B, block), plus the state.  The host sees one
+    dispatch per block; EOS handling is host-side (streams/jax_llm.py)."""
+
+    def step(carry, i):
+        tok, state, rng = carry
+        logits, state = _forward_cached(params, tok[:, None], state, cfg)
+        rng, sub = jax.random.split(rng)
+        nxt = _sample(logits, sub, temperature, top_k)
+        return (nxt, state, rng), nxt
+
+    (_, state, _), toks = lax.scan(
+        step, (first_token, state, rng), jnp.arange(block))
+    return toks.swapaxes(0, 1), state

@@ -57,3 +57,33 @@ def decoder_param_shardings(mesh: Mesh, params: Dict) -> Dict:
         return NamedSharding(mesh, node)
 
     return jax.tree_util.tree_map_with_path(pick, params)
+
+
+def llama_param_shardings(mesh: Mesh, params: Dict) -> Dict:
+    """Megatron TP specs for the Llama text LLM (models/llama.py): q/k/v,
+    gate and up column-parallel (output dim over tp), o and down
+    row-parallel (input dim over tp); embeddings / norms / head
+    replicated.  GQA divides cleanly when n_kv_head % tp == 0."""
+    specs = {
+        "tok_emb": P(),
+        "lnf_s": P(),
+        "head": P(),
+        "h": {
+            "ln1_s": P(), "ln2_s": P(),
+            "wq": P(None, None, TP_AXIS),
+            "wk": P(None, None, TP_AXIS),
+            "wv": P(None, None, TP_AXIS),
+            "wo": P(None, TP_AXIS, None),
+            "wgate": P(None, None, TP_AXIS),
+            "wup": P(None, None, TP_AXIS),
+            "wdown": P(None, TP_AXIS, None),
+        },
+    }
+
+    def pick(path, leaf):
+        node = specs
+        for p in path:
+            node = node[p.key]
+        return NamedSharding(mesh, node)
+
+    return jax.tree_util.tree_map_with_path(pick, params)

@@ -231,8 +231,14 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
                                       eos_token=cfg.eos_token)
     if stream_model is None:
         if cfg.chat_type in ("voice", "text"):
-            from llmvox_tpu.streams.hf_llm import HFStreamModel
-            stream_model = HFStreamModel(cfg)
+            if cfg.llm_backend == "jax":
+                # TPU-hosted Llama (models/llama.py) behind the same
+                # stream protocol — SURVEY §7 "LLM hosting" option (b)
+                from llmvox_tpu.streams.jax_llm import build_jax_stream
+                stream_model = build_jax_stream(cfg)
+            else:
+                from llmvox_tpu.streams.hf_llm import HFStreamModel
+                stream_model = HFStreamModel(cfg)
         elif cfg.chat_type == "multimodal":
             from llmvox_tpu.streams.hf_multimodal import HFStreamMultimodal
             stream_model = HFStreamMultimodal(cfg)

@@ -1,0 +1,136 @@
+"""TPU-hosted text-stream source: the JAX Llama behind the stream protocol.
+
+SURVEY §7 "LLM hosting" option (b) — instead of the reference's torch +
+flash-attn host (inference/llm_streaming.py:30-45) or an external
+endpoint, the LLM itself runs on the TPU via ``models/llama.py``: the
+prompt prefills the KV cache in one program, then ``block`` tokens
+generate per device dispatch and the host streams their text out.  Plugs
+into the StreamingScheduler exactly like HFStreamModel / ScriptedStream
+(``load()`` / ``predict(request) -> iterator of text deltas``, ending
+with the eos token string).
+
+The tokenizer is duck-typed: anything with ``encode(str) -> List[int]``,
+``decode(List[int]) -> str`` and ``eos_token_id`` works (an HF
+AutoTokenizer, or a test-local toy).  If it has ``apply_chat_template``,
+the (system, prompt) pair is formatted with it, matching the reference's
+prompt build (llm_streaming.py:57-66); otherwise a plain
+"system\n\nuser\n" concatenation is used.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class JAXStreamModel:
+    def __init__(self, params, cfg, tokenizer, *, block: int = 16,
+                 temperature: float = 0.0, top_k: int = 0,
+                 max_tokens: int = 512, eos_text: Optional[str] = None,
+                 seed: int = 0, device=None):
+        import jax
+
+        from llmvox_tpu.models import llama
+
+        self._llama = llama
+        self.cfg = cfg
+        self.params = (jax.device_put(params, device)
+                       if device is not None else params)
+        self.tokenizer = tokenizer
+        self.block = block
+        self.temperature = temperature
+        self.top_k = top_k
+        self.max_tokens = max_tokens
+        self.eos_id = int(getattr(tokenizer, "eos_token_id", -1))
+        self.eos_text = (eos_text if eos_text is not None
+                         else getattr(tokenizer, "eos_token", "")) or ""
+        self._rng = jax.random.PRNGKey(seed)
+
+    def load(self) -> None:
+        pass
+
+    # -- prompt build ------------------------------------------------------
+    def _prompt_ids(self, request: Dict) -> List[int]:
+        system = request.get("system", "")
+        prompt = request.get("prompt", request.get("text", ""))
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            messages = [{"role": "system", "content": system},
+                        {"role": "user", "content": prompt}]
+            return list(self.tokenizer.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True))
+        text = (system + "\n\n" if system else "") + prompt + "\n"
+        return list(self.tokenizer.encode(text))
+
+    # -- generation --------------------------------------------------------
+    def predict(self, request: Dict) -> Iterator[str]:
+        import jax
+        import jax.numpy as jnp
+
+        llama = self._llama
+        ids = self._prompt_ids(request)
+        state = llama.init_llama_decode_state(self.cfg, batch=1)
+        logits, state = llama.prefill(
+            self.params, jnp.asarray([ids], jnp.int32), state, self.cfg)
+        self._rng, sub = jax.random.split(self._rng)
+        tok = llama._sample(logits, sub, self.temperature, self.top_k)
+
+        def inner():
+            nonlocal state, tok
+            out: List[int] = [int(tok[0])]
+            emitted = ""
+            done = out[-1] == self.eos_id
+            while not done and len(out) < self.max_tokens:
+                n = min(self.block,
+                        self.cfg.max_seq_len - int(state.pos) - 1)
+                if n <= 0:
+                    break
+                self._rng, sub = jax.random.split(self._rng)
+                toks, state = llama.decode_block(
+                    self.params, tok, state, sub, self.cfg, block=n,
+                    temperature=self.temperature, top_k=self.top_k)
+                block_toks = np.asarray(toks)[0].tolist()
+                for t in block_toks:
+                    out.append(int(t))
+                    if out[-1] == self.eos_id:
+                        done = True
+                        break
+                tok = jnp.asarray([out[-1]], jnp.int32)
+                # incremental detokenization: emit the text grown since
+                # the last yield (UTF-8 multi-token graphemes stay intact
+                # because we re-decode the whole sequence each time)
+                body = [t for t in out if t != self.eos_id]
+                text = self.tokenizer.decode(body)
+                if len(text) > len(emitted):
+                    yield text[len(emitted):]
+                    emitted = text
+            if self.eos_text:
+                yield self.eos_text
+
+        return inner()
+
+
+def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
+    """Server-side factory (utils/config.py ``llm_backend="jax"``): load
+    converted Llama params (npz from ``tools/convert_ckpt llama``, whose
+    meta carries the LlamaConfig fields) and the HF tokenizer named by
+    ``llm_checkpoint``."""
+    import jax.numpy as jnp
+    import jax
+
+    from llmvox_tpu.models.llama import LlamaConfig
+    from llmvox_tpu.train.checkpoint import load_meta, load_params_npz
+
+    params = load_params_npz(cfg.llm_jax_params)
+    meta = load_meta(cfg.llm_jax_params)
+    margs = meta.get("model_args", {})
+    lcfg = LlamaConfig(**{k: v for k, v in margs.items()
+                          if k in LlamaConfig.__dataclass_fields__})
+    if tokenizer is None:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
+    params = jax.tree.map(lambda x: jnp.asarray(x), params)
+    return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
+                          temperature=cfg.llm_temperature,
+                          top_k=cfg.llm_top_k,
+                          max_tokens=cfg.llm_max_tokens,
+                          eos_text=cfg.eos_token)

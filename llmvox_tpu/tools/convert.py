@@ -337,6 +337,39 @@ def convert_lm_state_dict(sd: Mapping, n_q: int, num_layers: int = 5) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# Llama-family causal LM (HF LlamaForCausalLM checkpoints)
+# ---------------------------------------------------------------------------
+
+def convert_llama_state_dict(sd: Mapping, num_layers: int) -> Dict:
+    """HF ``LlamaForCausalLM`` state dict -> ``models/llama.py`` params
+    (stacked-layer layout, Linear weights transposed to (Cin, Cout))."""
+    sd = strip_prefix(dict(sd))
+
+    def stack(fmt: str, f=_lin_w):
+        return np.stack([f(sd[fmt.format(i)]) for i in range(num_layers)])
+
+    t = "model.layers.{}."
+    params = {
+        "tok_emb": _np(sd["model.embed_tokens.weight"]),
+        "h": {
+            "ln1_s": stack(t + "input_layernorm.weight", _np),
+            "wq": stack(t + "self_attn.q_proj.weight"),
+            "wk": stack(t + "self_attn.k_proj.weight"),
+            "wv": stack(t + "self_attn.v_proj.weight"),
+            "wo": stack(t + "self_attn.o_proj.weight"),
+            "ln2_s": stack(t + "post_attention_layernorm.weight", _np),
+            "wgate": stack(t + "mlp.gate_proj.weight"),
+            "wup": stack(t + "mlp.up_proj.weight"),
+            "wdown": stack(t + "mlp.down_proj.weight"),
+        },
+        "lnf_s": _np(sd["model.norm.weight"]),
+    }
+    if "lm_head.weight" in sd:
+        params["head"] = _lin_w(sd["lm_head.weight"])
+    return params
+
+
+# ---------------------------------------------------------------------------
 
 def convert_byt5_embeddings(embed_weight, target_rows: int = 386) -> np.ndarray:
     """T5 encoder.embed_tokens (V, 256) -> (386, 256) with mean-init rows

@@ -17,7 +17,8 @@ from llmvox_tpu.train.checkpoint import save_params_npz
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("kind", choices=["decoder", "codec", "byt5"])
+    parser.add_argument("kind", choices=["decoder", "codec", "byt5",
+                                         "llama"])
     parser.add_argument("src")
     parser.add_argument("dst")
     parser.add_argument("--no-encoder", action="store_true",
@@ -31,6 +32,29 @@ def main(argv=None) -> None:
         params = convert.convert_wavtokenizer_ckpt(
             args.src, with_encoder=not args.no_encoder)
         save_params_npz(args.dst, params)
+    elif args.kind == "llama":
+        # HF LlamaForCausalLM dir/name -> models/llama.py params + config
+        # meta (consumed by streams/jax_llm.py::build_jax_stream)
+        from transformers import AutoConfig, AutoModelForCausalLM
+        hf_cfg = AutoConfig.from_pretrained(args.src)
+        model = AutoModelForCausalLM.from_pretrained(args.src)
+        params = convert.convert_llama_state_dict(
+            model.state_dict(), hf_cfg.num_hidden_layers)
+        margs = {
+            "vocab_size": hf_cfg.vocab_size,
+            "n_layer": hf_cfg.num_hidden_layers,
+            "n_head": hf_cfg.num_attention_heads,
+            "n_kv_head": getattr(hf_cfg, "num_key_value_heads",
+                                 hf_cfg.num_attention_heads),
+            "n_embd": hf_cfg.hidden_size,
+            "intermediate_size": hf_cfg.intermediate_size,
+            "max_seq_len": min(hf_cfg.max_position_embeddings, 8192),
+            "rope_theta": getattr(hf_cfg, "rope_theta", 10000.0),
+            "rms_eps": hf_cfg.rms_norm_eps,
+            "tie_embeddings": bool(getattr(hf_cfg, "tie_word_embeddings",
+                                           False)),
+        }
+        save_params_npz(args.dst, params, meta={"model_args": margs})
     else:
         table = convert.convert_byt5_from_hf(args.src)
         np.savez(args.dst, table=table)

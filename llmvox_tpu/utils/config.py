@@ -154,6 +154,13 @@ class ServeConfig:
     llm_temperature: float = 0.7
     llm_top_p: float = 0.95
     llm_top_k: int = 40
+    # "hf" = torch AutoModelForCausalLM host (reference-style); "jax" =
+    # the TPU-hosted models/llama.py behind the same stream protocol
+    # (llm_jax_params: converted npz from tools/convert_ckpt llama;
+    # llm_checkpoint still names the tokenizer)
+    llm_backend: str = "hf"
+    llm_jax_params: str = ""
+    llm_block: int = 16
 
     # TTS replica placement: indices into jax.devices()
     tts_device_1: int = 0

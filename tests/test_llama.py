@@ -1,0 +1,215 @@
+"""JAX Llama text LLM (models/llama.py) — HF-oracle parity, KV-cache
+decode, TP sharding, and the TPU-hosted stream adapter.
+
+SURVEY §7 "LLM hosting" option (b): the reference hosts its LLM with
+torch + flash-attn (inference/llm_streaming.py:30-45); here the same
+model family runs in JAX behind the identical stream protocol.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from llmvox_tpu.models import llama
+from llmvox_tpu.tools.convert import convert_llama_state_dict
+
+CFG = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4, n_kv_head=2,
+                        n_embd=32, intermediate_size=64, max_seq_len=64)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+    hf_cfg = HFConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.n_embd,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.n_layer, num_attention_heads=CFG.n_head,
+        num_key_value_heads=CFG.n_kv_head,
+        max_position_embeddings=CFG.max_seq_len, rms_norm_eps=CFG.rms_eps,
+        rope_theta=CFG.rope_theta, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    params = jax.tree.map(
+        jnp.asarray, convert_llama_state_dict(hf.state_dict(), CFG.n_layer))
+    return hf, params
+
+
+def test_full_pass_matches_hf(hf_pair):
+    hf, params = hf_pair
+    ids = np.random.default_rng(0).integers(0, CFG.vocab_size, (2, 10))
+    with torch.no_grad():
+        want = hf(torch.as_tensor(ids)).logits.numpy()
+    got = np.asarray(llama.apply_llama(params, jnp.asarray(ids, jnp.int32),
+                                       CFG))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_prefill_matches_full_pass(hf_pair):
+    _, params = hf_pair
+    ids = np.random.default_rng(1).integers(0, CFG.vocab_size, (2, 9))
+    full = np.asarray(llama.apply_llama(params, jnp.asarray(ids, jnp.int32),
+                                        CFG))
+    st = llama.init_llama_decode_state(CFG, batch=2)
+    lg, st = llama.prefill(params, jnp.asarray(ids, jnp.int32), st, CFG)
+    np.testing.assert_allclose(np.asarray(lg), full[:, -1], atol=1e-5)
+    assert int(st.pos) == 9
+
+
+def test_chunked_prefill_matches_single(hf_pair):
+    """The cache chains across prefill calls (position masking, no
+    dynamic shapes): prompt in two pieces == one piece."""
+    _, params = hf_pair
+    ids = np.random.default_rng(2).integers(0, CFG.vocab_size, (1, 12))
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg1, _ = llama.prefill(params, jnp.asarray(ids, jnp.int32), st, CFG)
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    _, st = llama.prefill(params, jnp.asarray(ids[:, :5], jnp.int32), st,
+                          CFG)
+    lg2, _ = llama.prefill(params, jnp.asarray(ids[:, 5:], jnp.int32), st,
+                           CFG)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg1), atol=1e-5)
+
+
+def test_greedy_decode_matches_hf_generate(hf_pair):
+    hf, params = hf_pair
+    ids = np.random.default_rng(3).integers(0, CFG.vocab_size, (1, 8))
+    with torch.no_grad():
+        want = hf.generate(torch.as_tensor(ids), max_new_tokens=10,
+                           do_sample=False, pad_token_id=0)[0, 8:].numpy()
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg, st = llama.prefill(params, jnp.asarray(ids, jnp.int32), st, CFG)
+    first = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    toks, _ = llama.decode_block(params, first, st, jax.random.PRNGKey(0),
+                                 CFG, block=9)
+    ours = np.concatenate([np.asarray(first)[:, None], np.asarray(toks)], 1)
+    np.testing.assert_array_equal(ours[0], want)
+
+
+def test_topk_sampling_stays_in_topk(hf_pair):
+    _, params = hf_pair
+    ids = np.random.default_rng(4).integers(0, CFG.vocab_size, (1, 6))
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg, st = llama.prefill(params, jnp.asarray(ids, jnp.int32), st, CFG)
+    k = 3
+    topk = set(np.argsort(np.asarray(lg)[0])[-k:].tolist())
+    picks = set()
+    for seed in range(20):
+        tok = llama._sample(lg, jax.random.PRNGKey(seed), 1.0, k)
+        picks.add(int(tok[0]))
+    assert picks <= topk and len(picks) > 1
+
+
+def test_tp_sharded_matches_unsharded(hf_pair):
+    """Megatron column/row TP over the test mesh reproduces the single-
+    device logits (GSPMD inserts the collectives)."""
+    _, params = hf_pair
+    from llmvox_tpu.parallel import create_mesh
+    from llmvox_tpu.parallel.sharding import llama_param_shardings
+    mesh = create_mesh(dp_size=1, tp_size=2)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params,
+        llama_param_shardings(mesh, params))
+    ids = np.random.default_rng(5).integers(0, CFG.vocab_size, (2, 7))
+    ref = np.asarray(llama.apply_llama(params, jnp.asarray(ids, jnp.int32),
+                                       CFG))
+    got = np.asarray(llama.apply_llama(sharded,
+                                       jnp.asarray(ids, jnp.int32), CFG))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+class _ToyTokenizer:
+    """Char-level tokenizer: code unit = byte value; eos_token_id = 0."""
+    eos_token_id = 0
+    eos_token = "<eos>"
+
+    def encode(self, text):
+        return [1 + (b % 126) for b in text.encode()]
+
+    def decode(self, ids):
+        return bytes(32 + (i % 95) for i in ids if i > 0).decode("ascii")
+
+
+def test_jax_stream_adapter_streams_text(hf_pair):
+    _, params = hf_pair
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+    tok = _ToyTokenizer()
+    model = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                           max_tokens=12)
+    model.load()
+    deltas = list(model.predict({"system": "sys", "prompt": "hello"}))
+    assert deltas[-1] == "<eos>"
+    text = "".join(deltas[:-1])
+    assert len(text) > 0
+    # deterministic: greedy decoding repeats exactly
+    model2 = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                            max_tokens=12)
+    deltas2 = list(model2.predict({"system": "sys", "prompt": "hello"}))
+    assert "".join(deltas2) == "".join(deltas)
+
+
+def test_jax_stream_adapter_through_scheduler(hf_pair):
+    """The TPU-hosted LLM feeds the TTS scheduler end to end: text deltas
+    in, audio chunks out (the full-TPU voice-chat path)."""
+    import asyncio
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+    from tests.tiny_stack import SERVE_CFG, make_engines
+
+    _, params = hf_pair
+    tok = _ToyTokenizer()
+    tok.eos_token = SERVE_CFG.eos_token      # scheduler's end marker
+    model = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                           max_tokens=10)
+    engines = make_engines(0, SERVE_CFG)
+    sched = StreamingScheduler(engines, SERVE_CFG)
+
+    async def go():
+        out = []
+        gen = model.predict({"system": "s", "prompt": "hi"})
+
+        async def agen():
+            for d in gen:
+                yield d
+
+        async for chunk in sched.run(agen()):
+            out.append(chunk)
+        return out
+
+    chunks = asyncio.run(asyncio.wait_for(go(), timeout=300))
+    assert len(chunks) > 0
+    wav = np.frombuffer(b"".join(chunks), dtype="<f4")
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_convert_ckpt_llama_roundtrips_into_the_server_factory(
+        hf_pair, tmp_path):
+    """convert_ckpt llama (HF dir -> npz + config meta) feeds
+    streams/jax_llm.py::build_jax_stream, whose greedy output matches the
+    direct JAXStreamModel path."""
+    import dataclasses
+    from llmvox_tpu.tools import convert_ckpt
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel, build_jax_stream
+    from llmvox_tpu.utils.config import ServeConfig
+
+    hf, params = hf_pair
+    src = tmp_path / "hf"
+    hf.save_pretrained(str(src))
+    dst = tmp_path / "llama.npz"
+    convert_ckpt.main(["llama", str(src), str(dst)])
+
+    tok = _ToyTokenizer()
+    scfg = dataclasses.replace(
+        ServeConfig(), llm_backend="jax", llm_jax_params=str(dst),
+        llm_block=4, llm_temperature=0.0, llm_max_tokens=12)
+    model = build_jax_stream(scfg, tokenizer=tok)
+    assert model.cfg.n_layer == CFG.n_layer
+    assert model.cfg.n_kv_head == CFG.n_kv_head
+    got = "".join(model.predict({"system": "sys", "prompt": "hello"}))
+
+    direct = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                            max_tokens=12,
+                            eos_text=scfg.eos_token)
+    want = "".join(direct.predict({"system": "sys", "prompt": "hello"}))
+    assert got == want and len(got) > 0
