@@ -64,7 +64,7 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
     """Random params in the converted-checkpoint layout (HF init: N(0, 0.02),
     RMSNorm scales 1)."""
     hd, kvd = cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-    ks = iter(jax.random.split(key, 8))
+    ks = iter(jax.random.split(key, 10))
 
     def norm(k, shape):
         return 0.02 * jax.random.normal(k, shape, jnp.float32)

@@ -109,11 +109,30 @@ class JAXStreamModel:
         return inner()
 
 
+class ByteTokenizer:
+    """Dependency-free byte-level tokenizer: id = byte + 1, eos = 0.
+
+    Lets the full-TPU path run with no downloads (``llm_checkpoint:
+    byte``) — for smoke tests and for byte-level Llama variants; real
+    deployments name an HF tokenizer instead.
+    """
+    eos_token_id = 0
+    eos_token = "<|eot_id|>"
+
+    def encode(self, text: str) -> List[int]:
+        return [b + 1 for b in text.encode("utf-8")]
+
+    def decode(self, ids) -> str:
+        return bytes(i - 1 for i in ids if 0 < i <= 256).decode(
+            "utf-8", errors="ignore")
+
+
 def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
     """Server-side factory (utils/config.py ``llm_backend="jax"``): load
     converted Llama params (npz from ``tools/convert_ckpt llama``, whose
     meta carries the LlamaConfig fields) and the HF tokenizer named by
-    ``llm_checkpoint``."""
+    ``llm_checkpoint`` (or the built-in byte tokenizer when it is
+    ``"byte"``)."""
     import jax.numpy as jnp
     import jax
 
@@ -126,8 +145,11 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
     lcfg = LlamaConfig(**{k: v for k, v in margs.items()
                           if k in LlamaConfig.__dataclass_fields__})
     if tokenizer is None:
-        from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
+        if cfg.llm_checkpoint == "byte":
+            tokenizer = ByteTokenizer()
+        else:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
     params = jax.tree.map(lambda x: jnp.asarray(x), params)
     return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
                           temperature=cfg.llm_temperature,

@@ -213,3 +213,33 @@ def test_convert_ckpt_llama_roundtrips_into_the_server_factory(
                             eos_text=scfg.eos_token)
     want = "".join(direct.predict({"system": "sys", "prompt": "hello"}))
     assert got == want and len(got) > 0
+
+
+def test_byte_tokenizer_and_factory_byte_mode(hf_pair, tmp_path):
+    """llm_checkpoint="byte" selects the built-in dependency-free byte
+    tokenizer (full-TPU smoke path, no downloads)."""
+    import dataclasses
+    from llmvox_tpu.streams.jax_llm import ByteTokenizer, build_jax_stream
+    from llmvox_tpu.train.checkpoint import save_params_npz
+    from llmvox_tpu.utils.config import ServeConfig
+
+    tok = ByteTokenizer()
+    ids = tok.encode("héllo, wörld")
+    assert tok.decode(ids) == "héllo, wörld"
+    assert tok.decode(ids + [tok.eos_token_id]) == "héllo, wörld"
+
+    _, params = hf_pair
+    dst = tmp_path / "llama.npz"
+    margs = {k: getattr(CFG, k) for k in (
+        "vocab_size", "n_layer", "n_head", "n_kv_head", "n_embd",
+        "intermediate_size", "max_seq_len")}
+    save_params_npz(str(dst), jax.device_get(params),
+                    meta={"model_args": margs})
+    scfg = dataclasses.replace(
+        ServeConfig(), llm_backend="jax", llm_jax_params=str(dst),
+        llm_checkpoint="byte", llm_block=4, llm_temperature=0.0,
+        llm_max_tokens=8)
+    model = build_jax_stream(scfg)
+    assert isinstance(model.tokenizer, ByteTokenizer)
+    deltas = list(model.predict({"system": "", "prompt": "hi"}))
+    assert deltas[-1] == scfg.eos_token
