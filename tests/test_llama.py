@@ -243,3 +243,29 @@ def test_byte_tokenizer_and_factory_byte_mode(hf_pair, tmp_path):
     assert isinstance(model.tokenizer, ByteTokenizer)
     deltas = list(model.predict({"system": "", "prompt": "hi"}))
     assert deltas[-1] == scfg.eos_token
+
+
+def test_tp_sharded_decode_matches_unsharded(hf_pair):
+    """The serving path (prefill + block decode with the KV cache) also
+    reproduces single-device results under Megatron TP."""
+    _, params = hf_pair
+    from llmvox_tpu.parallel import create_mesh
+    from llmvox_tpu.parallel.sharding import llama_param_shardings
+    mesh = create_mesh(dp_size=1, tp_size=2)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params,
+        llama_param_shardings(mesh, params))
+    ids = np.random.default_rng(6).integers(0, CFG.vocab_size, (1, 6))
+
+    def run(p):
+        st = llama.init_llama_decode_state(CFG, batch=1)
+        lg, st = llama.prefill(p, jnp.asarray(ids, jnp.int32), st, CFG)
+        first = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        toks, _ = llama.decode_block(p, first, st, jax.random.PRNGKey(0),
+                                     CFG, block=6)
+        return np.asarray(first), np.asarray(toks)
+
+    f_ref, t_ref = run(params)
+    f_tp, t_tp = run(sharded)
+    np.testing.assert_array_equal(f_tp, f_ref)
+    np.testing.assert_array_equal(t_tp, t_ref)
