@@ -1,0 +1,57 @@
+"""Codec GAN training step time at the reference's per-device shape.
+
+The reference trains WavTokenizer at batch 40 x 3 s crops per GPU
+(WavTokenizer config yaml:10-11, 87-92; BASELINE.md "Codec training").
+This measures our jitted alternating GAN step (generator + MPD/MRD/DAC
+discriminators, EMA VQ) at that shape on one TPU chip.
+
+Run: python benchmarks/codec_train_bench.py [batch]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from llmvox_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+from llmvox_tpu.train.codec_trainer import CodecTrainer  # noqa: E402
+from llmvox_tpu.utils.config import CodecConfig, CodecTrainConfig  # noqa: E402
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    cfg = CodecConfig()                      # deployed large-320-24k
+    tcfg = CodecTrainConfig(batch_size=batch)
+    trainer = CodecTrainer(cfg, tcfg)
+    rng = np.random.default_rng(0)
+    audio = 0.1 * rng.standard_normal(
+        (batch, tcfg.num_samples)).astype(np.float32)
+
+    t0 = time.time()
+    trainer.step(audio)                      # compile
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        logs = trainer.step(audio)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+    audio_s = batch * tcfg.num_samples / tcfg.sample_rate
+    print({
+        "batch": batch,
+        "crop_s": tcfg.num_samples / tcfg.sample_rate,
+        "compile_s": round(compile_s, 1),
+        "step_ms": round(step_s * 1e3, 1),
+        "train_audio_s_per_s": round(audio_s / step_s, 1),
+        "mel": round(float(logs["mel"]), 4),
+    })
+
+
+if __name__ == "__main__":
+    main()

@@ -57,8 +57,15 @@ def kmeans(key: jax.Array, data: jnp.ndarray, bins: int,
     """(means (bins, dim), counts) — core_vq.py kmeans with empty-cluster
     carry-over of the previous mean."""
     n = data.shape[0]
-    idx = jax.random.permutation(key, n)[:bins]
-    means = data[idx % n]
+    if n >= bins:
+        idx = jax.random.permutation(key, n)[:bins]
+    else:
+        # fewer vectors than centroids (large codebooks, small first
+        # batch): sample with replacement, like the reference's
+        # sample_vectors (core_vq.py randint branch) — the old
+        # [:bins] slice silently produced an (n, dim) codebook here
+        idx = jax.random.randint(key, (bins,), 0, n)
+    means = data[idx]
 
     def body(_, means):
         assign = jnp.argmax(_pairwise_dist(data, means), axis=-1)

@@ -201,3 +201,17 @@ def test_validation_metrics_full():
     assert "val_si_snr" in m and np.isfinite(m["val_si_snr"])
     assert "val_periodicity_rmse" in m or "val_f1" in m or any(
         k.startswith("val_") for k in m)
+
+
+def test_kmeans_init_with_fewer_vectors_than_bins():
+    """Deployed-shape regression: vq_bins=4096 with a 3 s first batch has
+    fewer encoder frames than centroids; kmeans must sample with
+    replacement (core_vq sample_vectors), not emit an (n, dim) codebook."""
+    key = jax.random.PRNGKey(0)
+    state = vq_train.init_vq_state(key, bins=32, dim=4)
+    x = jnp.asarray(RNG.standard_normal((12, 4)), jnp.float32)   # 12 < 32
+    quant, codes, commit, state = vq_train.vq_train_step(
+        state, x, key, kmeans_iters=2)
+    assert state.embed.shape == (32, 4)
+    assert bool(state.inited)
+    assert quant.shape == x.shape and np.isfinite(np.asarray(quant)).all()
