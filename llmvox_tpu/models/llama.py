@@ -266,6 +266,56 @@ def prefill(params: Dict, tokens: jnp.ndarray, state: LlamaDecodeState,
     return _forward_cached(params, tokens, state, cfg)
 
 
+@jax.jit
+def prefill_padded(params: Dict, tokens: jnp.ndarray,
+                   valid_len: jnp.ndarray, state: LlamaDecodeState,
+                   cfg: LlamaConfig) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """Bucketed prefill: ``tokens`` (B, Tpad) right-padded, only the first
+    ``valid_len`` positions are real.  ONE compiled program per bucket
+    width instead of one per prompt length.
+
+    Why padding is safe with this cache: pad positions write stale
+    entries at cache slots >= valid_len, but the causal mask
+    ``j <= pos + i`` with ``pos = valid_len`` hides them from every later
+    query until the decode loop overwrites them in order; the returned
+    logits are taken at the last VALID position, and pad queries'
+    outputs are discarded.  ``valid_len`` must be UNIFORM across the
+    batch (``pos`` is shared): use B=1 or equal-length prompts.
+    """
+    logits_all, new_state = _forward_cached_all(params, tokens, state, cfg)
+    idx = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32) - 1,
+                           (tokens.shape[0],))
+    logits = jnp.take_along_axis(logits_all, idx.reshape(-1, 1, 1),
+                                 axis=1)[:, 0]
+    new_state = new_state._replace(
+        pos=state.pos + jnp.max(jnp.asarray(valid_len, jnp.int32)))
+    return logits, new_state
+
+
+def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
+                        state: LlamaDecodeState, cfg: LlamaConfig
+                        ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+    """Like :func:`_forward_cached` but returns logits at EVERY position
+    (B, T, V) — the padded-prefill helper needs the last valid one."""
+    x = params["tok_emb"][tokens]
+
+    def body(carry, scan_in):
+        x = carry
+        lp, k_cache, v_cache = scan_in
+        x, k_cache, v_cache = _layer_step(lp, x, k_cache, v_cache,
+                                          state.pos, cfg)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["h"], state.k, state.v))
+    x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
+    head = params.get("head")
+    if head is None:
+        head = params["tok_emb"].T
+    logits = ops.linear(x, head)
+    return logits, LlamaDecodeState(new_k, new_v,
+                                    state.pos + tokens.shape[1])
+
+
 @partial(jax.jit, static_argnames=("block", "temperature", "top_k"))
 def decode_block(params: Dict, first_token: jnp.ndarray,
                  state: LlamaDecodeState, rng: jax.Array, cfg: LlamaConfig,

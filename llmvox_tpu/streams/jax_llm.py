@@ -27,13 +27,19 @@ class JAXStreamModel:
     def __init__(self, params, cfg, tokenizer, *, block: int = 16,
                  temperature: float = 0.0, top_k: int = 0,
                  max_tokens: int = 512, eos_text: Optional[str] = None,
-                 seed: int = 0, device=None):
+                 seed: int = 0, device=None, dtype=None):
         import jax
+        import jax.numpy as jnp
 
         from llmvox_tpu.models import llama
 
         self._llama = llama
         self.cfg = cfg
+        if dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        self.cache_dtype = dtype or jnp.float32
         self.params = (jax.device_put(params, device)
                        if device is not None else params)
         self.tokenizer = tokenizer
@@ -68,9 +74,20 @@ class JAXStreamModel:
 
         llama = self._llama
         ids = self._prompt_ids(request)
-        state = llama.init_llama_decode_state(self.cfg, batch=1)
-        logits, state = llama.prefill(
-            self.params, jnp.asarray([ids], jnp.int32), state, self.cfg)
+        # bucketed prefill: pad the prompt to the next power of two so a
+        # handful of compiled prefill programs serve every prompt length
+        cap = self.cfg.max_seq_len - 1
+        ids = ids[-cap:]
+        bucket = 16
+        while bucket < len(ids):
+            bucket *= 2
+        bucket = min(bucket, cap)
+        padded = ids + [0] * (bucket - len(ids))
+        state = llama.init_llama_decode_state(self.cfg, batch=1,
+                                              dtype=self.cache_dtype)
+        logits, state = llama.prefill_padded(
+            self.params, jnp.asarray([padded], jnp.int32),
+            jnp.asarray(len(ids), jnp.int32), state, self.cfg)
         self._rng, sub = jax.random.split(self._rng)
         tok = llama._sample(logits, sub, self.temperature, self.top_k)
 

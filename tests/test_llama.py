@@ -269,3 +269,41 @@ def test_tp_sharded_decode_matches_unsharded(hf_pair):
     f_tp, t_tp = run(sharded)
     np.testing.assert_array_equal(f_tp, f_ref)
     np.testing.assert_array_equal(t_tp, t_ref)
+
+
+def test_padded_prefill_matches_exact(hf_pair):
+    """Bucketed prefill (right-pad + valid_len) gives the same logits and
+    the same subsequent greedy tokens as exact-length prefill."""
+    _, params = hf_pair
+    ids = np.random.default_rng(7).integers(1, CFG.vocab_size, (1, 11))
+
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg_exact, st_exact = llama.prefill(params, jnp.asarray(ids, jnp.int32),
+                                       st, CFG)
+    padded = np.concatenate([ids, np.zeros((1, 5), np.int64)], axis=1)
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg_pad, st_pad = llama.prefill_padded(
+        params, jnp.asarray(padded, jnp.int32),
+        jnp.asarray(11, jnp.int32), st, CFG)
+    np.testing.assert_allclose(np.asarray(lg_pad), np.asarray(lg_exact),
+                               atol=1e-5)
+    assert int(st_pad.pos) == int(st_exact.pos) == 11
+
+    first = jnp.argmax(lg_exact, axis=-1).astype(jnp.int32)
+    toks_exact, _ = llama.decode_block(params, first, st_exact,
+                                       jax.random.PRNGKey(0), CFG, block=8)
+    toks_pad, _ = llama.decode_block(params, first, st_pad,
+                                     jax.random.PRNGKey(0), CFG, block=8)
+    np.testing.assert_array_equal(np.asarray(toks_pad),
+                                  np.asarray(toks_exact))
+
+
+def test_stream_adapter_bf16_dtype(hf_pair):
+    """dtype=bfloat16 casts params + cache; generation still streams."""
+    _, params = hf_pair
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+    tok = _ToyTokenizer()
+    model = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                           max_tokens=8, dtype=jnp.bfloat16)
+    deltas = list(model.predict({"system": "", "prompt": "hey"}))
+    assert deltas[-1] == "<eos>" and len("".join(deltas[:-1])) > 0
