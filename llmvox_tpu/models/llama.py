@@ -35,6 +35,11 @@ from llmvox_tpu.ops.attention import causal_attention_auto
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    """Keep every dimension a multiple of 128 (the TPU lane width) —
+    especially ``vocab_size``: a 257-entry vocab measured 16x slower
+    decode and 100x slower compile than 256/384 (pad the embedding and
+    head rows; unused ids are simply never sampled).  Real HF vocabs
+    (32000, 128256) are already aligned."""
     vocab_size: int = 32000
     n_layer: int = 32
     n_head: int = 32

@@ -131,7 +131,9 @@ class ByteTokenizer:
 
     Lets the full-TPU path run with no downloads (``llm_checkpoint:
     byte``) — for smoke tests and for byte-level Llama variants; real
-    deployments name an HF tokenizer instead.
+    deployments name an HF tokenizer instead.  Pair it with
+    ``vocab_size=384`` (not 257): a lane-aligned vocab is 16x faster to
+    decode (LlamaConfig's docstring).
     """
     eos_token_id = 0
     eos_token = "<|eot_id|>"
