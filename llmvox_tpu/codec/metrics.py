@@ -254,15 +254,17 @@ def pesq_score(y_hat: np.ndarray, y: np.ndarray,
 def stoi_score(y_hat: np.ndarray, y: np.ndarray,
                sr: int = 16000) -> Optional[float]:
     """STOI intelligibility (metrics/infer.py uses pystoi): registered
-    backend first, else the pystoi package, else None."""
+    backend first, then the pystoi package, else the built-in
+    dependency-free implementation (``codec/stoi.py``)."""
     if "stoi" in _PLUGINS:
         return float(_PLUGINS["stoi"](y_hat, y, sr))
     try:
         from pystoi import stoi
+        t = min(len(y_hat), len(y))
+        return float(stoi(y[:t], y_hat[:t], sr, extended=False))
     except ImportError:
-        return None
-    t = min(len(y_hat), len(y))
-    return float(stoi(y[:t], y_hat[:t], sr, extended=False))
+        from llmvox_tpu.codec.stoi import stoi
+        return float(stoi(y, y_hat, sr))
 
 
 def utmos_score(y_hat: np.ndarray, sr: int = 16000) -> Optional[float]:

@@ -209,3 +209,43 @@ def test_crepe_plugin_backend_overrides_yin():
         assert len(pitch) == 10 and pitch[0] == 100.0 and per[0] == 0.9
     finally:
         metrics.register_plugin("crepe", None)
+
+
+def test_builtin_stoi_tracks_snr():
+    """Dependency-free STOI (codec/stoi.py): perfect on identity, falls
+    monotonically with SNR on broadband modulated signals, near zero for
+    unrelated noise — the published algorithm's qualitative curve."""
+    from llmvox_tpu.codec.stoi import stoi
+    sr = 16000
+    rng = np.random.default_rng(2)
+    n = 3 * sr
+    carrier = rng.standard_normal(n)
+    env = np.abs(rng.standard_normal(n // 800 + 2))
+    env = np.interp(np.arange(n) / 800.0, np.arange(len(env)), env)
+    clean = carrier * env
+
+    assert stoi(clean, clean, sr) > 0.999
+    scores = []
+    for snr in (20, 10, 0, -10):
+        noise = rng.standard_normal(n)
+        noise *= (np.linalg.norm(clean) / np.linalg.norm(noise)
+                  / (10 ** (snr / 20)))
+        scores.append(stoi(clean, clean + noise, sr))
+    assert scores[0] > 0.95
+    assert all(a > b for a, b in zip(scores, scores[1:]))
+    assert stoi(clean, rng.standard_normal(n), sr) < 0.15
+    assert np.isnan(stoi(clean[:1000], clean[:1000], sr))
+
+
+def test_stoi_score_uses_builtin_without_pystoi():
+    """metrics.stoi_score now always returns a value: plug-in, pystoi, or
+    the built-in implementation (this image has no pystoi)."""
+    sr = 16000
+    rng = np.random.default_rng(3)
+    n = 2 * sr
+    env = np.interp(np.arange(n) / 500.0,
+                    np.arange(n // 500 + 2),
+                    np.abs(rng.standard_normal(n // 500 + 2)))
+    clean = (rng.standard_normal(n) * env).astype(np.float32)
+    s = metrics.stoi_score(clean, clean, sr)
+    assert s is not None and s > 0.999
