@@ -75,7 +75,9 @@ def evaluate_files(pairs: Sequence[Tuple[str, str]],
         log(json.dumps(row))
     keys = sorted({k for r in per_file for k in r
                    if isinstance(r[k], (int, float))})
-    mean = {k: float(np.mean([r[k] for r in per_file if k in r]))
+    # nanmean: the built-in STOI returns nan for clips too short after
+    # silence removal; one such file must not poison the aggregate
+    mean = {k: float(np.nanmean([r[k] for r in per_file if k in r]))
             for k in keys}
     return {"n": len(per_file), "per_file": per_file, "mean": mean}
 
