@@ -44,7 +44,9 @@ def _resample(x: np.ndarray, sr_in: int, sr_out: int = FS) -> np.ndarray:
 
 
 def _frames(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
-    n = 1 + (len(x) - frame) // hop if len(x) >= frame else 0
+    if len(x) < frame:
+        return np.zeros((0, frame))
+    n = 1 + (len(x) - frame) // hop
     return np.lib.stride_tricks.sliding_window_view(x, frame)[::hop][:n]
 
 

@@ -48,6 +48,14 @@ class LlamaConfig:
     intermediate_size: int = 11008
     max_seq_len: int = 4096       # KV-cache capacity
     rope_theta: float = 10000.0
+    # llama3-type RoPE scaling (Llama 3.1/3.2 checkpoints): factor 0
+    # disables it; otherwise matches HF's rope_type="llama3" frequency
+    # rescaling (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings)
+    rope_scaling_factor: float = 0.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
 
@@ -109,17 +117,40 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
 
+def _inv_freq(cfg: LlamaConfig, hd: int) -> jnp.ndarray:
+    """Rotary inverse frequencies, with HF's llama3 rescaling when
+    ``rope_scaling_factor`` is set (transformers ROPE_INIT_FUNCTIONS
+    ["llama3"]): long-wavelength bands divide by the factor, short ones
+    stay, the middle interpolates smoothly."""
+    half = hd // 2
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(half, dtype=jnp.float32)
+                                    * 2.0 / hd))
+    if not cfg.rope_scaling_factor:
+        return inv
+    lo_wav = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    hi_wav = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2.0 * math.pi / inv
+    smooth = ((cfg.rope_original_max_position / wavelen
+               - cfg.rope_low_freq_factor)
+              / (cfg.rope_high_freq_factor - cfg.rope_low_freq_factor))
+    interp = ((1.0 - smooth) * inv / cfg.rope_scaling_factor
+              + smooth * inv)
+    out = jnp.where(wavelen > lo_wav, inv / cfg.rope_scaling_factor, inv)
+    mid = (wavelen <= lo_wav) & (wavelen >= hi_wav)
+    return jnp.where(mid, interp, out)
+
+
 def rope(x: jnp.ndarray, positions: jnp.ndarray,
-         theta: float) -> jnp.ndarray:
+         cfg: LlamaConfig) -> jnp.ndarray:
     """HF-convention rotary embedding on (..., T, n_head, head_dim).
 
     ``rotate_half`` splits the head dim in two contiguous halves:
-    x' = x * cos + [-x2, x1] * sin, with angles pos * theta^(-2i/hd).
+    x' = x * cos + [-x2, x1] * sin, with angles pos * inv_freq
+    (llama3-scaled when configured).
     """
     hd = x.shape[-1]
     half = hd // 2
-    inv_freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32)
-                                * 2.0 / hd))
+    inv_freq = _inv_freq(cfg, hd)
     ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., T, half)
     cos = jnp.cos(ang)[..., None, :]                           # (..., T, 1, half)
     sin = jnp.sin(ang)[..., None, :]
@@ -152,8 +183,8 @@ def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
         q = ops.linear(h, lp["wq"]).reshape(b, t, cfg.n_head, hd)
         k = ops.linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_head, hd)
         v = ops.linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_head, hd)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q = rope(q, positions, cfg)
+        k = rope(k, positions, cfg)
         att = causal_attention_auto(
             q, _repeat_kv(k, cfg.q_per_kv), _repeat_kv(v, cfg.q_per_kv))
         x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
@@ -198,8 +229,8 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
     q = ops.linear(h, lp["wq"]).reshape(b, t, cfg.n_head, hd)
     k = ops.linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_head, hd)
     v = ops.linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_head, hd)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, cfg)
+    k = rope(k, positions, cfg)
     k_cache = lax.dynamic_update_slice(
         k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0))
     v_cache = lax.dynamic_update_slice(
@@ -232,7 +263,19 @@ def _forward_cached(params: Dict, tokens: jnp.ndarray,
                     state: LlamaDecodeState, cfg: LlamaConfig
                     ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """(B, T) new tokens -> (B, V) logits of the LAST position; cache
-    extended.  One lax.scan over the stacked layers."""
+    extended.  One lax.scan over the stacked layers.  The final norm and
+    head run on the last position only (the head matmul over all T
+    positions is the one cost worth skipping in the decode loop)."""
+    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg)
+    x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
+    logits = ops.linear(x, _head(params))
+    return logits, LlamaDecodeState(new_k, new_v,
+                                    state.pos + tokens.shape[1])
+
+
+def _scan_layers(params: Dict, tokens: jnp.ndarray,
+                 state: LlamaDecodeState, cfg: LlamaConfig):
+    """Shared depth scan for both cached-forward variants."""
     x = params["tok_emb"][tokens]
 
     def body(carry, scan_in):
@@ -242,14 +285,12 @@ def _forward_cached(params: Dict, tokens: jnp.ndarray,
                                           state.pos, cfg)
         return x, (k_cache, v_cache)
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["h"], state.k, state.v))
-    x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
+    return lax.scan(body, x, (params["h"], state.k, state.v))
+
+
+def _head(params: Dict) -> jnp.ndarray:
     head = params.get("head")
-    if head is None:
-        head = params["tok_emb"].T
-    logits = ops.linear(x, head)
-    return logits, LlamaDecodeState(new_k, new_v,
-                                    state.pos + tokens.shape[1])
+    return params["tok_emb"].T if head is None else head
 
 
 def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
@@ -302,21 +343,9 @@ def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
                         ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Like :func:`_forward_cached` but returns logits at EVERY position
     (B, T, V) — the padded-prefill helper needs the last valid one."""
-    x = params["tok_emb"][tokens]
-
-    def body(carry, scan_in):
-        x = carry
-        lp, k_cache, v_cache = scan_in
-        x, k_cache, v_cache = _layer_step(lp, x, k_cache, v_cache,
-                                          state.pos, cfg)
-        return x, (k_cache, v_cache)
-
-    x, (new_k, new_v) = lax.scan(body, x, (params["h"], state.k, state.v))
+    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg)
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
-    head = params.get("head")
-    if head is None:
-        head = params["tok_emb"].T
-    logits = ops.linear(x, head)
+    logits = ops.linear(x, _head(params))
     return logits, LlamaDecodeState(new_k, new_v,
                                     state.pos + tokens.shape[1])
 

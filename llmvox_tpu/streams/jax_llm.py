@@ -51,6 +51,8 @@ class JAXStreamModel:
         self.eos_text = (eos_text if eos_text is not None
                          else getattr(tokenizer, "eos_token", "")) or ""
         self._rng = jax.random.PRNGKey(seed)
+        import threading
+        self._rng_lock = threading.Lock()
 
     def load(self) -> None:
         pass
@@ -67,63 +69,91 @@ class JAXStreamModel:
         text = (system + "\n\n" if system else "") + prompt + "\n"
         return list(self.tokenizer.encode(text))
 
+    def _next_key(self):
+        import jax
+
+        # concurrent predict() generators run on different aiter_stream
+        # worker threads; splitting must not race
+        with self._rng_lock:
+            self._rng, sub = jax.random.split(self._rng)
+        return sub
+
     # -- generation --------------------------------------------------------
     def predict(self, request: Dict) -> Iterator[str]:
-        import jax
-        import jax.numpy as jnp
-
-        llama = self._llama
-        ids = self._prompt_ids(request)
-        # bucketed prefill: pad the prompt to the next power of two so a
-        # handful of compiled prefill programs serve every prompt length
-        cap = self.cfg.max_seq_len - 1
-        ids = ids[-cap:]
-        bucket = 16
-        while bucket < len(ids):
-            bucket *= 2
-        bucket = min(bucket, cap)
-        padded = ids + [0] * (bucket - len(ids))
-        state = llama.init_llama_decode_state(self.cfg, batch=1,
-                                              dtype=self.cache_dtype)
-        logits, state = llama.prefill_padded(
-            self.params, jnp.asarray([padded], jnp.int32),
-            jnp.asarray(len(ids), jnp.int32), state, self.cfg)
-        self._rng, sub = jax.random.split(self._rng)
-        tok = llama._sample(logits, sub, self.temperature, self.top_k)
+        """Returns a LAZY generator: all device work (prefill compile
+        included) happens when the consumer iterates — in the server,
+        that is ``aiter_stream``'s worker thread, never the event loop."""
 
         def inner():
-            nonlocal state, tok
+            import jax.numpy as jnp
+
+            llama = self._llama
+            ids = self._prompt_ids(request)
+            # bucketed prefill: pad the prompt to the next power of two
+            # so a handful of compiled programs serve every prompt length
+            cap = self.cfg.max_seq_len - 1
+            ids = ids[-cap:]
+            bucket = 16
+            while bucket < len(ids):
+                bucket *= 2
+            bucket = min(bucket, cap)
+            padded = ids + [0] * (bucket - len(ids))
+            state = llama.init_llama_decode_state(self.cfg, batch=1,
+                                                  dtype=self.cache_dtype)
+            logits, state = llama.prefill_padded(
+                self.params, jnp.asarray([padded], jnp.int32),
+                jnp.asarray(len(ids), jnp.int32), state, self.cfg)
+            tok = llama._sample(logits, self._next_key(),
+                                self.temperature, self.top_k)
+
             out: List[int] = [int(tok[0])]
             emitted = ""
             done = out[-1] == self.eos_id
             while not done and len(out) < self.max_tokens:
-                n = min(self.block,
-                        self.cfg.max_seq_len - int(state.pos) - 1)
-                if n <= 0:
+                # fixed block size only: a shrinking tail block would
+                # compile a new program per distinct length right when
+                # the context is nearly full.  Stop one whole block
+                # short of capacity instead.
+                if int(state.pos) + self.block >= self.cfg.max_seq_len:
                     break
-                self._rng, sub = jax.random.split(self._rng)
                 toks, state = llama.decode_block(
-                    self.params, tok, state, sub, self.cfg, block=n,
-                    temperature=self.temperature, top_k=self.top_k)
-                block_toks = np.asarray(toks)[0].tolist()
-                for t in block_toks:
+                    self.params, tok, state, self._next_key(), self.cfg,
+                    block=self.block, temperature=self.temperature,
+                    top_k=self.top_k)
+                for t in np.asarray(toks)[0].tolist():
                     out.append(int(t))
                     if out[-1] == self.eos_id:
                         done = True
                         break
                 tok = jnp.asarray([out[-1]], jnp.int32)
-                # incremental detokenization: emit the text grown since
-                # the last yield (UTF-8 multi-token graphemes stay intact
-                # because we re-decode the whole sequence each time)
-                body = [t for t in out if t != self.eos_id]
-                text = self.tokenizer.decode(body)
-                if len(text) > len(emitted):
-                    yield text[len(emitted):]
-                    emitted = text
+                delta, emitted = self._stable_delta(out, emitted)
+                if delta:
+                    yield delta
+            delta, emitted = self._stable_delta(out, emitted, final=True)
+            if delta:
+                yield delta
             if self.eos_text:
                 yield self.eos_text
 
         return inner()
+
+    def _stable_delta(self, out: List[int], emitted: str,
+                      final: bool = False):
+        """Incremental detokenization with hold-back: re-decode the whole
+        sequence and emit only the STABLE new suffix.  A trailing U+FFFD
+        means the tokenizer split a multi-byte character across tokens —
+        hold it back until the next block completes it (otherwise the
+        replacement char would be emitted and the real character lost,
+        since the final text has the same length)."""
+        body = [t for t in out if t != self.eos_id]
+        text = self.tokenizer.decode(body)
+        if not final:
+            while text.endswith("�"):
+                text = text[: -1]
+        if not text.startswith(emitted):
+            # tokenizer rewrote earlier output (rare; e.g. normalization)
+            return "", emitted
+        return text[len(emitted):], text
 
 
 class ByteTokenizer:
@@ -170,8 +200,9 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
     params = jax.tree.map(lambda x: jnp.asarray(x), params)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
                           temperature=cfg.llm_temperature,
                           top_k=cfg.llm_top_k,
                           max_tokens=cfg.llm_max_tokens,
-                          eos_text=cfg.eos_token)
+                          eos_text=cfg.eos_token, dtype=dtype)

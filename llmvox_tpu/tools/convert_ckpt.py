@@ -54,6 +54,22 @@ def main(argv=None) -> None:
             "tie_embeddings": bool(getattr(hf_cfg, "tie_word_embeddings",
                                            False)),
         }
+        # Llama 3.1/3.2 rope_scaling: without this the rotary frequencies
+        # are wrong at every position (models/llama.py::_inv_freq)
+        rs = getattr(hf_cfg, "rope_scaling", None)
+        if rs:
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype != "llama3":
+                raise ValueError(
+                    f"unsupported rope_scaling type {rtype!r}; only "
+                    "'llama3' is implemented")
+            margs.update({
+                "rope_scaling_factor": float(rs["factor"]),
+                "rope_low_freq_factor": float(rs["low_freq_factor"]),
+                "rope_high_freq_factor": float(rs["high_freq_factor"]),
+                "rope_original_max_position": int(
+                    rs["original_max_position_embeddings"]),
+            })
         save_params_npz(args.dst, params, meta={"model_args": margs})
     else:
         table = convert.convert_byt5_from_hf(args.src)

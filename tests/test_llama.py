@@ -307,3 +307,76 @@ def test_stream_adapter_bf16_dtype(hf_pair):
                            max_tokens=8, dtype=jnp.bfloat16)
     deltas = list(model.predict({"system": "", "prompt": "hey"}))
     assert deltas[-1] == "<eos>" and len("".join(deltas[:-1])) > 0
+
+
+def test_llama3_rope_scaling_matches_hf():
+    """Llama 3.1/3.2-style rope_scaling: frequencies rescale per band
+    (HF rope_type='llama3'); without it converted 3.x checkpoints would
+    be silently wrong at every position."""
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+    cfg = llama.LlamaConfig(
+        vocab_size=128, n_layer=2, n_head=4, n_kv_head=2, n_embd=32,
+        intermediate_size=64, max_seq_len=64, rope_theta=500000.0,
+        rope_scaling_factor=8.0, rope_low_freq_factor=1.0,
+        rope_high_freq_factor=4.0, rope_original_max_position=32)
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=500000.0,
+        rms_norm_eps=cfg.rms_eps,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        tie_word_embeddings=False, attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    params = jax.tree.map(
+        jnp.asarray, convert_llama_state_dict(hf.state_dict(), 2))
+    ids = np.random.default_rng(8).integers(0, 128, (1, 20))
+    with torch.no_grad():
+        want = hf(torch.as_tensor(ids)).logits.numpy()
+    got = np.asarray(llama.apply_llama(params, jnp.asarray(ids, jnp.int32),
+                                       cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and the scaling genuinely changes the result
+    plain = np.asarray(llama.apply_llama(
+        params, jnp.asarray(ids, jnp.int32),
+        llama.LlamaConfig(
+            vocab_size=128, n_layer=2, n_head=4, n_kv_head=2, n_embd=32,
+            intermediate_size=64, max_seq_len=64, rope_theta=500000.0)))
+    # small model/short context => small but real effect, well above the
+    # parity tolerance
+    assert np.abs(plain - want).max() > 1e-4
+
+
+def test_stable_delta_holds_back_split_multibyte_chars(hf_pair):
+    """A tokenizer that splits 'é' across two tokens must not leak U+FFFD
+    into the stream (streams/jax_llm.py::_stable_delta)."""
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+
+    class ReplaceTok:
+        eos_token_id = 0
+        eos_token = "<eos>"
+
+        def encode(self, text):
+            return [b + 1 for b in text.encode("utf-8")]
+
+        def decode(self, ids):
+            return bytes(i - 1 for i in ids if i > 0).decode(
+                "utf-8", errors="replace")
+
+    _, params = hf_pair
+    model = JAXStreamModel(params, CFG, ReplaceTok(), block=4)
+    ids = [b + 1 for b in "café!".encode("utf-8")]   # é = 2 bytes
+    emitted = ""
+    deltas = []
+    for upto in range(1, len(ids) + 1):
+        d, emitted = model._stable_delta(ids[:upto], emitted)
+        if d:
+            deltas.append(d)
+    text = "".join(deltas)
+    assert text == "café!"
+    assert "�" not in text
+    # final flush emits everything even with a trailing partial byte
+    d, _ = model._stable_delta(ids + [ord("é") + 1], "café!", final=True)
+    assert "café!" not in d  # only the new suffix

@@ -249,3 +249,9 @@ def test_stoi_score_uses_builtin_without_pystoi():
     clean = (rng.standard_normal(n) * env).astype(np.float32)
     s = metrics.stoi_score(clean, clean, sr)
     assert s is not None and s > 0.999
+
+
+def test_builtin_stoi_tiny_clip_returns_nan_not_crash():
+    from llmvox_tpu.codec.stoi import stoi
+    x = np.random.default_rng(0).standard_normal(300)
+    assert np.isnan(stoi(x, x, 16000))
