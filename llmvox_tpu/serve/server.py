@@ -109,8 +109,14 @@ class TTSServer:
                 await self._plain(writer, 200, {
                     "message": "Streaming TTS API (LLMVoX-TPU)",
                     "usage": 'POST /tts with {"text": "..."}',
+                    "demo": "GET /demo",
                     "version": "1.0.0",
                 })
+            elif method == "GET" and path == "/demo":
+                # browser demo: streaming fetch + WebAudio playback (the
+                # web-native counterpart of the reference's Qt demo)
+                from llmvox_tpu.serve.demo_page import DEMO_HTML
+                await self._html(writer, DEMO_HTML)
             elif method == "GET" and path == "/stats":
                 await self._plain(writer, 200, {"requests": list(self.traces)})
             elif method == "POST" and path in (
@@ -132,6 +138,14 @@ class TTSServer:
                 await writer.wait_closed()
             except Exception:
                 pass
+
+    async def _html(self, writer, html: str) -> None:
+        payload = html.encode()
+        writer.write(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "Connection: close\r\n\r\n".encode() + payload)
+        await writer.drain()
 
     async def _plain(self, writer, status: int, obj: Dict) -> None:
         payload = json.dumps(obj).encode()

@@ -64,6 +64,20 @@ def test_root_endpoint(server):
     assert "Streaming TTS" in info["message"]
 
 
+def test_demo_page_served(server):
+    """GET /demo returns the browser demo UI (streaming fetch + WebAudio
+    — the web counterpart of the reference's Qt demo)."""
+    import http.client
+    host, port = server
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("GET", "/demo")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "text/html" in resp.getheader("Content-Type", "")
+    page = resp.read().decode()
+    assert "<html" in page and "AudioContext" in page and "/tts" in page
+
+
 def test_tts_endpoint_streams_float32_audio(server):
     host, port = server
     wav, stamps = collect_audio(
