@@ -294,14 +294,27 @@ def _head(params: Dict) -> jnp.ndarray:
 
 
 def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
-            top_k: int) -> jnp.ndarray:
-    """Greedy when temperature == 0, else top-k temperature sampling."""
+            top_k: int, top_p: float = 1.0) -> jnp.ndarray:
+    """Greedy when temperature == 0, else temperature sampling with
+    optional top-k and nucleus (top-p) filtering — the reference's
+    GenerationConfig knobs (hf_llm.py / llm_streaming.py)."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if 0.0 < top_p < 1.0:
+        # HF semantics: keep the smallest prefix of descending-prob
+        # tokens whose cumulative probability exceeds top_p (the first
+        # token crossing the threshold is KEPT)
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p          # prefix before crossing
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
@@ -350,10 +363,12 @@ def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
                                     state.pos + tokens.shape[1])
 
 
-@partial(jax.jit, static_argnames=("block", "temperature", "top_k"))
+@partial(jax.jit,
+         static_argnames=("block", "temperature", "top_k", "top_p"))
 def decode_block(params: Dict, first_token: jnp.ndarray,
                  state: LlamaDecodeState, rng: jax.Array, cfg: LlamaConfig,
-                 block: int = 16, temperature: float = 0.0, top_k: int = 0
+                 block: int = 16, temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0
                  ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Generate ``block`` tokens on-device from ``first_token`` (B,) int32
     (the token sampled from the prefill logits).  Returns tokens generated
@@ -364,7 +379,7 @@ def decode_block(params: Dict, first_token: jnp.ndarray,
         tok, state, rng = carry
         logits, state = _forward_cached(params, tok[:, None], state, cfg)
         rng, sub = jax.random.split(rng)
-        nxt = _sample(logits, sub, temperature, top_k)
+        nxt = _sample(logits, sub, temperature, top_k, top_p)
         return (nxt, state, rng), nxt
 
     (_, state, _), toks = lax.scan(

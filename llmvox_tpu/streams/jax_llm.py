@@ -26,7 +26,8 @@ import numpy as np
 class JAXStreamModel:
     def __init__(self, params, cfg, tokenizer, *, block: int = 16,
                  temperature: float = 0.0, top_k: int = 0,
-                 max_tokens: int = 512, eos_text: Optional[str] = None,
+                 top_p: float = 1.0, max_tokens: int = 512,
+                 eos_text: Optional[str] = None,
                  seed: int = 0, device=None, dtype=None):
         import jax
         import jax.numpy as jnp
@@ -46,6 +47,7 @@ class JAXStreamModel:
         self.block = block
         self.temperature = temperature
         self.top_k = top_k
+        self.top_p = top_p
         self.max_tokens = max_tokens
         self.eos_id = int(getattr(tokenizer, "eos_token_id", -1))
         self.eos_text = (eos_text if eos_text is not None
@@ -104,7 +106,7 @@ class JAXStreamModel:
                 self.params, jnp.asarray([padded], jnp.int32),
                 jnp.asarray(len(ids), jnp.int32), state, self.cfg)
             tok = llama._sample(logits, self._next_key(),
-                                self.temperature, self.top_k)
+                                self.temperature, self.top_k, self.top_p)
 
             out: List[int] = [int(tok[0])]
             emitted = ""
@@ -119,7 +121,7 @@ class JAXStreamModel:
                 toks, state = llama.decode_block(
                     self.params, tok, state, self._next_key(), self.cfg,
                     block=self.block, temperature=self.temperature,
-                    top_k=self.top_k)
+                    top_k=self.top_k, top_p=self.top_p)
                 for t in np.asarray(toks)[0].tolist():
                     out.append(int(t))
                     if out[-1] == self.eos_id:
@@ -203,6 +205,6 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
                           temperature=cfg.llm_temperature,
-                          top_k=cfg.llm_top_k,
+                          top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,
                           max_tokens=cfg.llm_max_tokens,
                           eos_text=cfg.eos_token, dtype=dtype)

@@ -380,3 +380,26 @@ def test_stable_delta_holds_back_split_multibyte_chars(hf_pair):
     # final flush emits everything even with a trailing partial byte
     d, _ = model._stable_delta(ids + [ord("é") + 1], "café!", final=True)
     assert "café!" not in d  # only the new suffix
+
+
+def test_top_p_sampling_stays_in_nucleus(hf_pair):
+    """Nucleus filtering: sampled tokens stay in the smallest descending-
+    probability prefix whose mass exceeds top_p (HF semantics: the token
+    crossing the threshold is kept)."""
+    _, params = hf_pair
+    ids = np.random.default_rng(9).integers(0, CFG.vocab_size, (1, 6))
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg, st = llama.prefill(params, jnp.asarray(ids, jnp.int32), st, CFG)
+    probs = np.asarray(jax.nn.softmax(lg[0]))
+    order = np.argsort(probs)[::-1]
+    cum = np.cumsum(probs[order])
+    top_p = 0.5
+    nucleus = set(order[: int(np.searchsorted(cum, top_p) + 1)].tolist())
+    picks = set()
+    for seed in range(30):
+        tok = llama._sample(lg, jax.random.PRNGKey(seed), 1.0, 0, top_p)
+        picks.add(int(tok[0]))
+    assert picks <= nucleus and len(picks) >= 1
+    # top_p=1.0 leaves the distribution unfiltered (any token possible)
+    tok = llama._sample(lg, jax.random.PRNGKey(0), 1.0, 0, 1.0)
+    assert 0 <= int(tok[0]) < CFG.vocab_size
