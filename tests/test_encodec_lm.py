@@ -340,3 +340,40 @@ def test_convert_lm_state_dict_matches_oracle(oracle_pair):
     got, _ = lm.apply_lm(params, jnp.asarray(idx, jnp.int32),
                          lm.init_stream_state(CFG, 1), CFG)
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def test_compress_empty_and_single_frame():
+    cfg = lm.LMConfig(n_q=2, card=16, dim=8, num_layers=1, num_heads=2,
+                      past_context=8)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg)
+    for t in (0, 1):
+        codes = np.zeros((cfg.n_q, t), np.int32)
+        blob = compress_codes(params, codes, cfg)
+        rec = decompress_codes(params, blob, cfg)
+        assert rec.shape == (cfg.n_q, t)
+        np.testing.assert_array_equal(rec, codes)
+
+
+def test_decompress_rejects_truncated_stream():
+    cfg = lm.LMConfig(n_q=2, card=16, dim=8, num_layers=1, num_heads=2,
+                      past_context=8)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg)
+    codes = np.asarray(jax.random.randint(jax.random.PRNGKey(1),
+                                          (cfg.n_q, 12), 0, cfg.card))
+    blob = compress_codes(params, codes, cfg)
+    with pytest.raises(ValueError, match="ended early"):
+        decompress_codes(params, blob[: len(blob) // 3], cfg)
+
+
+def test_arithmetic_coder_single_symbol_alphabet_degenerate():
+    """Cardinality-2 minimum: a peaked 2-symbol pdf still roundtrips."""
+    fo = io.BytesIO()
+    enc = ArithmeticCoder(fo)
+    pdf = np.asarray([0.999, 0.001])
+    for s in [0] * 50 + [1] + [0] * 50:
+        enc.push(s, quantized_cdf(pdf))
+    enc.flush()
+    fo.seek(0)
+    dec = ArithmeticDecoder(fo)
+    got = [dec.pull(quantized_cdf(pdf)) for _ in range(101)]
+    assert got == [0] * 50 + [1] + [0] * 50
