@@ -342,12 +342,11 @@ def prefill_padded(params: Dict, tokens: jnp.ndarray,
     batch (``pos`` is shared): use B=1 or equal-length prompts.
     """
     logits_all, new_state = _forward_cached_all(params, tokens, state, cfg)
-    idx = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32) - 1,
-                           (tokens.shape[0],))
+    valid_len = jnp.asarray(valid_len, jnp.int32)
+    idx = jnp.broadcast_to(valid_len - 1, (tokens.shape[0],))
     logits = jnp.take_along_axis(logits_all, idx.reshape(-1, 1, 1),
                                  axis=1)[:, 0]
-    new_state = new_state._replace(
-        pos=state.pos + jnp.max(jnp.asarray(valid_len, jnp.int32)))
+    new_state = new_state._replace(pos=state.pos + jnp.max(valid_len))
     return logits, new_state
 
 
@@ -375,7 +374,7 @@ def decode_block(params: Dict, first_token: jnp.ndarray,
     AFTER first_token: (B, block), plus the state.  The host sees one
     dispatch per block; EOS handling is host-side (streams/jax_llm.py)."""
 
-    def step(carry, i):
+    def step(carry, _):
         tok, state, rng = carry
         logits, state = _forward_cached(params, tok[:, None], state, cfg)
         rng, sub = jax.random.split(rng)
@@ -383,5 +382,5 @@ def decode_block(params: Dict, first_token: jnp.ndarray,
         return (nxt, state, rng), nxt
 
     (_, state, _), toks = lax.scan(
-        step, (first_token, state, rng), jnp.arange(block))
+        step, (first_token, state, rng), None, length=block)
     return toks.swapaxes(0, 1), state

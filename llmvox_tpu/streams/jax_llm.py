@@ -18,6 +18,7 @@ prompt build (llm_streaming.py:57-66); otherwise a plain
 """
 from __future__ import annotations
 
+import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -53,7 +54,6 @@ class JAXStreamModel:
         self.eos_text = (eos_text if eos_text is not None
                          else getattr(tokenizer, "eos_token", "")) or ""
         self._rng = jax.random.PRNGKey(seed)
-        import threading
         self._rng_lock = threading.Lock()
 
     def load(self) -> None:
