@@ -37,6 +37,10 @@ def compress_codes(params: Dict, codes: np.ndarray,
     k, t = codes.shape
     if k != cfg.n_q:
         raise ValueError(f"codes have {k} codebooks, LM expects {cfg.n_q}")
+    if codes.size and (codes.min() < 0 or codes.max() >= cfg.card):
+        raise ValueError(
+            f"code values must lie in [0, {cfg.card}); got "
+            f"[{codes.min()}, {codes.max()}]")
     fo = io.BytesIO()
     fo.write(struct.pack("<BIB", k, t, 0))
     coder = ArithmeticCoder(fo)

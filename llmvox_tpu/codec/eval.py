@@ -70,15 +70,25 @@ def evaluate_files(pairs: Sequence[Tuple[str, str]],
         y_hat = _load(recon_path, sample_rate)
         t = min(len(y), len(y_hat))
         m = evaluate_pair(y_hat[:t], y[:t], sample_rate)
+        # non-finite scores serialize as None: json.dumps would otherwise
+        # emit bare NaN, which is not strict JSON
+        m = {k: (v if not isinstance(v, float) or np.isfinite(v) else None)
+             for k, v in m.items()}
         row = {"ref": ref_path, "recon": recon_path, **m}
         per_file.append(row)
         log(json.dumps(row))
-    keys = sorted({k for r in per_file for k in r
-                   if isinstance(r[k], (int, float))})
+    keys = sorted({k for r in per_file for k, v in r.items()
+                   if isinstance(v, (int, float)) or v is None})
     # nanmean: the built-in STOI returns nan for clips too short after
-    # silence removal; one such file must not poison the aggregate
-    mean = {k: float(np.nanmean([r[k] for r in per_file if k in r]))
-            for k in keys}
+    # silence removal; one such file must not poison the aggregate.
+    # Empty / all-NaN columns report None ("not computed") instead of a
+    # RuntimeWarning + bare NaN that json.dumps can't serialize strictly.
+    mean = {}
+    for k in keys:
+        vals = np.asarray([r[k] for r in per_file
+                           if isinstance(r.get(k), (int, float))], np.float64)
+        finite = vals[np.isfinite(vals)]
+        mean[k] = float(finite.mean()) if finite.size else None
     return {"n": len(per_file), "per_file": per_file, "mean": mean}
 
 

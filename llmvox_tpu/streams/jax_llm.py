@@ -50,7 +50,9 @@ class JAXStreamModel:
         self.top_k = top_k
         self.top_p = top_p
         self.max_tokens = max_tokens
-        self.eos_id = int(getattr(tokenizer, "eos_token_id", -1))
+        # HF tokenizers may define eos_token_id = None (not just omit it)
+        eid = getattr(tokenizer, "eos_token_id", None)
+        self.eos_id = int(eid) if eid is not None else -1
         self.eos_text = (eos_text if eos_text is not None
                          else getattr(tokenizer, "eos_token", "")) or ""
         self._rng = jax.random.PRNGKey(seed)
@@ -153,8 +155,15 @@ class JAXStreamModel:
             while text.endswith("�"):
                 text = text[: -1]
         if not text.startswith(emitted):
-            # tokenizer rewrote earlier output (rare; e.g. normalization)
-            return "", emitted
+            # Tokenizer rewrote earlier output (rare; e.g. normalization).
+            # Resync from the longest common prefix so later deltas keep
+            # flowing instead of every subsequent call returning empty:
+            # the rewritten span is lost (already emitted differently) but
+            # the stream continues from here.
+            n = min(len(text), len(emitted))
+            common = next((i for i in range(n)
+                           if text[i] != emitted[i]), n)
+            return text[common:] if len(text) > common else "", text
         return text[len(emitted):], text
 
 

@@ -305,6 +305,22 @@ def test_compress_rejects_wrong_n_q():
         compress_codes(params, np.zeros((3, 4), np.int32), cfg)
 
 
+def test_compress_rejects_out_of_range_codes():
+    """A code >= card (or negative) must raise a clear ValueError, not a
+    cryptic IndexError deep inside the arithmetic coder."""
+    cfg = lm.LMConfig(n_q=2, card=8, dim=8, num_layers=1, num_heads=2,
+                      past_context=8)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg)
+    bad_hi = np.zeros((2, 4), np.int32)
+    bad_hi[1, 2] = 8                       # == card
+    with pytest.raises(ValueError, match=r"\[0, 8\)"):
+        compress_codes(params, bad_hi, cfg)
+    bad_lo = np.zeros((2, 4), np.int32)
+    bad_lo[0, 0] = -1
+    with pytest.raises(ValueError, match=r"\[0, 8\)"):
+        compress_codes(params, bad_lo, cfg)
+
+
 def test_convert_lm_state_dict_matches_oracle(oracle_pair):
     """A reference-format LMModel checkpoint (self_attn/linear1/linears/emb
     key names) converts to params that reproduce the oracle's output."""

@@ -382,6 +382,50 @@ def test_stable_delta_holds_back_split_multibyte_chars(hf_pair):
     assert "café!" not in d  # only the new suffix
 
 
+def test_stream_adapter_handles_none_eos_id(hf_pair):
+    """HF tokenizers may define eos_token_id = None (the attribute exists
+    but is unset); construction must not raise and generation must still
+    run to max_tokens."""
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+
+    class NoneEosTok(_ToyTokenizer):
+        eos_token_id = None
+
+    _, params = hf_pair
+    model = JAXStreamModel(params, CFG, NoneEosTok(), block=4,
+                           temperature=0.0, max_tokens=8)
+    assert model.eos_id == -1
+    deltas = list(model.predict({"system": "", "prompt": "hi"}))
+    assert len("".join(deltas)) > 0
+
+
+def test_stable_delta_resyncs_after_tokenizer_rewrite(hf_pair):
+    """When a tokenizer normalization rewrites already-emitted text (the
+    re-decode no longer startswith(emitted)), the stream resyncs from the
+    longest common prefix instead of silently dropping everything after
+    the rewrite."""
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+
+    class RewriteTok(_ToyTokenizer):
+        def decode(self, ids):
+            text = super().decode(ids)
+            # a normalization that rewrites history once enough context
+            # arrives: collapse the first two chars into one
+            return text[1:] if len(text) > 4 else text
+
+    _, params = hf_pair
+    model = JAXStreamModel(params, CFG, RewriteTok(), block=4)
+    emitted = ""
+    out = []
+    for upto in range(1, 9):
+        d, emitted = model._stable_delta(list(range(1, upto + 1)), emitted)
+        out.append(d)
+    # after the rewrite point, deltas keep flowing (not all empty)
+    assert any(out[4:]), f"stream died after rewrite: {out!r}"
+    final, _ = model._stable_delta(list(range(1, 9)), emitted, final=True)
+    assert emitted == RewriteTok().decode(list(range(1, 9)))
+
+
 def test_top_p_sampling_stays_in_nucleus(hf_pair):
     """Nucleus filtering: sampled tokens stay in the smallest descending-
     probability prefix whose mass exceeds top_p (HF semantics: the token

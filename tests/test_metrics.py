@@ -127,6 +127,33 @@ def test_eval_cli_over_recon_dir(tmp_path):
     assert saved["n"] == 2 and len(saved["per_file"]) == 2
 
 
+def test_eval_mean_guards_all_nan_columns(tmp_path):
+    """An all-NaN metric column (e.g. STOI on clips too short after
+    silence removal) aggregates to None — no RuntimeWarning, and the
+    report stays strict-JSON serializable."""
+    import json
+    import warnings
+    from llmvox_tpu.codec import eval as E
+    from llmvox_tpu.codec import metrics as M
+
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(8000).astype(np.float32) * 0.1
+    ref, recon = tmp_path / "r.wav", tmp_path / "h.wav"
+    _write_wav(ref, y)
+    _write_wav(recon, y + 0.01)
+
+    M.register_plugin("stoi", lambda y_hat, y, sr: float("nan"))
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            report = E.evaluate_files([(str(recon), str(ref))],
+                                      log=lambda *_: None)
+    finally:
+        M.register_plugin("stoi", None)
+    assert report["mean"]["stoi"] is None
+    json.dumps(report, allow_nan=False)   # strict JSON survives
+
+
 def test_eval_cli_codec_synthesis_mode(tmp_path):
     """--codec_params mode: copy-synthesize through a tiny codec, then
     score (WavTokenizer/infer.py + metrics/infer.py in one command)."""
