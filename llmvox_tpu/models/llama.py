@@ -384,3 +384,183 @@ def decode_block(params: Dict, first_token: jnp.ndarray,
     (_, state, _), toks = lax.scan(
         step, (first_token, state, rng), None, length=block)
     return toks.swapaxes(0, 1), state
+
+
+# ---------------------------------------------------------------------------
+# Pooled continuous-batching decode (serve/llm_pool.py)
+#
+# The B=1 path above runs one private prefill + decode sequence per request,
+# which serializes concurrent requests on the chip (the reference has the
+# same property: one torch generate() thread per request,
+# inference/llm_streaming.py:44-106).  The pooled path keeps ONE batched
+# decode state with PER-ROW positions, so any mix of in-flight requests —
+# each at a different point in its generation — advances in a single device
+# program per block, exactly like the speech decoder's DecodePool.
+# ---------------------------------------------------------------------------
+
+
+class LlamaPoolState(NamedTuple):
+    """Batched decode state with per-row progress.
+
+    Unlike :class:`LlamaDecodeState` (scalar ``pos`` shared by the batch),
+    every row carries its own ``pos``; ``tok`` carries each row's last
+    sampled token ON DEVICE so the host never uploads tokens between
+    blocks — prefill writes it, each block chains on it.
+    """
+    k: jnp.ndarray        # (L, B, S, KV, hd)
+    v: jnp.ndarray
+    pos: jnp.ndarray      # (B,) int32: tokens cached per row
+    tok: jnp.ndarray      # (B,) int32: last sampled token per row
+
+
+def init_llama_pool_state(cfg: LlamaConfig, batch: int,
+                          dtype=jnp.float32) -> LlamaPoolState:
+    shape = (cfg.n_layer, batch, cfg.max_seq_len, cfg.n_kv_head,
+             cfg.head_dim)
+    return LlamaPoolState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                          jnp.zeros((batch,), jnp.int32),
+                          jnp.zeros((batch,), jnp.int32))
+
+
+def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
+                     pos_vec: jnp.ndarray, cfg: LlamaConfig):
+    """One layer for T new tokens where row b sits at absolute position
+    ``pos_vec[b]`` — the per-row counterpart of :func:`_layer_step`.
+    Cache writes land at each row's own offset (vmapped dynamic-update
+    slice); the causal mask is per-row (key j valid for row b's query i
+    iff j <= pos_vec[b] + i)."""
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    positions = pos_vec[:, None] + jnp.arange(t)[None, :]      # (B, T)
+    h = rms_norm(x, lp["ln1_s"], cfg.rms_eps)
+    q = ops.linear(h, lp["wq"]).reshape(b, t, cfg.n_head, hd)
+    k = ops.linear(h, lp["wk"]).reshape(b, t, cfg.n_kv_head, hd)
+    v = ops.linear(h, lp["wv"]).reshape(b, t, cfg.n_kv_head, hd)
+    q = rope(q, positions, cfg)
+    k = rope(k, positions, cfg)
+    upd = jax.vmap(
+        lambda c, u, p: lax.dynamic_update_slice(c, u, (p, 0, 0)))
+    k_cache = upd(k_cache, k.astype(k_cache.dtype), pos_vec)
+    v_cache = upd(v_cache, v.astype(v_cache.dtype), pos_vec)
+    kk = _repeat_kv(k_cache, cfg.q_per_kv)
+    vv = _repeat_kv(v_cache, cfg.q_per_kv)
+    scale = 1.0 / math.sqrt(hd)
+    logits = jnp.einsum("bthd,bshd->bhts", q, kk,
+                        preferred_element_type=jnp.float32,
+                        precision=ops.mm_precision(q.dtype)) * scale
+    s = kk.shape[1]
+    jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    valid = jpos[None] <= pos_vec[:, None, None] + ipos[None]  # (B, T, S)
+    logits = jnp.where(valid[:, None], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    att = jnp.einsum("bhts,bshd->bthd", w, vv,
+                     precision=ops.mm_precision(q.dtype))
+    x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
+    h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
+    gate = ops.linear(h, lp["wgate"])
+    up = ops.linear(h, lp["wup"])
+    x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
+                                   ).astype(up.dtype) * up, lp["wdown"])
+    return x, k_cache, v_cache
+
+
+def _scan_layers_rows(params: Dict, tokens: jnp.ndarray, k, v,
+                      pos_vec: jnp.ndarray, cfg: LlamaConfig):
+    x = params["tok_emb"][tokens]
+
+    def body(carry, scan_in):
+        x = carry
+        lp, kc, vc = scan_in
+        x, kc, vc = _layer_step_rows(lp, x, kc, vc, pos_vec, cfg)
+        return x, (kc, vc)
+
+    return lax.scan(body, x, (params["h"], k, v))
+
+
+@partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"),
+         donate_argnames=("state",))
+def prefill_slots(params: Dict, tokens: jnp.ndarray,
+                  valid_lens: jnp.ndarray, state: LlamaPoolState,
+                  slots: jnp.ndarray, active: jnp.ndarray, rng: jax.Array,
+                  cfg: LlamaConfig, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 1.0
+                  ) -> Tuple[jnp.ndarray, LlamaPoolState]:
+    """Prefill N mixed-length prompts into pool slots in ONE program.
+
+    ``tokens`` (N, Tpad) right-padded, ``valid_lens`` (N,) per row — the
+    per-row generalization VERDICT r2 asked for (prefill_padded requires a
+    uniform valid_len).  Row n's KV rows land in ``state`` at
+    ``slots[n]``; its first token is sampled from the logits at its own
+    last valid position and stored in ``state.tok[slots[n]]`` (and
+    returned, (N,) int32, for the host's text assembly).  Rows with
+    ``active[n] == False`` are padding of the arrival batch: their slot
+    index is redirected out of bounds and the scatter drops them
+    (``mode="drop"``), so they cannot disturb live slots.
+
+    Padding correctness is the same argument as :func:`prefill_padded`:
+    pad positions write stale cache entries at j >= valid_lens[n], and the
+    per-row decode mask ``j <= pos[b] + i`` with ``pos[b] = valid_lens[n]``
+    hides them until the decode loop overwrites them in order.
+    """
+    n, tpad = tokens.shape
+    cap = state.k.shape[1]
+    dtype = state.k.dtype
+    tmp_k = jnp.zeros((cfg.n_layer, n, tpad, cfg.n_kv_head, cfg.head_dim),
+                      dtype)
+    tmp_v = jnp.zeros_like(tmp_k)
+    x, (new_k, new_v) = _scan_layers_rows(params, tokens, tmp_k, tmp_v,
+                                          jnp.zeros((n,), jnp.int32), cfg)
+    x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
+    logits_all = ops.linear(x, _head(params))                  # (N, Tpad, V)
+    valid_lens = jnp.asarray(valid_lens, jnp.int32)
+    idx = (valid_lens - 1).reshape(-1, 1, 1)
+    logits = jnp.take_along_axis(logits_all, idx, axis=1)[:, 0]
+    first = _sample(logits, rng, temperature, top_k, top_p)    # (N,)
+
+    # scatter the prefilled rows into the pool state; OOB slot => dropped
+    slot_ids = jnp.where(active, slots.astype(jnp.int32), cap)
+    tpad_w = min(tpad, state.k.shape[2])
+    k = state.k.at[:, slot_ids, :tpad_w].set(
+        new_k[:, :, :tpad_w], mode="drop", unique_indices=False)
+    v = state.v.at[:, slot_ids, :tpad_w].set(
+        new_v[:, :, :tpad_w], mode="drop", unique_indices=False)
+    pos = state.pos.at[slot_ids].set(valid_lens, mode="drop")
+    tok = state.tok.at[slot_ids].set(first, mode="drop")
+    return first, LlamaPoolState(k, v, pos, tok)
+
+
+@partial(jax.jit,
+         static_argnames=("block", "temperature", "top_k", "top_p"),
+         donate_argnames=("state",))
+def decode_block_pooled(params: Dict, state: LlamaPoolState,
+                        active: jnp.ndarray, rng: jax.Array,
+                        cfg: LlamaConfig, block: int = 16,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 1.0
+                        ) -> Tuple[jnp.ndarray, LlamaPoolState]:
+    """Advance every ACTIVE row ``block`` tokens in one device program.
+
+    Each row continues from its own ``state.tok`` / ``state.pos``;
+    inactive rows ride along (their pos and tok are frozen, their masked
+    garbage output is discarded by the host).  Returns (B, block) tokens —
+    the tokens generated AFTER each row's ``state.tok``.  Host-side EOS
+    handling, exactly like :func:`decode_block`.
+    """
+    active = active.astype(jnp.bool_)
+
+    def step(carry, _):
+        tok, k, v, pos, rng = carry
+        x, (k, v) = _scan_layers_rows(params, tok[:, None], k, v, pos, cfg)
+        x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
+        logits = ops.linear(x, _head(params))
+        rng, sub = jax.random.split(rng)
+        nxt = _sample(logits, sub, temperature, top_k, top_p)
+        nxt = jnp.where(active, nxt, tok)
+        pos = pos + active.astype(jnp.int32)
+        return (nxt, k, v, pos, rng), nxt
+
+    (tok, k, v, pos, _), toks = lax.scan(
+        step, (state.tok, state.k, state.v, state.pos, rng), None,
+        length=block)
+    return toks.swapaxes(0, 1), LlamaPoolState(k, v, pos, tok)

@@ -1,0 +1,351 @@
+"""Continuous-batching pool for the TPU-hosted text LLM.
+
+The reference serves its LLM with one private torch ``generate()`` thread
+per request (inference/llm_streaming.py:44-106); the round-2 JAX port kept
+that shape — one B=1 prefill + decode sequence per request — which
+serializes concurrent requests on the chip while the pooled speech decoder
+batches.  This module is the LLM counterpart of ``serve/pool.py``: N
+in-flight requests share ONE batched decode program
+(``models.llama.decode_block_pooled``) with per-row positions, and
+mixed-length prompts prefill into their slots in one program
+(``models.llama.prefill_slots``).
+
+Latency design mirrors DecodePool, plus one trick the per-row state makes
+possible: each row's last sampled token is carried ON DEVICE
+(``LlamaPoolState.tok``), so a request's first decode block can be
+submitted *before* the host has seen its prefill's first token — prefill
+and first block run back-to-back in one pool iteration, one fetch round
+trip to the first ``1 + block`` tokens.
+"""
+from __future__ import annotations
+
+import asyncio
+from collections import deque
+from typing import AsyncIterator, Deque, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmvox_tpu.models import llama
+
+
+class _PrefillReq:
+    __slots__ = ("slot", "ids", "future")
+
+    def __init__(self, slot: int, ids: List[int], future: asyncio.Future):
+        self.slot = slot
+        self.ids = ids
+        self.future = future
+
+
+class _LSlot:
+    __slots__ = ("active", "queue")
+
+    def __init__(self):
+        self.active = False
+        self.queue: Deque[asyncio.Future] = deque()
+
+    def clear(self):
+        while self.queue:
+            fut = self.queue.popleft()
+            if not fut.done():
+                fut.cancel()
+
+
+class LLMPool:
+    """Fixed-capacity batched Llama decoder shared by all live requests."""
+
+    # Arrival batches pad to 1 (the steady-state single arrival) or this
+    # (bursts): two compiled prefill programs per bucket, not one per
+    # arrival count.
+    PREFILL_BATCH = 4
+
+    def __init__(self, params, cfg: "llama.LlamaConfig", *,
+                 capacity: int = 8, block: int = 16,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, dtype=None,
+                 device: Optional[jax.Device] = None,
+                 prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
+                 seed: int = 0):
+        self.cfg = cfg
+        self.B = capacity
+        self.block = block
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        if dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        self.cache_dtype = dtype or jnp.float32
+        if device is not None:
+            params = jax.device_put(params, device)
+        self.params = params
+        # prompts longer than the largest bucket keep their tail; buckets
+        # must leave room for at least one decode block
+        cap = cfg.max_seq_len - block - 1
+        self.buckets = tuple(sorted(b for b in prefill_buckets if b <= cap))
+        if not self.buckets:
+            self.buckets = (min(16, cap),)
+        self.state = llama.init_llama_pool_state(cfg, capacity,
+                                                 self.cache_dtype)
+        self._rng = jax.random.PRNGKey(seed)
+        self.slots = [_LSlot() for _ in range(self.B)]
+        self._prefills: Deque[_PrefillReq] = deque()
+        self._free: Optional[asyncio.Queue] = None
+        self._task: Optional[asyncio.Task] = None
+        self._wake: Optional[asyncio.Event] = None
+        self.steps = 0
+        self.prefill_calls = 0
+
+    # -- slot lifecycle -------------------------------------------------
+    def _ensure_free_queue(self) -> asyncio.Queue:
+        if self._free is None:
+            self._free = asyncio.Queue()
+            for i in range(self.B):
+                self._free.put_nowait(i)
+        return self._free
+
+    async def acquire(self) -> int:
+        """Wait for a free slot (requests beyond capacity queue here)."""
+        idx = await self._ensure_free_queue().get()
+        self.slots[idx].active = True
+        return idx
+
+    def release(self, idx: int) -> None:
+        slot = self.slots[idx]
+        slot.active = False
+        slot.clear()
+        keep: Deque[_PrefillReq] = deque()
+        while self._prefills:
+            r = self._prefills.popleft()
+            if r.slot == idx:
+                if not r.future.done():
+                    r.future.cancel()
+            else:
+                keep.append(r)
+        self._prefills = keep
+        self._ensure_free_queue().put_nowait(idx)
+
+    # -- request API ----------------------------------------------------
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def submit_prefill(self, idx: int, ids: List[int]) -> asyncio.Future:
+        """Enqueue a prompt prefill into slot ``idx``; resolves with the
+        first sampled token (int).  Prompts longer than the largest bucket
+        are left-truncated (keep the tail, like the B=1 path)."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        ids = list(ids)[-self.buckets[-1]:]
+        if not ids:
+            ids = [0]
+        self._prefills.append(_PrefillReq(idx, ids, fut))
+        if self._wake is not None:
+            self._wake.set()
+        return fut
+
+    def submit_block(self, idx: int) -> asyncio.Future:
+        """Enqueue one decode block for slot ``idx``; resolves with the
+        block's tokens (List[int]).  Chains on the slot's on-device state,
+        so it can be submitted before the prefill result is known."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self.slots[idx].queue.append(fut)
+        if self._wake is not None:
+            self._wake.set()
+        return fut
+
+    def _next_key(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- device programs ------------------------------------------------
+    def _run_prefills(self, reqs: List[_PrefillReq]
+                      ) -> List[Tuple[jnp.ndarray, List[_PrefillReq]]]:
+        """Group pending prefills by bucket, pad arrival count to 1 or
+        PREFILL_BATCH, run one program per group.  Returns (first_tokens
+        device array, group requests) pairs; tokens are fetched with the
+        iteration's single device_get."""
+        groups: Dict[int, List[_PrefillReq]] = {}
+        for r in reqs:
+            groups.setdefault(self.bucket_for(len(r.ids)), []).append(r)
+        out = []
+        for bucket, rs in groups.items():
+            for c0 in range(0, len(rs), self.PREFILL_BATCH):
+                part = rs[c0: c0 + self.PREFILL_BATCH]
+                npad = 1 if len(part) == 1 else self.PREFILL_BATCH
+                tokens = np.zeros((npad, bucket), np.int32)
+                valid = np.ones((npad,), np.int32)
+                slot_ids = np.zeros((npad,), np.int32)
+                active = np.zeros((npad,), bool)
+                for j, r in enumerate(part):
+                    tokens[j, : len(r.ids)] = r.ids
+                    valid[j] = len(r.ids)
+                    slot_ids[j] = r.slot
+                    active[j] = True
+                first, self.state = llama.prefill_slots(
+                    self.params, jnp.asarray(tokens), jnp.asarray(valid),
+                    self.state, jnp.asarray(slot_ids), jnp.asarray(active),
+                    self._next_key(), self.cfg,
+                    temperature=self.temperature, top_k=self.top_k,
+                    top_p=self.top_p)
+                self.prefill_calls += 1
+                out.append((first, part))
+        return out
+
+    # -- step loop ------------------------------------------------------
+    async def _step_loop(self) -> None:
+        while True:
+            await self._wake.wait()
+            self._wake.clear()
+            while True:
+                prefill_out = []
+                if self._prefills:
+                    reqs = [r for r in self._prefills
+                            if not r.future.done()]
+                    self._prefills.clear()
+                    if reqs:
+                        prefill_out = self._run_prefills(reqs)
+                heads = [i for i, s in enumerate(self.slots)
+                         if s.active and s.queue]
+                toks = None
+                if heads:
+                    active = np.zeros((self.B,), bool)
+                    active[heads] = True
+                    toks, self.state = llama.decode_block_pooled(
+                        self.params, self.state, jnp.asarray(active),
+                        self._next_key(), self.cfg, block=self.block,
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p)
+                    self.steps += 1
+                if not prefill_out and toks is None:
+                    break
+                # ONE fetch round trip for everything this iteration
+                firsts_h, toks_h = await asyncio.to_thread(
+                    jax.device_get,
+                    ([f for f, _ in prefill_out], toks))
+                for (_, part), vals in zip(prefill_out, firsts_h):
+                    for j, r in enumerate(part):
+                        if not r.future.done():
+                            r.future.set_result(int(vals[j]))
+                if toks_h is not None:
+                    for i in heads:
+                        slot = self.slots[i]
+                        if not slot.queue:
+                            continue
+                        fut = slot.queue.popleft()
+                        if not fut.done():
+                            fut.set_result(
+                                [int(t) for t in toks_h[i]])
+                # let consumers enqueue follow-ups / new arrivals join
+                await asyncio.sleep(0)
+
+    def start(self) -> None:
+        if self._task is None:
+            self._wake = asyncio.Event()
+            self._task = asyncio.create_task(self._step_loop())
+
+            def _report(task):
+                if task.cancelled():
+                    return
+                exc = task.exception()
+                if exc is not None:
+                    import traceback
+                    print("LLMPool step loop crashed:",
+                          "".join(traceback.format_exception(exc)),
+                          flush=True)
+                    for s in self.slots:
+                        while s.queue:
+                            fut = s.queue.popleft()
+                            if not fut.done():
+                                fut.set_exception(exc)
+                    while self._prefills:
+                        r = self._prefills.popleft()
+                        if not r.future.done():
+                            r.future.set_exception(exc)
+                    self._task = None
+
+            self._task.add_done_callback(_report)
+
+    def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            self._task = None
+
+    # -- warmup ---------------------------------------------------------
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Compile every traffic program before requests arrive: both
+        prefill arrival sizes per bucket, the pooled decode block, and the
+        steady-state executables (jit-output states carry different
+        device layouts than constructor-made ones — run each program in
+        the chained prefill->decode->decode cycle it sees in traffic,
+        twice; see serve/pool.py::warmup for the measured history)."""
+        buckets = tuple(buckets) if buckets is not None else self.buckets
+        inactive = jnp.zeros((self.B,), jnp.bool_)
+        for _ in range(2):
+            for bucket in buckets:
+                for npad in (1, self.PREFILL_BATCH):
+                    tokens = jnp.zeros((npad, bucket), jnp.int32)
+                    valid = jnp.ones((npad,), jnp.int32)
+                    slot_ids = jnp.zeros((npad,), jnp.int32)
+                    # active=False: the scatter drops every row, so warmup
+                    # cannot disturb live state (same compiled program)
+                    first, self.state = llama.prefill_slots(
+                        self.params, tokens, valid, self.state, slot_ids,
+                        jnp.zeros((npad,), jnp.bool_), self._next_key(),
+                        self.cfg, temperature=self.temperature,
+                        top_k=self.top_k, top_p=self.top_p)
+                    np.asarray(first)
+            toks, self.state = llama.decode_block_pooled(
+                self.params, self.state, inactive, self._next_key(),
+                self.cfg, block=self.block, temperature=self.temperature,
+                top_k=self.top_k, top_p=self.top_p)
+            np.asarray(toks)
+
+    # -- streaming generation -------------------------------------------
+    async def generate(self, ids: List[int],
+                       max_tokens: int = 512) -> AsyncIterator[List[int]]:
+        """Async generator: acquire a slot, prefill, then yield token
+        lists per block ([first], block, block, ...) until the consumer
+        stops iterating or the budget/context runs out.  EOS is the
+        consumer's business (host-side, like the B=1 path)."""
+        self.start()
+        idx = await self.acquire()
+        try:
+            cached = min(max(len(ids), 1), self.buckets[-1])
+            first_fut = self.submit_prefill(idx, ids)
+            n_sub = 0
+            # block n+1 writes cache indices up to cached+(n+1)*block-1,
+            # so it fits iff cached + (n+1)*block <= max_seq_len
+            def room() -> bool:
+                return (cached + (n_sub + 1) * self.block
+                        <= self.cfg.max_seq_len)
+            # first block chains on the device-carried token: submit
+            # before the prefill result is known
+            if room():
+                blk_fut = self.submit_block(idx)
+                n_sub += 1
+            else:
+                blk_fut = None
+            first = await first_fut
+            yield [first]
+            produced = 1
+            while blk_fut is not None and produced < max_tokens:
+                nxt_fut = None
+                if room() and produced + self.block < max_tokens:
+                    nxt_fut = self.submit_block(idx)   # issue-ahead
+                    n_sub += 1
+                try:
+                    toks = await blk_fut
+                except asyncio.CancelledError:
+                    break
+                produced += len(toks)
+                yield toks
+                blk_fut = nxt_fut
+        finally:
+            self.release(idx)

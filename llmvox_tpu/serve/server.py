@@ -266,4 +266,8 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
         asr_model.load()
     if pool is not None:
         pool.warmup()
+    if hasattr(stream_model, "warmup"):
+        # pooled TPU-hosted LLM: compile prefill buckets + the batched
+        # decode block before traffic
+        stream_model.warmup()
     return TTSServer(scheduler, cfg, stream_model, asr_model, pool=pool)

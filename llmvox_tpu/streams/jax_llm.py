@@ -19,9 +19,55 @@ prompt build (llm_streaming.py:57-66); otherwise a plain
 from __future__ import annotations
 
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import AsyncIterator, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
+
+
+def _tokenizer_eos_id(tokenizer) -> int:
+    # HF tokenizers may define eos_token_id = None (not just omit it)
+    eid = getattr(tokenizer, "eos_token_id", None)
+    return int(eid) if eid is not None else -1
+
+
+def build_prompt_ids(tokenizer, request: Dict) -> List[int]:
+    """Reference prompt build (llm_streaming.py:57-66): chat template when
+    the tokenizer has one, else plain system/user concatenation."""
+    system = request.get("system", "")
+    prompt = request.get("prompt", request.get("text", ""))
+    if hasattr(tokenizer, "apply_chat_template"):
+        messages = [{"role": "system", "content": system},
+                    {"role": "user", "content": prompt}]
+        return list(tokenizer.apply_chat_template(
+            messages, tokenize=True, add_generation_prompt=True))
+    text = (system + "\n\n" if system else "") + prompt + "\n"
+    return list(tokenizer.encode(text))
+
+
+def stable_delta(tokenizer, eos_id: int, out: List[int], emitted: str,
+                 final: bool = False) -> Tuple[str, str]:
+    """Incremental detokenization with hold-back: re-decode the whole
+    sequence and emit only the STABLE new suffix.  A trailing U+FFFD
+    means the tokenizer split a multi-byte character across tokens —
+    hold it back until the next block completes it (otherwise the
+    replacement char would be emitted and the real character lost,
+    since the final text has the same length)."""
+    body = [t for t in out if t != eos_id]
+    text = tokenizer.decode(body)
+    if not final:
+        while text.endswith("�"):
+            text = text[: -1]
+    if not text.startswith(emitted):
+        # Tokenizer rewrote earlier output (rare; e.g. normalization).
+        # Resync from the longest common prefix so later deltas keep
+        # flowing instead of every subsequent call returning empty:
+        # the rewritten span is lost (already emitted differently) but
+        # the stream continues from here.
+        n = min(len(text), len(emitted))
+        common = next((i for i in range(n)
+                       if text[i] != emitted[i]), n)
+        return text[common:] if len(text) > common else "", text
+    return text[len(emitted):], text
 
 
 class JAXStreamModel:
@@ -50,9 +96,7 @@ class JAXStreamModel:
         self.top_k = top_k
         self.top_p = top_p
         self.max_tokens = max_tokens
-        # HF tokenizers may define eos_token_id = None (not just omit it)
-        eid = getattr(tokenizer, "eos_token_id", None)
-        self.eos_id = int(eid) if eid is not None else -1
+        self.eos_id = _tokenizer_eos_id(tokenizer)
         self.eos_text = (eos_text if eos_text is not None
                          else getattr(tokenizer, "eos_token", "")) or ""
         self._rng = jax.random.PRNGKey(seed)
@@ -63,15 +107,7 @@ class JAXStreamModel:
 
     # -- prompt build ------------------------------------------------------
     def _prompt_ids(self, request: Dict) -> List[int]:
-        system = request.get("system", "")
-        prompt = request.get("prompt", request.get("text", ""))
-        if hasattr(self.tokenizer, "apply_chat_template"):
-            messages = [{"role": "system", "content": system},
-                        {"role": "user", "content": prompt}]
-            return list(self.tokenizer.apply_chat_template(
-                messages, tokenize=True, add_generation_prompt=True))
-        text = (system + "\n\n" if system else "") + prompt + "\n"
-        return list(self.tokenizer.encode(text))
+        return build_prompt_ids(self.tokenizer, request)
 
     def _next_key(self):
         import jax
@@ -143,28 +179,67 @@ class JAXStreamModel:
 
     def _stable_delta(self, out: List[int], emitted: str,
                       final: bool = False):
-        """Incremental detokenization with hold-back: re-decode the whole
-        sequence and emit only the STABLE new suffix.  A trailing U+FFFD
-        means the tokenizer split a multi-byte character across tokens —
-        hold it back until the next block completes it (otherwise the
-        replacement char would be emitted and the real character lost,
-        since the final text has the same length)."""
-        body = [t for t in out if t != self.eos_id]
-        text = self.tokenizer.decode(body)
-        if not final:
-            while text.endswith("�"):
-                text = text[: -1]
-        if not text.startswith(emitted):
-            # Tokenizer rewrote earlier output (rare; e.g. normalization).
-            # Resync from the longest common prefix so later deltas keep
-            # flowing instead of every subsequent call returning empty:
-            # the rewritten span is lost (already emitted differently) but
-            # the stream continues from here.
-            n = min(len(text), len(emitted))
-            common = next((i for i in range(n)
-                           if text[i] != emitted[i]), n)
-            return text[common:] if len(text) > common else "", text
-        return text[len(emitted):], text
+        return stable_delta(self.tokenizer, self.eos_id, out, emitted,
+                            final)
+
+
+class PooledJAXStreamModel:
+    """Stream-protocol adapter over the continuous-batching LLM pool
+    (``serve/llm_pool.py``): N concurrent ``predict()`` streams share one
+    batched decode program instead of serializing private B=1 loops.
+
+    ``predict`` returns an ASYNC generator (``aiter_stream`` passes async
+    iterators straight through), so deltas flow on the server's event
+    loop as pool blocks resolve — no worker thread per request.
+    """
+
+    def __init__(self, pool, tokenizer, *, max_tokens: int = 512,
+                 eos_text: Optional[str] = None):
+        self.pool = pool
+        self.cfg = pool.cfg
+        self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.eos_id = _tokenizer_eos_id(tokenizer)
+        self.eos_text = (eos_text if eos_text is not None
+                         else getattr(tokenizer, "eos_token", "")) or ""
+
+    def load(self) -> None:
+        pass
+
+    def warmup(self, buckets=None) -> None:
+        self.pool.warmup(buckets)
+
+    def predict(self, request: Dict) -> AsyncIterator[str]:
+        async def agen():
+            ids = build_prompt_ids(self.tokenizer, request)
+            out: List[int] = []
+            emitted = ""
+            gen = self.pool.generate(ids, max_tokens=self.max_tokens)
+            try:
+                async for toks in gen:
+                    done = False
+                    for t in toks:
+                        out.append(int(t))
+                        if out[-1] == self.eos_id:
+                            done = True
+                            break
+                    delta, emitted = stable_delta(
+                        self.tokenizer, self.eos_id, out, emitted)
+                    if delta:
+                        yield delta
+                    if done:
+                        break
+            finally:
+                # deterministic slot release (don't wait for GC)
+                await gen.aclose()
+            delta, emitted = stable_delta(self.tokenizer, self.eos_id,
+                                          out, emitted, final=True)
+            if delta:
+                yield delta
+            if self.eos_text:
+                yield self.eos_text
+
+        return agen()
 
 
 class ByteTokenizer:
@@ -212,6 +287,17 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
             tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
     params = jax.tree.map(lambda x: jnp.asarray(x), params)
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
+    if cfg.llm_pool_capacity > 0:
+        from llmvox_tpu.serve.llm_pool import LLMPool
+        pool = LLMPool(params, lcfg, capacity=cfg.llm_pool_capacity,
+                       block=cfg.llm_block,
+                       temperature=cfg.llm_temperature,
+                       top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,
+                       dtype=dtype,
+                       prefill_buckets=tuple(cfg.llm_prefill_buckets))
+        return PooledJAXStreamModel(pool, tokenizer,
+                                    max_tokens=cfg.llm_max_tokens,
+                                    eos_text=cfg.eos_token)
     return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
                           temperature=cfg.llm_temperature,
                           top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,

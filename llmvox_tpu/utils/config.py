@@ -161,6 +161,13 @@ class ServeConfig:
     llm_backend: str = "hf"
     llm_jax_params: str = ""
     llm_block: int = 16
+    # > 0: serve the jax backend through the continuous-batching LLM pool
+    # (serve/llm_pool.py) — concurrent requests share ONE batched decode
+    # program instead of serializing private B=1 generate loops
+    llm_pool_capacity: int = 0
+    # prompt-prefill bucket ladder for the pooled path (right-padded;
+    # longer prompts keep their tail)
+    llm_prefill_buckets: tuple = (32, 64, 128, 256, 512)
 
     # TTS replica placement: indices into jax.devices()
     tts_device_1: int = 0

@@ -1,0 +1,364 @@
+"""Continuous-batching LLM pool (serve/llm_pool.py + the pooled ops in
+models/llama.py).
+
+The reference serves its LLM one torch generate() thread per request
+(inference/llm_streaming.py:44-106); the pooled path batches every
+in-flight request into ONE decode program with per-row positions.  These
+tests prove the batched math is bit-equivalent to the B=1 serving path:
+mixed-length one-program prefill == per-row prefill, pooled block decode
+== per-row block decode, and the asyncio pool end-to-end reproduces the
+B=1 greedy token stream under concurrency.
+"""
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llmvox_tpu.models import llama
+
+CFG = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4, n_kv_head=2,
+                        n_embd=32, intermediate_size=64, max_seq_len=96)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_llama_params(jax.random.PRNGKey(0), CFG)
+
+
+def _b1_greedy(params, ids, n_tokens):
+    """Reference sequence via the B=1 serving path (prefill_padded +
+    decode_block): the first sampled token plus n_tokens-1 more."""
+    bucket = 16
+    while bucket < len(ids):
+        bucket *= 2
+    padded = list(ids) + [0] * (bucket - len(ids))
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg, st = llama.prefill_padded(params, jnp.asarray([padded], jnp.int32),
+                                  jnp.asarray(len(ids), jnp.int32), st, CFG)
+    out = [int(jnp.argmax(lg, axis=-1)[0])]
+    tok = jnp.asarray([out[-1]], jnp.int32)
+    while len(out) < n_tokens:
+        toks, st = llama.decode_block(params, tok, st, jax.random.PRNGKey(0),
+                                      CFG, block=4)
+        out.extend(int(t) for t in np.asarray(toks)[0])
+        tok = jnp.asarray([out[-1]], jnp.int32)
+    return out[:n_tokens]
+
+
+PROMPTS = [[5, 9, 2], [7, 11, 13, 17, 19, 23, 29], [3] * 12, [42]]
+
+
+def test_prefill_slots_mixed_lengths_one_program(params):
+    """Mixed-length prompts prefill in ONE program (the per-row
+    generalization of prefill_padded) and land in their slots: each
+    slot's subsequent pooled greedy decode matches the B=1 path."""
+    tpad = 16
+    n = len(PROMPTS)
+    tokens = np.zeros((n, tpad), np.int32)
+    valid = np.zeros((n,), np.int32)
+    for i, p in enumerate(PROMPTS):
+        tokens[i, : len(p)] = p
+        valid[i] = len(p)
+    state = llama.init_llama_pool_state(CFG, batch=6)
+    slots = np.asarray([5, 0, 2, 4], np.int32)   # scattered, out of order
+    first, state = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray(valid), state,
+        jnp.asarray(slots), jnp.ones((n,), bool), jax.random.PRNGKey(1),
+        CFG)
+    first = np.asarray(first)
+    assert np.asarray(state.pos)[slots].tolist() == valid.tolist()
+    np.testing.assert_array_equal(np.asarray(state.tok)[slots], first)
+
+    active = np.zeros((6,), bool)
+    active[slots] = True
+    toks, state = llama.decode_block_pooled(
+        params, state, jnp.asarray(active), jax.random.PRNGKey(2), CFG,
+        block=8)
+    toks = np.asarray(toks)
+    for i, p in enumerate(PROMPTS):
+        want = _b1_greedy(params, p, 9)
+        got = [int(first[i])] + toks[slots[i]].tolist()
+        assert got == want, f"prompt {i}: {got} != {want}"
+
+
+def test_prefill_slots_inactive_rows_are_dropped(params):
+    """Padding rows of an arrival batch (active=False) must not disturb
+    live slots — their scatter is redirected out of bounds."""
+    state = llama.init_llama_pool_state(CFG, batch=3)
+    ids = PROMPTS[0]
+    tokens = np.zeros((2, 8), np.int32)
+    tokens[0, : len(ids)] = ids
+    valid = np.asarray([len(ids), 1], np.int32)
+    _, state = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray(valid), state,
+        jnp.asarray([1, 1], np.int32),          # padding row AIMS at slot 1
+        jnp.asarray([True, False]), jax.random.PRNGKey(3), CFG)
+    # the padding row (garbage prompt, same slot id) must have lost
+    state2 = llama.init_llama_pool_state(CFG, batch=3)
+    _, state2 = llama.prefill_slots(
+        params, jnp.asarray(tokens[:1]), jnp.asarray(valid[:1]), state2,
+        jnp.asarray([1], np.int32), jnp.asarray([True]),
+        jax.random.PRNGKey(3), CFG)
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(state2.pos))
+    np.testing.assert_allclose(np.asarray(state.k[:, 1, : len(ids)]),
+                               np.asarray(state2.k[:, 1, : len(ids)]))
+
+
+def test_decode_block_pooled_freezes_inactive_rows(params):
+    """Inactive rows must not advance pos or change tok while active rows
+    decode; reactivating them later continues their sequence exactly."""
+    state = llama.init_llama_pool_state(CFG, batch=2)
+    for i, p in enumerate(PROMPTS[:2]):
+        tokens = np.zeros((1, 16), np.int32)
+        tokens[0, : len(p)] = p
+        _, state = llama.prefill_slots(
+            params, jnp.asarray(tokens), jnp.asarray([len(p)], np.int32),
+            state, jnp.asarray([i], np.int32), jnp.asarray([True]),
+            jax.random.PRNGKey(4), CFG)
+    # advance ONLY row 0 for a block, then both rows
+    toks_a, state = llama.decode_block_pooled(
+        params, state, jnp.asarray([True, False]), jax.random.PRNGKey(5),
+        CFG, block=4)
+    pos = np.asarray(state.pos)
+    assert pos[1] == len(PROMPTS[1])             # frozen
+    toks_b, state = llama.decode_block_pooled(
+        params, state, jnp.asarray([True, True]), jax.random.PRNGKey(6),
+        CFG, block=4)
+    got0 = ([int(np.asarray(state.tok)[0])] if False else
+            np.asarray(toks_a)[0].tolist() + np.asarray(toks_b)[0].tolist())
+    want0 = _b1_greedy(params, PROMPTS[0], 9)[1:]
+    assert got0 == want0
+    # row 1, staggered by a block, still matches its own B=1 sequence
+    want1 = _b1_greedy(params, PROMPTS[1], 5)[1:]
+    assert np.asarray(toks_b)[1].tolist() == want1
+
+
+def _run_pool(coro):
+    return asyncio.run(asyncio.wait_for(coro, timeout=600))
+
+
+def test_pool_generate_concurrent_matches_b1(params):
+    """N concurrent generate() streams through one LLMPool reproduce the
+    B=1 greedy sequences token for token — the round-3 flagship claim."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=4, block=4,
+                   prefill_buckets=(8, 16, 32))
+
+    async def one(ids):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=13):
+            out.extend(toks)
+        return out
+
+    async def go():
+        res = await asyncio.gather(*[one(p) for p in PROMPTS])
+        pool.stop()
+        return res
+
+    results = _run_pool(go())
+    for p, got in zip(PROMPTS, results):
+        want = _b1_greedy(params, p, 13)
+        assert got[: len(want)] == want, f"{p}: {got} != {want}"
+        assert len(got) >= 13
+
+
+def test_pool_staggered_arrivals_and_slot_reuse(params):
+    """A request arriving mid-flight joins the running batch; a finished
+    slot is reused by a later request with no state leakage."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16))
+
+    async def one(ids, n, delay=0.0):
+        if delay:
+            await asyncio.sleep(delay)
+        out = []
+        async for toks in pool.generate(ids, max_tokens=n):
+            out.extend(toks)
+            if len(out) >= n:
+                break
+        return out
+
+    async def go():
+        # 3 requests, capacity 2: the third waits for a free slot and
+        # reuses it (staggered with the second's remaining blocks)
+        r = await asyncio.gather(one(PROMPTS[0], 5),
+                                 one(PROMPTS[1], 13, delay=0.01),
+                                 one(PROMPTS[2], 9, delay=0.02))
+        pool.stop()
+        return r
+
+    r0, r1, r2 = _run_pool(go())
+    assert r0[:5] == _b1_greedy(params, PROMPTS[0], 5)
+    assert r1[:13] == _b1_greedy(params, PROMPTS[1], 13)
+    assert r2[:9] == _b1_greedy(params, PROMPTS[2], 9)
+
+
+def test_pool_warmup_does_not_disturb_generation(params):
+    """warmup() compiles every traffic program with active=False scatters;
+    generation afterwards is unchanged."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=2, block=4, prefill_buckets=(8,))
+    pool.warmup()
+    assert pool.prefill_calls == 0               # warmup isn't traffic
+
+    async def go():
+        out = []
+        async for toks in pool.generate(PROMPTS[0], max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert got[:9] == _b1_greedy(params, PROMPTS[0], 9)
+
+
+def test_pooled_stream_model_text_deltas(params):
+    """PooledJAXStreamModel: async predict() yields the same text as the
+    B=1 JAXStreamModel for the same request (greedy)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import (JAXStreamModel,
+                                            PooledJAXStreamModel)
+    from tests.test_llama import _ToyTokenizer
+
+    tok = _ToyTokenizer()
+    b1 = JAXStreamModel(params, CFG, tok, block=4, temperature=0.0,
+                        max_tokens=12)
+    want = "".join(b1.predict({"system": "s", "prompt": "hello"}))
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, tok, max_tokens=12)
+    model.load()
+
+    async def drain(req):
+        out = []
+        async for d in model.predict(req):
+            out.append(d)
+        return out
+
+    async def go():
+        a, b = await asyncio.gather(
+            drain({"system": "s", "prompt": "hello"}),
+            drain({"system": "s", "prompt": "hello"}))
+        pool.stop()
+        return a, b
+
+    got_a, got_b = _run_pool(go())
+    assert "".join(got_a) == want
+    assert "".join(got_b) == want
+    assert got_a[-1] == tok.eos_token
+
+
+def test_http_server_with_pooled_llm_and_pooled_tts(params):
+    """Full pooled full-TPU stack over real HTTP: concurrent /tts
+    requests share ONE batched LLM decode program AND one batched speech
+    decode program (llm_backend=jax + llm_pool_capacity, the round-3
+    serving configuration)."""
+    import dataclasses
+    import socket
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from llmvox_tpu.serve.client import collect_audio, stream_request
+    from llmvox_tpu.serve.pool import DecodePool
+    from llmvox_tpu.serve.server import TTSServer
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+    from tests.tiny_stack import SERVE_CFG, make_engines
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    cfg = dataclasses.replace(SERVE_CFG, api_host="127.0.0.1",
+                              api_port=port, pool_capacity=4)
+    eng = make_engines(0, cfg, n=1)[0]
+    tok = _ToyTokenizer()
+    tok.eos_token = cfg.eos_token
+    llm_pool = LLMPool(params, CFG, capacity=2, block=4,
+                       prefill_buckets=(16, 32))
+    stream_model = PooledJAXStreamModel(llm_pool, tok, max_tokens=10)
+
+    loop = asyncio.new_event_loop()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        tts_pool = DecodePool(eng.params, np.asarray(eng.text_table),
+                              eng.codec, capacity=4, dcfg=eng.dcfg,
+                              scfg=cfg, cache_dtype=jnp.float32,
+                              param_dtype=jnp.float32)
+        srv = TTSServer(None, cfg, stream_model=stream_model,
+                        pool=tts_pool)
+        holder["srv"] = srv
+        loop.run_until_complete(srv.serve())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+    try:
+        def one(i):
+            wav, _ = collect_audio(stream_request(
+                "127.0.0.1", port, "/tts",
+                {"text": f"question number {i}"}, timeout=400))
+            return wav
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            wavs = list(ex.map(one, range(2)))
+        for wav in wavs:
+            assert len(wav) > 0 and np.isfinite(wav).all()
+    finally:
+        holder["srv"].shutdown()
+        t.join(timeout=10)
+        loop.close()
+
+
+def test_pooled_stream_model_through_scheduler(params):
+    """Full-TPU voice-chat path, pooled: two concurrent requests drive
+    the pooled LLM AND the TTS scheduler; audio out for both."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+    from tests.tiny_stack import SERVE_CFG, make_engines
+
+    tok = _ToyTokenizer()
+    tok.eos_token = SERVE_CFG.eos_token
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, tok, max_tokens=10)
+
+    async def one(seed):
+        engines = make_engines(seed, SERVE_CFG)
+        sched = StreamingScheduler(engines, SERVE_CFG)
+        chunks = []
+        async for c in sched.run(model.predict(
+                {"system": "s", "prompt": f"hi {seed}"})):
+            chunks.append(c)
+        return b"".join(chunks)
+
+    async def go():
+        a, b = await asyncio.gather(one(0), one(1))
+        pool.stop()
+        return a, b
+
+    wav_a, wav_b = _run_pool(go())
+    for blob in (wav_a, wav_b):
+        wav = np.frombuffer(blob, dtype="<f4")
+        assert len(wav) > 0 and np.isfinite(wav).all()
