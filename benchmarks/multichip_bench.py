@@ -1,0 +1,221 @@
+"""Multi-chip scaling bench: dp/tp wall-clock over a real or virtual mesh.
+
+No >1-chip hardware is reachable from this box, so every sharding so far
+is proven correct (tests + driver dryrun) but unmeasured.  This harness
+is the measurement: it times, at each requested dp size,
+
+1. the decoder train step (pjit dp over the mesh, deployed 30M shapes
+   scaled by ``--scale``) -> tokens/s;
+2. the sharded pooled serve block (``serve.batch.make_sharded_decode``,
+   streams sharded over dp) -> tokens/s across all streams;
+3. the llama TP decode block at tp = the mesh's tp size.
+
+Run it day-one on a real slice:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python \
+        benchmarks/multichip_bench.py --dp_sizes 1,2,4,8
+
+On this box it self-bootstraps a virtual CPU mesh (like
+``__graft_entry__.dryrun_multichip``) so the *harness* stays proven; the
+numbers it prints there measure host-CPU emulation, not silicon — the
+JSON marks them ``"virtual": true``.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+
+def _bootstrap_virtual(n: int, argv) -> None:
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from benchmarks import multichip_bench as m; "
+            f"m.run({argv!r}, virtual=True)")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   cwd=repo)
+
+
+def _timed(fn, reps: int) -> float:
+    fn()
+    fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def run(argv=None, virtual: bool = False) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dp_sizes", default="1,2,4,8",
+                        help="comma-separated dp sizes to sweep")
+    parser.add_argument("--tp_size", type=int, default=2,
+                        help="tp width for the llama row")
+    parser.add_argument("--scale", type=float, default=1.0,
+                        help="model-size scale (1.0 = deployed shapes; "
+                             "use 0.1 on the virtual CPU mesh)")
+    parser.add_argument("--seq_len", type=int, default=1024)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--out_json", default="")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dp_sizes = [int(s) for s in args.dp_sizes.split(",") if s]
+    need = max(max(dp_sizes), args.tp_size)
+    if len(jax.devices()) < need:
+        _bootstrap_virtual(need, list(argv) if argv is not None else
+                           __import__("sys").argv[1:])
+        return
+
+    from llmvox_tpu.models import decoder as dec
+    from llmvox_tpu.models import llama
+    from llmvox_tpu.parallel.mesh import create_mesh
+    from llmvox_tpu.parallel.sharding import (batch_sharding,
+                                              decoder_param_shardings,
+                                              llama_param_shardings,
+                                              replicated)
+    from llmvox_tpu.serve.batch import make_sharded_decode
+    from llmvox_tpu.train.optim import make_optimizer
+    from llmvox_tpu.train.trainer import TrainState, make_train_step
+    from llmvox_tpu.utils.config import DecoderConfig, TrainConfig
+
+    s = args.scale
+    if s >= 1.0:
+        cfg = DecoderConfig()
+    else:
+        # text_embed_dim + speech_embed_dim must equal n_embd (the
+        # decoder concatenates them); keep the dryrun's tiny proportions
+        ne = max(64, int(768 * s) // 64 * 64)
+        te = ne * 3 // 8
+        cfg = DecoderConfig(n_embd=ne, n_head=4,
+                            n_layer=max(1, round(4 * s)),
+                            block_size=512, vocab_size=256,
+                            text_embed_dim=te, speech_embed_dim=ne - te,
+                            text_vocab_size=386)
+    rows = []
+
+    for dp in dp_sizes:
+        mesh = create_mesh(dp_size=dp, tp_size=1)
+        rng = np.random.default_rng(0)
+
+        # ---- decoder training, dp-sharded -----------------------------
+        tcfg = TrainConfig(batch_size=dp, gradient_accumulation_steps=1,
+                           warmup_iters=1, lr_decay_iters=10)
+        params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+        params = jax.device_put(params, decoder_param_shardings(mesh, params))
+        tx = make_optimizer(tcfg, params)
+        opt_state = jax.jit(tx.init)(params)
+        state = TrainState(params, opt_state, jnp.int32(0))
+        rep, bsh = replicated(mesh), batch_sharding(mesh)
+        table = jax.device_put(
+            jnp.zeros((cfg.text_vocab_size, cfg.text_embed_dim)), rep)
+        codebook = jax.device_put(
+            jnp.zeros((max(cfg.vocab_size, cfg.eoa_token_id + 1),
+                       cfg.speech_embed_dim)), rep)
+        t = args.seq_len
+        text_ids = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, (dp, t)), jnp.int32), bsh)
+        targets = jax.device_put(
+            jnp.asarray(rng.integers(0, cfg.vocab_size, (dp, t)),
+                        jnp.int32), bsh)
+        step = jax.jit(make_train_step(cfg, tx, jnp.float32),
+                       donate_argnums=(0,))
+        holder = {"state": state}
+
+        def train_once():
+            holder["state"], loss = step(holder["state"], table, codebook,
+                                         text_ids, targets,
+                                         jax.random.PRNGKey(1))
+            jax.block_until_ready(loss)
+
+        train_s = _timed(train_once, args.reps)
+        rows.append({"what": "decoder_train_step", "dp": dp,
+                     "batch": dp, "seq": t,
+                     "step_ms": round(train_s * 1e3, 2),
+                     "tokens_per_s": round(dp * t / train_s, 1)})
+
+        # ---- sharded pooled serve block -------------------------------
+        bsrv = 2 * dp
+        blk = 32
+        sstates = dec.init_decode_state_batch(cfg, bsrv, jnp.float32)
+        sharded = make_sharded_decode(cfg, blk, mesh)
+        windows = jnp.zeros((bsrv, blk), jnp.int32)
+        ones = jnp.ones((bsrv,), jnp.int32)
+        sholder = {"states": sstates}
+
+        def serve_once():
+            tokens, _, sholder["states"] = sharded(
+                holder["state"].params, table, codebook, sholder["states"],
+                windows, ones, blk * ones)
+            jax.block_until_ready(tokens)
+
+        serve_s = _timed(serve_once, args.reps)
+        rows.append({"what": "sharded_serve_block", "dp": dp,
+                     "streams": bsrv, "block": blk,
+                     "block_ms": round(serve_s * 1e3, 2),
+                     "tokens_per_s": round(bsrv * blk / serve_s, 1)})
+        print(json.dumps(rows[-2]), flush=True)
+        print(json.dumps(rows[-1]), flush=True)
+
+    # ---- llama TP decode ---------------------------------------------
+    if args.tp_size > 1:
+        mesh = create_mesh(dp_size=1, tp_size=args.tp_size)
+        lcfg = llama.LlamaConfig(
+            vocab_size=384, n_layer=max(2, int(12 * s)),
+            n_head=8, n_kv_head=4,
+            n_embd=max(128, int(768 * s) // 128 * 128),
+            intermediate_size=max(256, int(2048 * s) // 128 * 128),
+            max_seq_len=1024)
+        lparams = llama.init_llama_params(jax.random.PRNGKey(2), lcfg)
+        lparams = jax.device_put(lparams,
+                                 llama_param_shardings(mesh, lparams))
+        lstate = llama.init_llama_decode_state(lcfg, batch=1)
+        lg, lstate = llama.prefill(
+            lparams, jnp.zeros((1, 16), jnp.int32), lstate, lcfg)
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        lh = {"st": lstate}
+
+        def llama_once():
+            toks, lh["st"] = llama.decode_block(
+                lparams, tok, lh["st"], jax.random.PRNGKey(3), lcfg,
+                block=16)
+            jax.block_until_ready(toks)
+
+        llama_s = _timed(llama_once, args.reps)
+        rows.append({"what": "llama_tp_decode_block",
+                     "tp": args.tp_size, "block": 16,
+                     "block_ms": round(llama_s * 1e3, 2),
+                     "tokens_per_s": round(16 / llama_s, 1)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    report = {"virtual": virtual, "n_devices": len(jax.devices()),
+              "scale": s, "rows": rows}
+    print(json.dumps(report))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+def main() -> None:
+    run()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,8 @@ class DecodePool:
         self.scfg = scfg or ServeConfig()
         self.codec = codec
         self.B = capacity
-        self.block = self.scfg.decode_block
+        self.block = (self.scfg.pool_decode_block
+                      or self.scfg.decode_block)
         self.cache_dtype = cache_dtype
         # Pallas batched decode attention on real TPUs (the XLA lowering of
         # the batched flash loop measured ~27x the rest of the step)
@@ -124,6 +125,7 @@ class DecodePool:
         self.slots = [_Slot() for _ in range(self.B)]
         self._task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
+        self._inflight = None
         self.steps = 0
         self._synth_q: Deque = deque()
         self._synth_task: Optional[asyncio.Task] = None
@@ -180,80 +182,106 @@ class DecodePool:
         for i in idxs:
             self.slots[i].pending_reset = False
 
-    async def _step_loop(self) -> None:
+    def _dispatch_step(self) -> Optional[Tuple]:
+        """Gather every non-empty slot queue's head and dispatch ONE
+        batched decode (plus chained fused vocodes) — no host fetch.
+        Returns the in-flight record, or None when no work is queued.
+        Popping the heads HERE (at dispatch, not at resolve) lets the
+        next dispatch see each slot's issue-ahead request."""
         pad = self.dcfg.pad_token_id
+        self._apply_resets()
+        heads: List[Tuple[int, _Request]] = []
+        for i, s in enumerate(self.slots):
+            if s.active and s.queue:
+                heads.append((i, s.queue.popleft()))
+        if not heads:
+            return None
+        windows = np.full((self.B, self.block), pad, np.int32)
+        text_lens = np.zeros((self.B,), np.int32)
+        limits = np.zeros((self.B,), np.int32)
+        for i, req in heads:
+            windows[i] = req.window
+            text_lens[i] = req.text_len
+            limits[i] = req.limit
+        tokens, _, self.states = dec.decode_block_batch(
+            self.params, self.text_table, self.codebook, self.states,
+            jnp.asarray(windows), jnp.asarray(text_lens),
+            jnp.asarray(limits), self.dcfg, block=self.block)
+        # Fused first chunks: vocode each fused slot's first fused_dump
+        # tokens in a device call CHAINED on the decode output — the
+        # sentence's first audio costs one host round trip, like the
+        # dedicated engines' fused path.  More than SYNTH_BATCH fused
+        # slots in one step (a >16-slot pool's simultaneous sentence
+        # starts) chunk into extra vocode calls rather than silently
+        # losing the fused path.
+        fused = [(i, req) for i, req in heads if req.fused_dump > 0]
+        wavs = []
+        for c0 in range(0, len(fused), self.SYNTH_BATCH):
+            part = fused[c0: c0 + self.SYNTH_BATCH]
+            fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
+            flens = np.ones((self.SYNTH_BATCH,), np.int32)
+            for j, (i, req) in enumerate(part):
+                fidx[j] = i
+                flens[j] = req.fused_dump
+            rows = _gather_rows(tokens, jnp.asarray(fidx),
+                                self._fuse_bucket)
+            wavs.append(self.codec.decode_codes_device(rows, flens))
+            self.synth_calls += 1
+        self.steps += 1
+        return heads, fused, tokens, wavs
+
+    async def _resolve_step(self, inflight: Tuple) -> None:
+        """Fetch one in-flight step's results and resolve its futures."""
+        heads, fused, tokens, wavs = inflight
+        toks, wavs_h = await asyncio.to_thread(
+            jax.device_get, (tokens, wavs))
+        # slot -> (flat synth row, dump): rows follow the FUSED list
+        # order, not the heads order (a staggered step mixes fused and
+        # non-fused slots)
+        fused_slots = {i: (j, req.fused_dump)
+                       for j, (i, req) in enumerate(fused)}
+        hop = self.codec.cfg.hop_length
+        for i, req in heads:
+            if req.future.done():
+                continue
+            out = [int(t) for t in toks[i] if t >= 0]
+            if req.fused_dump > 0:
+                audio = None
+                if i in fused_slots and len(out) >= req.fused_dump:
+                    j, dump = fused_slots[i]
+                    row = wavs_h[j // self.SYNTH_BATCH][
+                        j % self.SYNTH_BATCH]
+                    audio = np.asarray(row[: dump * hop],
+                                       dtype="<f4").tobytes()
+                req.future.set_result((out, audio))
+            else:
+                req.future.set_result(out)
+
+    async def _step_loop(self) -> None:
+        """Pipelined: dispatch step N+1 (chained on the on-device state)
+        BEFORE fetching step N's results, so each iteration costs
+        max(decode time, fetch round trip) instead of their sum.  The
+        profile that motivated this (benchmarks/pool_profile.py, r3)
+        showed 60 pool steps x ~47 ms/iteration at BOTH 4-way and 8-way —
+        the wall was the serial dispatch->fetch->dispatch cycle paying a
+        full tunnel RTT per step, not device saturation (which is why
+        4-way and 8-way had identical wall clocks).  Consumers issue
+        ahead by one block (scheduler + PooledEngine), so at steady state
+        the next block request is already queued when step N dispatches.
+        """
+        self._inflight = None
         while True:
-            await self._wake.wait()
-            self._wake.clear()
-            while True:
-                self._apply_resets()
-                heads: List[Tuple[int, _Request]] = []
-                for i, s in enumerate(self.slots):
-                    if s.active and s.queue:
-                        heads.append((i, s.queue[0]))
-                if not heads:
-                    break
-                windows = np.full((self.B, self.block), pad, np.int32)
-                text_lens = np.zeros((self.B,), np.int32)
-                limits = np.zeros((self.B,), np.int32)
-                for i, req in heads:
-                    windows[i] = req.window
-                    text_lens[i] = req.text_len
-                    limits[i] = req.limit
-                tokens, _, self.states = dec.decode_block_batch(
-                    self.params, self.text_table, self.codebook, self.states,
-                    jnp.asarray(windows), jnp.asarray(text_lens),
-                    jnp.asarray(limits), self.dcfg, block=self.block)
-                # Fused first chunks: vocode each fused slot's first
-                # fused_dump tokens in a device call CHAINED on the decode
-                # output — the sentence's first audio costs one host
-                # round trip, like the dedicated engines' fused path.
-                # More than SYNTH_BATCH fused slots in one step (a >16-slot
-                # pool's simultaneous sentence starts) chunk into extra
-                # vocode calls rather than silently losing the fused path.
-                fused = [(i, req) for i, req in heads
-                         if req.fused_dump > 0]
-                wavs = []
-                for c0 in range(0, len(fused), self.SYNTH_BATCH):
-                    part = fused[c0: c0 + self.SYNTH_BATCH]
-                    fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
-                    flens = np.ones((self.SYNTH_BATCH,), np.int32)
-                    for j, (i, req) in enumerate(part):
-                        fidx[j] = i
-                        flens[j] = req.fused_dump
-                    rows = _gather_rows(tokens, jnp.asarray(fidx),
-                                        self._fuse_bucket)
-                    wavs.append(self.codec.decode_codes_device(rows, flens))
-                    self.synth_calls += 1
-                toks, wavs_h = await asyncio.to_thread(
-                    jax.device_get, (tokens, wavs))
-                self.steps += 1
-                # slot -> (flat synth row, dump): rows follow the FUSED
-                # list order, not the heads order (a staggered step mixes
-                # fused and non-fused slots)
-                fused_slots = {i: (j, req.fused_dump)
-                               for j, (i, req) in enumerate(fused)}
-                hop = self.codec.cfg.hop_length
-                for i, req in heads:
-                    if self.slots[i].queue and self.slots[i].queue[0] is req:
-                        self.slots[i].queue.popleft()
-                    if req.future.done():
-                        continue
-                    out = [int(t) for t in toks[i] if t >= 0]
-                    if req.fused_dump > 0:
-                        audio = None
-                        if i in fused_slots and len(out) >= req.fused_dump:
-                            j, dump = fused_slots[i]
-                            row = wavs_h[j // self.SYNTH_BATCH][
-                                j % self.SYNTH_BATCH]
-                            audio = np.asarray(row[: dump * hop],
-                                               dtype="<f4").tobytes()
-                        req.future.set_result((out, audio))
-                    else:
-                        req.future.set_result(out)
-                # yield so consumers can enqueue follow-up blocks and new
-                # streams can join the next gather
+            nxt = self._dispatch_step()
+            if self._inflight is not None:
+                await self._resolve_step(self._inflight)
+                # yield so consumers see results and enqueue follow-ups
+                # before the next gather
                 await asyncio.sleep(0)
+            self._inflight = nxt
+            if self._inflight is None:
+                if not any(s.active and s.queue for s in self.slots):
+                    await self._wake.wait()
+                    self._wake.clear()
 
     # -- batched synthesis ------------------------------------------------
     # Concurrent requests' chunks are grouped per bucket and vocoded in ONE
@@ -383,6 +411,13 @@ class DecodePool:
                           "".join(traceback.format_exception(exc)),
                           flush=True)
                     # fail all waiters so streams error instead of hanging
+                    # (including the popped-at-dispatch in-flight heads)
+                    inflight = getattr(self, "_inflight", None)
+                    if inflight is not None:
+                        for _, req in inflight[0]:
+                            if not req.future.done():
+                                req.future.set_exception(exc)
+                        self._inflight = None
                     for s in self.slots:
                         while s.queue:
                             req = s.queue.popleft()

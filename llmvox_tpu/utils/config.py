@@ -222,6 +222,13 @@ class ServeConfig:
     compute_dtype: str = "bfloat16"
     chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
     pool_capacity: int = 0        # >0: continuous-batching pool slots
+    # Pool decode block (0 = use decode_block).  The pool's step loop is
+    # round-trip-bound over a tunneled chip (~30 ms/step), so a larger
+    # fixed block wins throughput: measured r3 (benchmarks/pool_profile),
+    # block 32 -> 25-27x 4-way agg RTF @ ~78 ms first chunk; block 64 ->
+    # 44-46x @ ~97 ms (8-way: 52x -> 84x).  EOA overshoot stays masked
+    # on device; the dedicated path keeps its own 32/16/128 ladder.
+    pool_decode_block: int = 64
                                   # (2 per request); 0: dedicated replicas
 
     def dump_size_ladder(self, initial: int) -> List[int]:
