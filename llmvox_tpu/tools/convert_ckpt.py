@@ -18,7 +18,7 @@ from llmvox_tpu.train.checkpoint import save_params_npz
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=["decoder", "codec", "byt5",
-                                         "llama"])
+                                         "llama", "utmos"])
     parser.add_argument("src")
     parser.add_argument("dst")
     parser.add_argument("--no-encoder", action="store_true",
@@ -71,6 +71,19 @@ def main(argv=None) -> None:
                     rs["original_max_position_embeddings"]),
             })
         save_params_npz(args.dst, params, meta={"model_args": margs})
+    elif args.kind == "utmos":
+        # the reference's UTMOS Lightning checkpoint
+        # ("epoch=3-step=7459.ckpt", WavTokenizer/metrics/UTMOS.py:26-28)
+        # -> codec/utmos.py params; activate with codec.utmos.register()
+        import torch
+        ckpt = torch.load(args.src, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("state_dict", ckpt)
+        params = convert.convert_utmos_state_dict(sd)
+        save_params_npz(args.dst, params,
+                        meta={"model_args": {
+                            "encoder_layers":
+                                int(params["layers"]["wq"].shape[0])}})
     else:
         table = convert.convert_byt5_from_hf(args.src)
         np.savez(args.dst, table=table)
