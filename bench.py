@@ -160,6 +160,91 @@ def main() -> None:
     (pool_first_wave_ms, pool_firsts, pool_rtf,
      pool_rtf8) = asyncio.run(pooled_bench())
 
+    # ---- full-TPU voice chat: pooled LLM + pooled TTS on one chip ------
+    # (VERDICT r2 #3: these numbers must live in the driver-recorded
+    # artifact, not STATUS prose).  30M-class byte-level Llama in bf16
+    # (benchmarks/llama_bench.py's config), random weights; sampled
+    # generation so the byte stream is text-like enough to feed TTS.
+    from llmvox_tpu.models import llama
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import ByteTokenizer, PooledJAXStreamModel
+
+    lcfg = llama.LlamaConfig(vocab_size=384, n_layer=8, n_head=8,
+                             n_kv_head=4, n_embd=512,
+                             intermediate_size=1408, max_seq_len=1024)
+    lparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           llama.init_llama_params(jax.random.PRNGKey(7),
+                                                   lcfg))
+    lparams = jax.device_put(lparams, dev)
+
+    # raw B=1 decode throughput (the STATUS r2 llama_bench headline)
+    lstate = llama.init_llama_decode_state(lcfg, 1, jnp.bfloat16)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        1, lcfg.vocab_size, (1, 128)), jnp.int32)
+    lg, lstate = llama.prefill_padded(lparams, prompt,
+                                      jnp.asarray(128, jnp.int32),
+                                      lstate, lcfg)
+    tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    def _blocks(tok, st, n=8):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            toks, st = llama.decode_block(lparams, tok, st,
+                                          jax.random.PRNGKey(2), lcfg,
+                                          block=16)
+            tok = toks[:, -1]
+        np.asarray(tok)
+        return time.perf_counter() - t0, tok, st
+
+    _, tok, lstate = _blocks(tok, lstate)   # compile + pipeline the tunnel
+    _, tok, lstate = _blocks(tok, lstate)
+    dec_s, _, _ = _blocks(tok, lstate)
+    llama_tok_s = 8 * 16 / dec_s
+
+    llm_pool = LLMPool(lparams, lcfg, capacity=8, block=16,
+                       temperature=0.8, top_k=0, top_p=1.0,
+                       dtype=jnp.bfloat16, prefill_buckets=(256,))
+    llm = PooledJAXStreamModel(llm_pool, ByteTokenizer(), max_tokens=96,
+                               eos_text=scfg.eos_token)
+    llm.warmup()
+
+    async def combined_request(i):
+        pengines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
+        try:
+            psched = StreamingScheduler(pengines, scfg)
+            n_bytes = 0
+            t_start = time.perf_counter()
+            first = None
+            async for chunk in psched.run(llm.predict(
+                    {"system": "You are a concise voice assistant.",
+                     "prompt": f"Benchmark question number {i}?"})):
+                if first is None:
+                    first = (time.perf_counter() - t_start) * 1000.0
+                n_bytes += len(chunk)
+            wall = time.perf_counter() - t_start
+            return first, n_bytes / 4 / ccfg.sample_rate, wall
+        finally:
+            for e in pengines:
+                e.close()
+
+    async def combined_bench():
+        await combined_request(0)            # pipeline the transport
+        f1, a1, w1 = await combined_request(1)
+        firsts4, rtf4 = [], 0.0
+        for wave in range(2):
+            t0 = time.perf_counter()
+            res = await asyncio.gather(
+                *[combined_request(10 * wave + k) for k in range(4)])
+            wall = time.perf_counter() - t0
+            firsts4.extend(r[0] for r in res)
+            rtf4 = max(rtf4, sum(r[1] for r in res) / wall)
+        llm_pool.stop()
+        pool.stop()
+        return f1, a1 / w1, firsts4, rtf4
+
+    (combined_first_1way_ms, combined_rtf_1way, combined_firsts4,
+     combined_rtf_4way) = asyncio.run(combined_bench())
+
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
     nstreams = 8
@@ -200,6 +285,12 @@ def main() -> None:
             statistics.median(pool_firsts), 1),
         "pooled_agg_rtf_4way": round(statistics.median(pool_rtf), 2),
         "pooled_agg_rtf_8way": round(pool_rtf8, 2),
+        "llama30M_decode_tok_s": round(llama_tok_s, 1),
+        "combined_first_audio_1way_ms": round(combined_first_1way_ms, 1),
+        "combined_rtf_1way": round(combined_rtf_1way, 2),
+        "combined_p50_first_audio_4way_ms": round(
+            statistics.median(combined_firsts4), 1),
+        "combined_agg_rtf_4way": round(combined_rtf_4way, 2),
     }))
 
 

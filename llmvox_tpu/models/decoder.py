@@ -72,6 +72,13 @@ def init_decoder_params(key: jax.Array, cfg: DecoderConfig) -> Dict:
     }
     if cfg.bias:
         params["lnf_b"] = jnp.zeros((c,))
+    if cfg.n_draft_heads > 0:
+        # speculative-decoding draft heads: head j predicts the token at
+        # t+2+j from position t's final hidden state (trained with the
+        # shifted aux losses in decoder_loss; verified/accepted at decode
+        # time by decode_block_spec)
+        params["draft_heads"] = norm(
+            ks[6], (cfg.n_draft_heads, c, cfg.vocab_size))
     return params
 
 
@@ -92,8 +99,10 @@ def _get(p: Dict, key: str):
 
 def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
                   *, dropout_rng: Optional[jax.Array] = None,
-                  train: bool = False) -> jnp.ndarray:
-    """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal."""
+                  train: bool = False, return_hidden: bool = False):
+    """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal.
+    ``return_hidden=True`` also returns the final pre-head hidden states
+    (the draft heads' input)."""
     b, t, c = emb.shape
     use_dropout = train and cfg.dropout > 0.0 and dropout_rng is not None
 
@@ -145,22 +154,56 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
     body = jax.checkpoint(block) if cfg.remat_layers else block
     x, _ = lax.scan(body, x, (params["h"], layer_rngs))
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
-    return nn.linear(x, params["head"]).astype(jnp.float32)
+    logits = nn.linear(x, params["head"]).astype(jnp.float32)
+    if return_hidden:
+        return logits, x
+    return logits
 
 
-def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
-                 cfg: DecoderConfig, *,
-                 dropout_rng: Optional[jax.Array] = None,
-                 train: bool = True) -> jnp.ndarray:
+def _masked_ce(logits: jnp.ndarray, targets: jnp.ndarray,
+               ignore_index: int) -> jnp.ndarray:
     """Cross-entropy with ignore_index (src/model.py:229-230)."""
-    logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
-                           train=train)
-    valid = targets != cfg.ignore_index
+    valid = targets != ignore_index
     safe_targets = jnp.where(valid, targets, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
+                 cfg: DecoderConfig, *,
+                 dropout_rng: Optional[jax.Array] = None,
+                 train: bool = True,
+                 mtp_weight: float = 0.2) -> jnp.ndarray:
+    """Cross-entropy with ignore_index (src/model.py:229-230).
+
+    With ``cfg.n_draft_heads > 0`` (params carry ``draft_heads``), adds
+    the multi-token-prediction aux losses: head j is trained to predict
+    the target shifted j+1 further ahead from the same hidden state, so
+    its decode-time drafts approximate the model's own future greedy
+    tokens (the only thing decode_block_spec needs — acceptance keeps
+    correctness regardless)."""
+    if "draft_heads" not in params:
+        logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
+                               train=train)
+        return _masked_ce(logits, targets, cfg.ignore_index)
+    logits, hidden = apply_decoder(params, emb, cfg,
+                                   dropout_rng=dropout_rng, train=train,
+                                   return_hidden=True)
+    loss = _masked_ce(logits, targets, cfg.ignore_index)
+    n_heads = params["draft_heads"].shape[0]
+    aux = 0.0
+    for j in range(n_heads):
+        shift = j + 1
+        # hidden at position t predicts targets[t + shift]
+        tgt = jnp.concatenate(
+            [targets[:, shift:],
+             jnp.full((targets.shape[0], shift), cfg.ignore_index,
+                      targets.dtype)], axis=1)
+        lj = nn.linear(hidden, params["draft_heads"][j]).astype(jnp.float32)
+        aux = aux + _masked_ce(lj, tgt, cfg.ignore_index)
+    return loss + mtp_weight * aux / n_heads
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +247,8 @@ def init_decode_state(cfg: DecoderConfig, dtype=jnp.bfloat16) -> DecodeState:
 
 
 def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
-                state: DecodeState, return_logits: bool = False):
+                state: DecodeState, return_logits: bool = False,
+                return_hidden: bool = False):
     """One transformer step for one new position; x is (C,).
 
     Layers are a static python loop and the (L, S, C) caches are updated
@@ -254,6 +298,8 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     token = jnp.argmax(logits).astype(jnp.int32)
     if return_logits:
         return token, new_k, new_v, logits
+    if return_hidden:
+        return token, new_k, new_v, x
     return token, new_k, new_v
 
 
@@ -519,3 +565,175 @@ def init_decode_state_batch(cfg: DecoderConfig, batch: int,
         prev_token=jnp.zeros((batch,), jnp.int32),
         done=jnp.zeros((batch,), bool),
     )
+
+
+# ---------------------------------------------------------------------------
+# speculative block decode (beyond-reference; VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+
+def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
+                 state: DecodeState, n: int):
+    """Teacher-forced verify forward: ``n`` new positions
+    ``pos..pos+n-1`` in ONE pass (the speculative-decode verifier).
+
+    Same math as ``n`` chained ``_decode_one`` steps given the same
+    inputs, but the per-position sequential dependency is broken by
+    feeding the DRAFT tokens as the previous-token features — the caller
+    accepts only the prefix whose drafts matched.  Returns (argmax tokens
+    (n,), new_k, new_v)."""
+    pos = state.pos
+    x = xs + lax.dynamic_slice_in_dim(params["wpe"], pos, n, 0).astype(
+        xs.dtype)
+    h_, d_ = cfg.n_head, cfg.head_dim
+
+    def layer_body(carry, p):
+        x, new_k, new_v, l = carry
+        hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+        qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))       # (n, 3C)
+        q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        new_k = lax.dynamic_update_slice(
+            new_k, kk[None].astype(new_k.dtype), (l, pos, 0))
+        new_v = lax.dynamic_update_slice(
+            new_v, vv[None].astype(new_v.dtype), (l, pos, 0))
+        kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
+        vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
+        s = kc.shape[0]
+        qh = q.reshape(n, h_, d_).astype(jnp.float32)
+        kh = kc.reshape(s, h_, d_).astype(jnp.float32)
+        vh = vc.reshape(s, h_, d_).astype(jnp.float32)
+        scores = jnp.einsum("khd,shd->hks", qh, kh,
+                            preferred_element_type=jnp.float32
+                            ) / math.sqrt(d_)
+        jpos = lax.broadcasted_iota(jnp.int32, (n, s), 1)
+        ipos = lax.broadcasted_iota(jnp.int32, (n, s), 0)
+        scores = jnp.where((jpos <= pos + ipos)[None], scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=-1)
+        a = jnp.einsum("hks,shd->khd", w, vh).reshape(
+            n, cfg.n_embd).astype(x.dtype)
+        x = x + nn.linear(a, p["wo"], _get(p, "bo"))
+        hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))
+        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
+        return (x, new_k, new_v, l + 1), None
+
+    (x, new_k, new_v, _), _ = lax.scan(
+        layer_body, (x, state.k_cache, state.v_cache, jnp.int32(0)),
+        params["h"])
+    x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
+    logits = jnp.dot(x, params["head"].astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
+
+
+@partial(jax.jit, static_argnames=("cfg", "block", "k_draft"))
+def decode_block_spec(params: Dict, text_table: jnp.ndarray,
+                      codebook: jnp.ndarray, state: DecodeState,
+                      text_window: jnp.ndarray, text_len: jnp.ndarray,
+                      limit: jnp.ndarray, cfg: DecoderConfig,
+                      block: int = 32, k_draft: int = 4,
+                      draft_tokens: Optional[jnp.ndarray] = None):
+    """Speculative ``decode_block``: greedy-exact output in fewer
+    sequential steps when drafts are good.
+
+    Each iteration runs ONE normal step (token t), drafts ``k_draft``
+    guesses for the following positions (from ``params["draft_heads"]``
+    on the step's hidden state, or from the explicit ``draft_tokens``
+    stream indexed by relative position), then verifies all drafts in one
+    parallel teacher-forced forward and commits the model's own argmax
+    for the matching prefix plus the first correction.  Output is
+    BIT-IDENTICAL to ``decode_block`` for any draft quality — drafts only
+    change how many iterations the block takes (``iters`` in the return,
+    for measurement).  Mis-speculated cache rows sit above ``pos`` and
+    are overwritten before any later query can attend them (the same
+    argument as the padded-prefill paths).
+
+    Returns (tokens (block,), n_generated, state, iters_used).
+    The per-token speech-feature dependency (input at t+1 is
+    codebook[token_t], streaming_server.py:323-354) is why the reference
+    can't batch this loop; drafts break it speculatively.
+    """
+    compute_dtype = state.k_cache.dtype
+    kd = k_draft
+    wpad = jnp.concatenate(
+        [jnp.asarray(text_window, jnp.int32),
+         jnp.full((kd + 1,), cfg.pad_token_id, jnp.int32)])
+    dpad = None
+    if draft_tokens is not None:
+        dpad = jnp.concatenate(
+            [jnp.maximum(jnp.asarray(draft_tokens, jnp.int32), 0),
+             jnp.zeros((kd + 1,), jnp.int32)])
+    out0 = jnp.full((block + kd + 1,), -1, jnp.int32)
+    n_iter = (block + 1) // 2     # worst case commits 2 tokens/iteration
+
+    def build_x(tid, prev, pos):
+        temb = text_table[tid]
+        sfeat = jnp.where(pos == 0, jnp.zeros((cfg.speech_embed_dim,)),
+                          codebook[prev])
+        return nn.l2_normalize(
+            jnp.concatenate([temb, sfeat])).astype(compute_dtype)
+
+    def iteration(carry, _):
+        st, count, out, iters = carry
+        active = jnp.logical_and(count < limit, jnp.logical_not(st.done))
+
+        # ---- one normal step at relative index `count` ----------------
+        tid = jnp.where(st.pos < text_len, wpad[count], cfg.pad_token_id)
+        x = build_x(tid, st.prev_token, st.pos)
+        token1, nk, nv, hidden = _decode_one(params, cfg, x, st,
+                                             return_hidden=True)
+        pos1 = jnp.where(active, st.pos + 1, st.pos)
+        done1 = jnp.logical_or(
+            st.done, jnp.logical_and(active, token1 == cfg.eoa_token_id))
+        st1 = DecodeState(nk, nv, pos1,
+                          jnp.where(active, token1, st.prev_token), done1)
+
+        # ---- drafts for the next k_draft positions --------------------
+        if dpad is not None:
+            d = lax.dynamic_slice(dpad, (count + 1,), (kd,))
+        else:
+            d = jnp.argmax(
+                jnp.einsum("c,kcv->kv", hidden.astype(jnp.float32),
+                           params["draft_heads"].astype(jnp.float32)),
+                axis=-1).astype(jnp.int32)
+
+        # ---- verify all drafts in one parallel forward ----------------
+        prevs = jnp.concatenate([token1[None], d[:-1]])
+        tseg = lax.dynamic_slice(wpad, (count + 1,), (kd,))
+        post = pos1 + jnp.arange(kd, dtype=jnp.int32)
+        tids = jnp.where(post < text_len, tseg, cfg.pad_token_id)
+        xs = jax.vmap(build_x)(tids, prevs, post)
+        a, nk2, nv2 = _decode_many(params, cfg, xs, st1, kd)
+
+        # ---- accept the matching prefix + first correction ------------
+        match = d == a
+        prefix_ok = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             jnp.cumprod(match[:-1].astype(jnp.int32)).astype(bool)])
+        eoa_before = jnp.concatenate(
+            [jnp.zeros((1,), bool),
+             jnp.cumsum((a == cfg.eoa_token_id).astype(jnp.int32))[:-1]
+             > 0])
+        commit = (active & jnp.logical_not(done1) & prefix_ok
+                  & (count + 1 + jnp.arange(kd, dtype=jnp.int32) < limit)
+                  & jnp.logical_not(eoa_before))
+        n_commit = jnp.sum(commit.astype(jnp.int32))
+
+        pos2 = pos1 + n_commit
+        last = jnp.where(n_commit > 0, a[jnp.maximum(n_commit - 1, 0)],
+                         st1.prev_token)
+        done2 = jnp.logical_or(
+            done1, jnp.any(commit & (a == cfg.eoa_token_id)))
+        st2 = DecodeState(nk2, nv2, pos2, last, done2)
+
+        emitted = jnp.where(jnp.concatenate([active[None], commit]),
+                            jnp.concatenate([token1[None], a]),
+                            jnp.int32(-1))
+        out = lax.dynamic_update_slice(out, emitted, (count,))
+        count = count + active.astype(jnp.int32) + n_commit
+        iters = iters + active.astype(jnp.int32)
+        return (st2, count, out, iters), None
+
+    (st, count, out, iters), _ = lax.scan(
+        iteration, (state, jnp.int32(0), out0, jnp.int32(0)), None,
+        length=n_iter)
+    return out[:block], count, st, iters

@@ -454,8 +454,11 @@ def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
     valid = jpos[None] <= pos_vec[:, None, None] + ipos[None]  # (B, T, S)
     logits = jnp.where(valid[:, None], logits, -jnp.inf)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    # cache dtype may differ from the activation dtype (e.g. f32 cache
+    # under bf16 params) — cast after the value matmul so the residual
+    # stream keeps x's dtype through the scan carry
     att = jnp.einsum("bhts,bshd->bthd", w, vv,
-                     precision=ops.mm_precision(q.dtype))
+                     precision=ops.mm_precision(q.dtype)).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
     gate = ops.linear(h, lp["wgate"])

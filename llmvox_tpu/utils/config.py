@@ -60,6 +60,15 @@ class DecoderConfig:
 
     ln_eps: float = 1e-5
 
+    # Speculative decoding (beyond-reference, VERDICT r2 #7): extra
+    # prediction heads trained to guess tokens t+2..t+1+n from position
+    # t's hidden state (Medusa/MTP style).  0 = off (deployed parity).
+    # Decode-time use: models/decoder.py::decode_block_spec verifies the
+    # drafts in one parallel forward and accepts the matching prefix —
+    # output is bit-identical to greedy decode_block regardless of draft
+    # quality; trained heads only change how many steps it takes.
+    n_draft_heads: int = 0
+
     # TPU runtime knobs (no reference counterpart)
     unroll_layers: bool = False   # unroll the decode layer loop (compile
                                   # time vs marginal step speed)

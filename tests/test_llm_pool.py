@@ -219,6 +219,29 @@ def test_pool_warmup_does_not_disturb_generation(params):
     assert got[:9] == _b1_greedy(params, PROMPTS[0], 9)
 
 
+def test_pool_mixed_dtype_params_and_cache(params):
+    """bf16 params with the default f32 cache must not break the layer
+    scan's carry dtype (the einsum against the f32 cache promotes unless
+    the residual is cast back — regression from the r3 bench)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    pool = LLMPool(bf16, CFG, capacity=2, block=4, prefill_buckets=(8,))
+    pool.warmup()
+
+    async def go():
+        out = []
+        async for toks in pool.generate(PROMPTS[0], max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert len(got) >= 9 and all(0 <= t < CFG.vocab_size for t in got)
+
+
 def test_pooled_stream_model_text_deltas(params):
     """PooledJAXStreamModel: async predict() yields the same text as the
     B=1 JAXStreamModel for the same request (greedy)."""
