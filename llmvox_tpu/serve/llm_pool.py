@@ -96,6 +96,7 @@ class LLMPool:
         self._free: Optional[asyncio.Queue] = None
         self._task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
+        self._inflight = None
         self.steps = 0
         self.prefill_calls = 0
 
@@ -199,51 +200,88 @@ class LLMPool:
         return out
 
     # -- step loop ------------------------------------------------------
+    def _dispatch(self):
+        """Run pending prefills + one batched decode block — device
+        dispatches only, no host fetch.  Block futures are popped HERE
+        so the next dispatch sees each slot's issue-ahead request.
+        Returns the in-flight record or None when nothing is queued."""
+        prefill_out = []
+        blocks: List[Tuple[int, asyncio.Future]] = []
+        toks = None
+        try:
+            if self._prefills:
+                reqs = [r for r in self._prefills
+                        if not r.future.done()]
+                self._prefills.clear()
+                if reqs:
+                    prefill_out = self._run_prefills(reqs)
+            heads = [i for i, s in enumerate(self.slots)
+                     if s.active and s.queue]
+            if heads:
+                active = np.zeros((self.B,), bool)
+                active[heads] = True
+                for i in heads:
+                    blocks.append((i, self.slots[i].queue.popleft()))
+                toks, self.state = llama.decode_block_pooled(
+                    self.params, self.state, jnp.asarray(active),
+                    self._next_key(), self.cfg, block=self.block,
+                    temperature=self.temperature, top_k=self.top_k,
+                    top_p=self.top_p)
+                self.steps += 1
+        except BaseException as exc:
+            # futures already popped here would otherwise hang their
+            # waiters forever — fail them before the crash handler runs
+            for _, part in prefill_out:
+                for r in part:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+            if "reqs" in locals():
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+            for _, fut in blocks:
+                if not fut.done():
+                    fut.set_exception(exc)
+            raise
+        if not prefill_out and toks is None:
+            return None
+        return prefill_out, blocks, toks
+
+    async def _resolve(self, inflight) -> None:
+        """ONE fetch round trip for an in-flight iteration's results."""
+        prefill_out, blocks, toks = inflight
+        firsts_h, toks_h = await asyncio.to_thread(
+            jax.device_get, ([f for f, _ in prefill_out], toks))
+        for (_, part), vals in zip(prefill_out, firsts_h):
+            for j, r in enumerate(part):
+                if not r.future.done():
+                    r.future.set_result(int(vals[j]))
+        if toks_h is not None:
+            for i, fut in blocks:
+                if not fut.done():
+                    fut.set_result([int(t) for t in toks_h[i]])
+
     async def _step_loop(self) -> None:
+        """Pipelined like serve/pool.py::_step_loop: dispatch iteration
+        N+1 (chained on the on-device state — the per-slot last token
+        lives in LlamaPoolState.tok, so no host value is needed) BEFORE
+        fetching iteration N, so each iteration costs max(device time,
+        fetch round trip) instead of their sum.  generate() issues ahead
+        one block, keeping queues non-empty at dispatch time."""
+        self._inflight = None
         while True:
-            await self._wake.wait()
-            self._wake.clear()
-            while True:
-                prefill_out = []
-                if self._prefills:
-                    reqs = [r for r in self._prefills
-                            if not r.future.done()]
-                    self._prefills.clear()
-                    if reqs:
-                        prefill_out = self._run_prefills(reqs)
-                heads = [i for i, s in enumerate(self.slots)
-                         if s.active and s.queue]
-                toks = None
-                if heads:
-                    active = np.zeros((self.B,), bool)
-                    active[heads] = True
-                    toks, self.state = llama.decode_block_pooled(
-                        self.params, self.state, jnp.asarray(active),
-                        self._next_key(), self.cfg, block=self.block,
-                        temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p)
-                    self.steps += 1
-                if not prefill_out and toks is None:
-                    break
-                # ONE fetch round trip for everything this iteration
-                firsts_h, toks_h = await asyncio.to_thread(
-                    jax.device_get,
-                    ([f for f, _ in prefill_out], toks))
-                for (_, part), vals in zip(prefill_out, firsts_h):
-                    for j, r in enumerate(part):
-                        if not r.future.done():
-                            r.future.set_result(int(vals[j]))
-                if toks_h is not None:
-                    for i in heads:
-                        slot = self.slots[i]
-                        if not slot.queue:
-                            continue
-                        fut = slot.queue.popleft()
-                        if not fut.done():
-                            fut.set_result(
-                                [int(t) for t in toks_h[i]])
+            nxt = self._dispatch()
+            if self._inflight is not None:
+                await self._resolve(self._inflight)
                 # let consumers enqueue follow-ups / new arrivals join
                 await asyncio.sleep(0)
+            self._inflight = nxt
+            if self._inflight is None:
+                if (not self._prefills
+                        and not any(s.active and s.queue
+                                    for s in self.slots)):
+                    await self._wake.wait()
+                    self._wake.clear()
 
     def start(self) -> None:
         if self._task is None:
@@ -259,6 +297,18 @@ class LLMPool:
                     print("LLMPool step loop crashed:",
                           "".join(traceback.format_exception(exc)),
                           flush=True)
+                    # in-flight record (popped at dispatch) first
+                    inflight = getattr(self, "_inflight", None)
+                    if inflight is not None:
+                        prefill_out, blocks, _ = inflight
+                        for _, part in prefill_out:
+                            for r in part:
+                                if not r.future.done():
+                                    r.future.set_exception(exc)
+                        for _, fut in blocks:
+                            if not fut.done():
+                                fut.set_exception(exc)
+                        self._inflight = None
                     for s in self.slots:
                         while s.queue:
                             fut = s.queue.popleft()

@@ -196,37 +196,45 @@ class DecodePool:
                 heads.append((i, s.queue.popleft()))
         if not heads:
             return None
-        windows = np.full((self.B, self.block), pad, np.int32)
-        text_lens = np.zeros((self.B,), np.int32)
-        limits = np.zeros((self.B,), np.int32)
-        for i, req in heads:
-            windows[i] = req.window
-            text_lens[i] = req.text_len
-            limits[i] = req.limit
-        tokens, _, self.states = dec.decode_block_batch(
-            self.params, self.text_table, self.codebook, self.states,
-            jnp.asarray(windows), jnp.asarray(text_lens),
-            jnp.asarray(limits), self.dcfg, block=self.block)
-        # Fused first chunks: vocode each fused slot's first fused_dump
-        # tokens in a device call CHAINED on the decode output — the
-        # sentence's first audio costs one host round trip, like the
-        # dedicated engines' fused path.  More than SYNTH_BATCH fused
-        # slots in one step (a >16-slot pool's simultaneous sentence
-        # starts) chunk into extra vocode calls rather than silently
-        # losing the fused path.
-        fused = [(i, req) for i, req in heads if req.fused_dump > 0]
-        wavs = []
-        for c0 in range(0, len(fused), self.SYNTH_BATCH):
-            part = fused[c0: c0 + self.SYNTH_BATCH]
-            fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
-            flens = np.ones((self.SYNTH_BATCH,), np.int32)
-            for j, (i, req) in enumerate(part):
-                fidx[j] = i
-                flens[j] = req.fused_dump
-            rows = _gather_rows(tokens, jnp.asarray(fidx),
-                                self._fuse_bucket)
-            wavs.append(self.codec.decode_codes_device(rows, flens))
-            self.synth_calls += 1
+        try:
+            windows = np.full((self.B, self.block), pad, np.int32)
+            text_lens = np.zeros((self.B,), np.int32)
+            limits = np.zeros((self.B,), np.int32)
+            for i, req in heads:
+                windows[i] = req.window
+                text_lens[i] = req.text_len
+                limits[i] = req.limit
+            tokens, _, self.states = dec.decode_block_batch(
+                self.params, self.text_table, self.codebook, self.states,
+                jnp.asarray(windows), jnp.asarray(text_lens),
+                jnp.asarray(limits), self.dcfg, block=self.block)
+            # Fused first chunks: vocode each fused slot's first
+            # fused_dump tokens in a device call CHAINED on the decode
+            # output — the sentence's first audio costs one host round
+            # trip, like the dedicated engines' fused path.  More than
+            # SYNTH_BATCH fused slots in one step (a >16-slot pool's
+            # simultaneous sentence starts) chunk into extra vocode calls
+            # rather than silently losing the fused path.
+            fused = [(i, req) for i, req in heads if req.fused_dump > 0]
+            wavs = []
+            for c0 in range(0, len(fused), self.SYNTH_BATCH):
+                part = fused[c0: c0 + self.SYNTH_BATCH]
+                fidx = np.zeros((self.SYNTH_BATCH,), np.int32)
+                flens = np.ones((self.SYNTH_BATCH,), np.int32)
+                for j, (i, req) in enumerate(part):
+                    fidx[j] = i
+                    flens[j] = req.fused_dump
+                rows = _gather_rows(tokens, jnp.asarray(fidx),
+                                    self._fuse_bucket)
+                wavs.append(self.codec.decode_codes_device(rows, flens))
+                self.synth_calls += 1
+        except BaseException as exc:
+            # heads were popped at dispatch: fail them now or their
+            # waiters hang (the crash handler only sees queues+inflight)
+            for _, req in heads:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            raise
         self.steps += 1
         return heads, fused, tokens, wavs
 

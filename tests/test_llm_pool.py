@@ -219,6 +219,63 @@ def test_pool_warmup_does_not_disturb_generation(params):
     assert got[:9] == _b1_greedy(params, PROMPTS[0], 9)
 
 
+def test_pooled_ops_under_tp_sharding_match(params):
+    """prefill_slots + decode_block_pooled with Megatron-TP-sharded
+    params reproduce the unsharded pooled results exactly (GSPMD inserts
+    the collectives through the vmapped cache writes and scatters)."""
+    from llmvox_tpu.parallel import create_mesh
+    from llmvox_tpu.parallel.sharding import llama_param_shardings
+
+    mesh = create_mesh(dp_size=1, tp_size=2)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params,
+        llama_param_shardings(mesh, params))
+
+    def run(p):
+        state = llama.init_llama_pool_state(CFG, batch=3)
+        tokens = np.zeros((2, 16), np.int32)
+        valid = np.zeros((2,), np.int32)
+        for i, pr in enumerate(PROMPTS[:2]):
+            tokens[i, : len(pr)] = pr
+            valid[i] = len(pr)
+        first, state = llama.prefill_slots(
+            p, jnp.asarray(tokens), jnp.asarray(valid), state,
+            jnp.asarray([0, 2], np.int32), jnp.ones((2,), bool),
+            jax.random.PRNGKey(0), CFG)
+        toks, state = llama.decode_block_pooled(
+            p, state, jnp.asarray([True, False, True]),
+            jax.random.PRNGKey(1), CFG, block=6)
+        return np.asarray(first), np.asarray(toks)
+
+    f_ref, t_ref = run(params)
+    f_tp, t_tp = run(sharded)
+    np.testing.assert_array_equal(f_tp, f_ref)
+    np.testing.assert_array_equal(t_tp[[0, 2]], t_ref[[0, 2]])
+
+
+def test_pool_step_loop_crash_fails_waiters(params, monkeypatch):
+    """A step-loop crash must fail every waiting future — including the
+    in-flight ones popped at dispatch — so requests error instead of
+    hanging forever."""
+    from llmvox_tpu.serve import llm_pool as lp
+
+    pool = lp.LLMPool(params, CFG, capacity=2, block=4,
+                      prefill_buckets=(8,))
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(lp.llama, "prefill_slots", boom)
+
+    async def go():
+        with pytest.raises(RuntimeError, match="injected"):
+            async for _ in pool.generate(PROMPTS[0], max_tokens=9):
+                pass
+        pool.stop()
+
+    _run_pool(go())
+
+
 def test_pool_mixed_dtype_params_and_cache(params):
     """bf16 params with the default f32 cache must not break the layer
     scan's carry dtype (the einsum against the f32 cache promotes unless
