@@ -227,6 +227,21 @@ def main() -> None:
             for e in pengines:
                 e.close()
 
+    async def llm_only_wave(n=8, max_tokens=128):
+        """Text-only pooled generation: aggregate tok/s with n concurrent
+        requests sharing one batched decode program."""
+        async def gen_one(i):
+            ids = [1 + (b % 255)
+                   for b in f"benchmark prompt number {i}".encode()]
+            count = 0
+            async for toks in llm_pool.generate(ids,
+                                                max_tokens=max_tokens):
+                count += len(toks)
+            return count
+        t0 = time.perf_counter()
+        counts = await asyncio.gather(*[gen_one(k) for k in range(n)])
+        return sum(counts) / (time.perf_counter() - t0)
+
     async def combined_bench():
         await combined_request(0)            # pipeline the transport
         f1, a1, w1 = await combined_request(1)
@@ -238,12 +253,14 @@ def main() -> None:
             wall = time.perf_counter() - t0
             firsts4.extend(r[0] for r in res)
             rtf4 = max(rtf4, sum(r[1] for r in res) / wall)
+        await llm_only_wave()                # warm the 8-way shape
+        llm8 = max([await llm_only_wave() for _ in range(2)])
         llm_pool.stop()
         pool.stop()
-        return f1, a1 / w1, firsts4, rtf4
+        return f1, a1 / w1, firsts4, rtf4, llm8
 
     (combined_first_1way_ms, combined_rtf_1way, combined_firsts4,
-     combined_rtf_4way) = asyncio.run(combined_bench())
+     combined_rtf_4way, llm_pool_8way_tok_s) = asyncio.run(combined_bench())
 
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
@@ -286,6 +303,7 @@ def main() -> None:
         "pooled_agg_rtf_4way": round(statistics.median(pool_rtf), 2),
         "pooled_agg_rtf_8way": round(pool_rtf8, 2),
         "llama30M_decode_tok_s": round(llama_tok_s, 1),
+        "llm_pool_8way_tok_s": round(llm_pool_8way_tok_s, 1),
         "combined_first_audio_1way_ms": round(combined_first_1way_ms, 1),
         "combined_rtf_1way": round(combined_rtf_1way, 2),
         "combined_p50_first_audio_4way_ms": round(

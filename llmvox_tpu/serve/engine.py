@@ -144,6 +144,10 @@ class TTSEngine:
         self.device = device
         # the decoder consumes the first codebook level (n_q=1 deployed)
         self.codebook = codec.params["codebooks"][0]
+        # speculative decode only engages when the checkpoint actually
+        # carries trained draft heads (models/decoder.py::decode_block_spec)
+        self._spec = bool(self.scfg.spec_decode
+                          and "draft_heads" in decoder_params)
 
     # -- decode --------------------------------------------------------
     def new_state(self) -> dec.DecodeState:
@@ -161,10 +165,20 @@ class TTSEngine:
         ``block`` overrides the compiled block length (the scheduler grows
         it mid-sentence to amortize host round-trips).
         """
-        tokens, _, state = dec.decode_block(
-            self.params, self.text_table, self.codebook, state,
-            jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
-            jnp.int32(limit), self.dcfg, block=block or self.block)
+        if self._spec:
+            # speculative decode: drafts from the trained MTP heads,
+            # verified in one parallel forward — bit-identical tokens,
+            # fewer sequential steps per block when the heads are good
+            tokens, _, state, _ = dec.decode_block_spec(
+                self.params, self.text_table, self.codebook, state,
+                jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
+                jnp.int32(limit), self.dcfg, block=block or self.block,
+                k_draft=self.scfg.spec_k_draft)
+        else:
+            tokens, _, state = dec.decode_block(
+                self.params, self.text_table, self.codebook, state,
+                jnp.asarray(text_window, jnp.int32), jnp.int32(text_len),
+                jnp.int32(limit), self.dcfg, block=block or self.block)
         return PendingTokens(tokens), state
 
     def decode_block_fused_async(self, state: dec.DecodeState,

@@ -230,6 +230,13 @@ class ServeConfig:
     fused_first_chunk: bool = True
     compute_dtype: str = "bfloat16"
     chunk_buckets: Tuple[int, ...] = (16, 32, 96, 288, 512, 896, 1280)
+    # Speculative decode in the dedicated engines: requires a checkpoint
+    # trained with DecoderConfig.n_draft_heads (models/decoder.py);
+    # output stays bit-identical to greedy, good heads cut sequential
+    # steps per block up to (1 + spec_k_draft)x
+    spec_decode: bool = False
+    spec_k_draft: int = 4
+
     pool_capacity: int = 0        # >0: continuous-batching pool slots
     # Pool decode block (0 = use decode_block).  The pool's step loop is
     # round-trip-bound over a tunneled chip (~30 ms/step), so a larger

@@ -157,6 +157,56 @@ def test_chained_spec_blocks_match_chained_greedy(stack):
     assert int(st_s.pos) == int(st_g.pos)
 
 
+def test_engine_spec_decode_serves_identical_audio(stack):
+    """ServeConfig.spec_decode through the full scheduler: an engine with
+    draft heads in its checkpoint streams the SAME waveform as the plain
+    decode path (the serving wiring of decode_block_spec)."""
+    import asyncio
+
+    from llmvox_tpu.codec.codec import WavCodec, init_codec_params
+    from llmvox_tpu.serve.engine import TTSEngine
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.streams.scripted import ScriptedStream
+    from tests.tiny_stack import CODEC_CFG, DEC_CFG, SERVE_CFG
+
+    dcfg = dataclasses.replace(DEC_CFG, n_draft_heads=2)
+    params = dec.init_decoder_params(jax.random.PRNGKey(5), dcfg)
+    rng = np.random.default_rng(6)
+    table = rng.standard_normal(
+        (dcfg.text_vocab_size, dcfg.text_embed_dim)).astype(np.float32)
+    codec_params = init_codec_params(jax.random.PRNGKey(7), CODEC_CFG)
+
+    def run(spec: bool):
+        scfg = dataclasses.replace(SERVE_CFG, spec_decode=spec,
+                                   spec_k_draft=2,
+                                   fused_first_chunk=False,
+                                   first_decode_block=0,
+                                   decode_block_large=0)
+        engines = []
+        for _ in range(2):
+            codec = WavCodec(codec_params, CODEC_CFG,
+                             buckets=scfg.chunk_buckets)
+            engines.append(TTSEngine(params, table, codec, dcfg, scfg,
+                                     cache_dtype=jnp.float32))
+        assert engines[0]._spec == spec
+        sched = StreamingScheduler(engines, scfg)
+        stream = ScriptedStream(["Spec decode test one.", "And two."],
+                                eos_token=scfg.eos_token)
+
+        async def go():
+            out = []
+            async for c in sched.run(stream.predict({})):
+                out.append(c)
+            return b"".join(out)
+
+        return asyncio.run(asyncio.wait_for(go(), timeout=300))
+
+    plain = run(False)
+    spec = run(True)
+    np.testing.assert_array_equal(np.frombuffer(spec, dtype="<f4"),
+                                  np.frombuffer(plain, dtype="<f4"))
+
+
 def test_mtp_loss_trains_draft_heads(stack):
     """decoder_loss with draft heads: finite, adds the aux term, and
     gradients flow into the heads (the trainer option's substance)."""
