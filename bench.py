@@ -201,7 +201,7 @@ def main() -> None:
     dec_s, _, _ = _blocks(tok, lstate)
     llama_tok_s = 8 * 16 / dec_s
 
-    llm_pool = LLMPool(lparams, lcfg, capacity=8, block=16,
+    llm_pool = LLMPool(lparams, lcfg, capacity=8, block=32,
                        temperature=0.8, top_k=0, top_p=1.0,
                        dtype=jnp.bfloat16, prefill_buckets=(256,))
     llm = PooledJAXStreamModel(llm_pool, ByteTokenizer(), max_tokens=96,

@@ -169,7 +169,10 @@ class ServeConfig:
     # llm_checkpoint still names the tokenizer)
     llm_backend: str = "hf"
     llm_jax_params: str = ""
-    llm_block: int = 16
+    # tokens per LLM device dispatch; over a tunneled chip each block
+    # costs ~1 RTT, so 32 halves the text-side step count vs 16 (the
+    # reply still streams to TTS in sub-25 ms lumps at 1.4k+ tok/s)
+    llm_block: int = 32
     # > 0: serve the jax backend through the continuous-batching LLM pool
     # (serve/llm_pool.py) — concurrent requests share ONE batched decode
     # program instead of serializing private B=1 generate loops

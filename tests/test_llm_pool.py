@@ -219,6 +219,36 @@ def test_pool_warmup_does_not_disturb_generation(params):
     assert got[:9] == _b1_greedy(params, PROMPTS[0], 9)
 
 
+def test_cancelled_stream_releases_slot(params):
+    """A consumer that abandons its stream mid-generation (client
+    disconnect) must release the slot so later requests don't starve."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+
+    pool = LLMPool(params, CFG, capacity=1, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, _ToyTokenizer(), max_tokens=64)
+
+    async def go():
+        gen = model.predict({"system": "s", "prompt": "hello"})
+        got_one = False
+        async for _ in gen:
+            got_one = True
+            break                      # abandon mid-stream
+        await gen.aclose()             # what the server's teardown does
+        assert got_one
+        # capacity is 1: a second request only works if the slot freed
+        out = []
+        async for d in model.predict({"system": "s", "prompt": "again"}):
+            out.append(d)
+        pool.stop()
+        return out
+
+    out = _run_pool(go())
+    assert len("".join(out)) > 0
+
+
 def test_pooled_ops_under_tp_sharding_match(params):
     """prefill_slots + decode_block_pooled with Megatron-TP-sharded
     params reproduce the unsharded pooled results exactly (GSPMD inserts
