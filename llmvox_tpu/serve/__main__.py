@@ -65,10 +65,18 @@ def main(argv=None) -> None:
     pool = None
     if cfg.pool_capacity > 0:
         from llmvox_tpu.serve.pool import DecodePool
+        mesh = None
+        if cfg.pool_mesh_dp > 1:
+            # multi-chip pooled serving: slots shard over a dp mesh and
+            # every step runs one shard_map'd program across the slice
+            from llmvox_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh(dp_size=cfg.pool_mesh_dp, tp_size=1)
         pool = DecodePool(dec_params, table, engines[0].codec,
                           capacity=cfg.pool_capacity, dcfg=dcfg, scfg=cfg,
-                          device=devs[0], cache_dtype=dtype)
-        print(f"continuous-batching pool: {cfg.pool_capacity} slots")
+                          device=None if mesh is not None else devs[0],
+                          cache_dtype=dtype, mesh=mesh)
+        print(f"continuous-batching pool: {cfg.pool_capacity} slots"
+              + (f" sharded over dp={cfg.pool_mesh_dp}" if mesh else ""))
         # build_server warms the pool (decode step + ragged synth buckets)
 
     server = build_server(cfg, engines, pool=pool)

@@ -88,7 +88,8 @@ class DecodePool:
                  dcfg: Optional[DecoderConfig] = None,
                  scfg: Optional[ServeConfig] = None,
                  device: Optional[jax.Device] = None,
-                 cache_dtype=jnp.bfloat16, param_dtype=None):
+                 cache_dtype=jnp.bfloat16, param_dtype=None,
+                 mesh=None):
         self.dcfg = dcfg or DecoderConfig()
         self.scfg = scfg or ServeConfig()
         self.codec = codec
@@ -116,9 +117,42 @@ class DecodePool:
         self.text_table = jnp.asarray(text_table)
         self.codebook = codec.params["codebooks"][0]
         self.device = device
+        self.mesh = mesh
 
         self.states = dec.init_decode_state_batch(self.dcfg, self.B,
                                                   cache_dtype)
+        if mesh is None:
+            self._decode = partial(dec.decode_block_batch, cfg=self.dcfg,
+                                   block=self.block)
+        else:
+            # Multi-chip pooled serving: the slot batch shards over the
+            # mesh's dp axis and every pool step runs ONE shard_map'd
+            # program across the slice (weights replicated, KV caches
+            # sharded on the stream axis, no collectives needed — the
+            # TPU answer to "more concurrent dialogues than one chip
+            # serves"; see serve/batch.py::make_sharded_decode).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from llmvox_tpu.parallel.mesh import DP_AXIS
+            from llmvox_tpu.serve.batch import make_sharded_decode
+            dp = mesh.shape[DP_AXIS]
+            assert self.B % dp == 0, \
+                f"pool capacity {self.B} must divide over dp={dp}"
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.text_table = jax.device_put(self.text_table, rep)
+            # the codec rides along replicated: the fused first-chunk
+            # vocode chains on the dp-sharded decode output
+            codec.params = jax.device_put(codec.params, rep)
+            self.codebook = codec.params["codebooks"][0]
+            sh = dec.DecodeState(
+                k_cache=NamedSharding(mesh, P(None, DP_AXIS)),
+                v_cache=NamedSharding(mesh, P(None, DP_AXIS)),
+                pos=NamedSharding(mesh, P(DP_AXIS)),
+                prev_token=NamedSharding(mesh, P(DP_AXIS)),
+                done=NamedSharding(mesh, P(DP_AXIS)))
+            self.states = jax.device_put(self.states, sh)
+            self._decode = make_sharded_decode(self.dcfg, self.block, mesh)
         # one fixed vocoder bucket for fused first chunks (dump <= block)
         self._fuse_bucket = codec.bucket_for(min(self.block,
                                                  max(codec.buckets)))
@@ -204,10 +238,10 @@ class DecodePool:
                 windows[i] = req.window
                 text_lens[i] = req.text_len
                 limits[i] = req.limit
-            tokens, _, self.states = dec.decode_block_batch(
+            tokens, _, self.states = self._decode(
                 self.params, self.text_table, self.codebook, self.states,
                 jnp.asarray(windows), jnp.asarray(text_lens),
-                jnp.asarray(limits), self.dcfg, block=self.block)
+                jnp.asarray(limits))
             # Fused first chunks: vocode each fused slot's first
             # fused_dump tokens in a device call CHAINED on the decode
             # output — the sentence's first audio costs one host round
@@ -367,10 +401,10 @@ class DecodePool:
         # call the first wave pays its compile/cache-load (measured
         # +1.4 s on the first concurrent wave's first chunk).
         for _ in range(2):
-            tokens, _, self.states = dec.decode_block_batch(
+            tokens, _, self.states = self._decode(
                 self.params, self.text_table, self.codebook, self.states,
                 jnp.asarray(windows), np.ones((self.B,), np.int32),
-                np.ones((self.B,), np.int32), self.dcfg, block=self.block)
+                np.ones((self.B,), np.int32))
             np.asarray(tokens)
         # fused first-chunk path: gather + chained ragged vocode
         rows = _gather_rows(tokens, jnp.zeros((self.SYNTH_BATCH,), jnp.int32),
@@ -383,10 +417,10 @@ class DecodePool:
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
-        tokens, _, self.states = dec.decode_block_batch(
+        tokens, _, self.states = self._decode(
             self.params, self.text_table, self.codebook, self.states,
             jnp.asarray(windows), np.ones((self.B,), np.int32),
-            np.ones((self.B,), np.int32), self.dcfg, block=self.block)
+            np.ones((self.B,), np.int32))
         np.asarray(tokens)
         for i, s in enumerate(self.slots):
             s.pending_reset = True

@@ -241,6 +241,10 @@ class ServeConfig:
     spec_k_draft: int = 4
 
     pool_capacity: int = 0        # >0: continuous-batching pool slots
+    # >1: shard the pool's slot batch over a dp mesh of this many chips
+    # (one shard_map'd decode program across the slice; capacity must
+    # divide by it).  1 = single-device pool.
+    pool_mesh_dp: int = 1
     # Pool decode block (0 = use decode_block).  The pool's step loop is
     # round-trip-bound over a tunneled chip (~30 ms/step), so a larger
     # fixed block wins throughput: measured r3 (benchmarks/pool_profile),

@@ -99,3 +99,49 @@ def test_fused_first_chunks_beyond_synth_batch_all_get_audio():
     for out, audio in results:
         assert len(out) >= dump
         assert audio is not None and len(audio) == dump * hop * 4
+
+
+@pytest.mark.slow
+def test_mesh_sharded_pool_matches_single_device():
+    """DecodePool(mesh=...): slots shard over dp and every step runs one
+    shard_map'd program across the mesh; the streamed audio must be
+    byte-identical to the single-device pool (multi-chip pooled serving,
+    runnable on a real slice with the same constructor argument)."""
+    from llmvox_tpu.parallel import create_mesh
+
+    requests = [["Mesh pool request one."], ["And a second", "stream."]]
+
+    def run(mesh):
+        eng = make_engines(0, SERVE_CFG, n=1)[0]
+
+        async def go():
+            pool = DecodePool(eng.params, np.asarray(eng.text_table),
+                              eng.codec, capacity=4, dcfg=eng.dcfg,
+                              scfg=SERVE_CFG, cache_dtype=jnp.float32,
+                              param_dtype=jnp.float32, mesh=mesh)
+            pool.warmup()
+
+            async def one(deltas):
+                engines = [PooledEngine(pool, SERVE_CFG),
+                           PooledEngine(pool, SERVE_CFG)]
+                sched = StreamingScheduler(engines, SERVE_CFG)
+                stream = ScriptedStream(deltas,
+                                        eos_token=SERVE_CFG.eos_token)
+                out = []
+                async for c in sched.run(stream.predict({}), trace=None):
+                    out.append(c)
+                for e in engines:
+                    e.close()
+                return b"".join(out)
+
+            res = await asyncio.gather(*[one(d) for d in requests])
+            pool.stop()
+            return res
+
+        return asyncio.run(asyncio.wait_for(go(), timeout=600))
+
+    single = run(None)
+    sharded = run(create_mesh(dp_size=2, tp_size=1))
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(np.frombuffer(b, dtype="<f4"),
+                                      np.frombuffer(a, dtype="<f4"))

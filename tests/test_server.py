@@ -377,6 +377,9 @@ def test_serve_cli_pooled_smoke(tmp_path):
             "--scripted_reply", "A short scripted answer.",
             "--compute_dtype", "float32",
             "--pool_capacity", "4",
+            # dp=2 over the suite's virtual 8-CPU mesh: the CLI path that
+            # shards pooled serving across a real slice
+            "--pool_mesh_dp", "2",
             "--initial_dump_size_1", "4", "--initial_dump_size_2", "8",
             "--max_dump_size", "16", "--max_audio_length", "10",
             "--decode_block", "8", "--decode_block_large", "0",
