@@ -326,6 +326,9 @@ class LLMPool:
         if self._task is not None:
             self._task.cancel()
             self._task = None
+        # a restart (new event loop) must not resolve a stale in-flight
+        # record from the cancelled loop
+        self._inflight = None
 
     # -- warmup ---------------------------------------------------------
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:

@@ -476,6 +476,9 @@ class DecodePool:
         if self._synth_task is not None:
             self._synth_task.cancel()
             self._synth_task = None
+        # a restart (new event loop) must not resolve a stale in-flight
+        # record from the cancelled loop
+        self._inflight = None
 
 
 class PooledEngine:

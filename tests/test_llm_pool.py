@@ -472,3 +472,35 @@ def test_pooled_stream_model_through_scheduler(params):
     for blob in (wav_a, wav_b):
         wav = np.frombuffer(blob, dtype="<f4")
         assert len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_llm_pool_restart_after_stop_serves_new_loop(params):
+    """stop() must clear the pipelined in-flight record: a restart on a
+    NEW event loop would otherwise try to resolve futures bound to the
+    dead loop (llm_pool.py::stop)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=2, block=4, prefill_buckets=(8,))
+
+    async def first():
+        gen = pool.generate(PROMPTS[0], max_tokens=64)
+        await gen.__anext__()              # prefill resolved
+        for _ in range(500):               # wait for an in-flight record
+            if pool._inflight is not None:
+                break
+            await asyncio.sleep(0)
+        pool.stop()
+        await gen.aclose()
+
+    asyncio.run(asyncio.wait_for(first(), timeout=600))
+    assert pool._inflight is None          # the invariant under test
+
+    async def second():
+        out = []
+        async for toks in pool.generate(PROMPTS[1], max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = asyncio.run(asyncio.wait_for(second(), timeout=600))
+    assert got[:9] == _b1_greedy(params, PROMPTS[1], 9)

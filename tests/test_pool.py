@@ -101,6 +101,45 @@ def test_fused_first_chunks_beyond_synth_batch_all_get_audio():
         assert audio is not None and len(audio) == dump * hop * 4
 
 
+def test_pool_restart_after_stop_serves_new_loop():
+    """stop() must clear the pipelined in-flight record: a restart on a
+    NEW event loop would otherwise try to resolve futures bound to the
+    dead loop (pool.py::stop)."""
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    pool = DecodePool(eng.params, np.asarray(eng.text_table), eng.codec,
+                      capacity=2, dcfg=eng.dcfg, scfg=SERVE_CFG,
+                      cache_dtype=jnp.float32, param_dtype=jnp.float32)
+    window = np.full(pool.block, eng.dcfg.pad_token_id, np.int32)
+    window[0] = 7
+
+    async def first():
+        e = PooledEngine(pool, SERVE_CFG)
+        e.new_state()
+        e.decode_block_async(None, window, 1, pool.block)
+        # let the loop dispatch so the in-flight record is populated
+        for _ in range(500):
+            if pool._inflight is not None:
+                break
+            await asyncio.sleep(0)
+        pool.stop()
+        e.close()
+
+    asyncio.run(asyncio.wait_for(first(), timeout=300))
+    assert pool._inflight is None          # the invariant under test
+
+    async def second():
+        e = PooledEngine(pool, SERVE_CFG)  # start() on the new loop
+        e.new_state()
+        p, _ = e.decode_block_async(None, window, 1, pool.block)
+        out = await p.afetch()
+        pool.stop()
+        e.close()
+        return out
+
+    out = asyncio.run(asyncio.wait_for(second(), timeout=300))
+    assert len(out) >= 1
+
+
 @pytest.mark.slow
 def test_mesh_sharded_pool_matches_single_device():
     """DecodePool(mesh=...): slots shard over dp and every step runs one
