@@ -67,10 +67,11 @@ class LLMPool:
                  top_p: float = 1.0, dtype=None,
                  device: Optional[jax.Device] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
-                 seed: int = 0):
+                 seed: int = 0, pipeline_depth: int = 2):
         self.cfg = cfg
         self.B = capacity
         self.block = block
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
@@ -261,27 +262,60 @@ class LLMPool:
                 if not fut.done():
                     fut.set_result([int(t) for t in toks_h[i]])
 
+    async def _resolve_task(self, inflight) -> None:
+        """Per-iteration fetch task: a failed fetch must fail its own
+        iteration's futures (popped from the queues at dispatch, so the
+        crash handler can no longer see them)."""
+        try:
+            await self._resolve(inflight)
+        except BaseException as exc:
+            cancelled = isinstance(exc, asyncio.CancelledError)
+            prefill_out, blocks, _ = inflight
+
+            def _fail(fut):
+                if not fut.done():
+                    # pool teardown: cancel, don't park an exception on
+                    # futures nobody will await
+                    if cancelled:
+                        fut.cancel()
+                    else:
+                        fut.set_exception(exc)
+
+            for _, part in prefill_out:
+                for r in part:
+                    _fail(r.future)
+            for _, fut in blocks:
+                _fail(fut)
+            raise
+
     async def _step_loop(self) -> None:
-        """Pipelined like serve/pool.py::_step_loop: dispatch iteration
-        N+1 (chained on the on-device state — the per-slot last token
-        lives in LlamaPoolState.tok, so no host value is needed) BEFORE
-        fetching iteration N, so each iteration costs max(device time,
-        fetch round trip) instead of their sum.  generate() issues ahead
-        one block, keeping queues non-empty at dispatch time."""
-        self._inflight = None
+        """Pipelined like serve/pool.py::_step_loop, to
+        ``pipeline_depth`` in-flight iterations: each dispatch (chained
+        on the on-device state — the per-slot last token lives in
+        LlamaPoolState.tok, so no host value is needed) starts its own
+        concurrent fetch task, and the loop blocks only on the OLDEST.
+        Fetch round trips overlap on the transport
+        (benchmarks/fetch_probe.py), so depth>=2 makes the loop
+        decode-bound instead of RTT-bound.  generate() issues ahead one
+        block (two outstanding per slot) — what depth 2 needs."""
+        self._inflight = deque()   # (record, fetch task), oldest first
         while True:
-            nxt = self._dispatch()
-            if self._inflight is not None:
-                await self._resolve(self._inflight)
+            while len(self._inflight) < self.pipeline_depth:
+                nxt = self._dispatch()
+                if nxt is None:
+                    break
+                self._inflight.append(
+                    (nxt, asyncio.create_task(self._resolve_task(nxt))))
+            if self._inflight:
+                _, task = self._inflight.popleft()
+                await task
                 # let consumers enqueue follow-ups / new arrivals join
                 await asyncio.sleep(0)
-            self._inflight = nxt
-            if self._inflight is None:
-                if (not self._prefills
-                        and not any(s.active and s.queue
-                                    for s in self.slots)):
-                    await self._wake.wait()
-                    self._wake.clear()
+            elif (not self._prefills
+                    and not any(s.active and s.queue
+                                for s in self.slots)):
+                await self._wake.wait()
+                self._wake.clear()
 
     def start(self) -> None:
         if self._task is None:
@@ -297,18 +331,10 @@ class LLMPool:
                     print("LLMPool step loop crashed:",
                           "".join(traceback.format_exception(exc)),
                           flush=True)
-                    # in-flight record (popped at dispatch) first
-                    inflight = getattr(self, "_inflight", None)
-                    if inflight is not None:
-                        prefill_out, blocks, _ = inflight
-                        for _, part in prefill_out:
-                            for r in part:
-                                if not r.future.done():
-                                    r.future.set_exception(exc)
-                        for _, fut in blocks:
-                            if not fut.done():
-                                fut.set_exception(exc)
-                        self._inflight = None
+                    # In-flight iterations need no help: their fetch
+                    # tasks run independently and _resolve_task fails
+                    # its own iteration's futures on a fetch error.
+                    self._inflight = None
                     for s in self.slots:
                         while s.queue:
                             fut = s.queue.popleft()
@@ -326,8 +352,19 @@ class LLMPool:
         if self._task is not None:
             self._task.cancel()
             self._task = None
-        # a restart (new event loop) must not resolve a stale in-flight
-        # record from the cancelled loop
+        # a restart (new event loop) must not resolve stale in-flight
+        # records from the cancelled loop
+        if self._inflight:
+            for rec, task in self._inflight:
+                task.cancel()
+                prefill_out, blocks, _ = rec
+                for _, part in prefill_out:
+                    for r in part:
+                        if not r.future.done():
+                            r.future.cancel()
+                for _, fut in blocks:
+                    if not fut.done():
+                        fut.cancel()
         self._inflight = None
 
     # -- warmup ---------------------------------------------------------

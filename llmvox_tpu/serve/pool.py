@@ -153,7 +153,11 @@ class DecodePool:
                 done=NamedSharding(mesh, P(DP_AXIS)))
             self.states = jax.device_put(self.states, sh)
             self._decode = make_sharded_decode(self.dcfg, self.block, mesh)
-        # one fixed vocoder bucket for fused first chunks (dump <= block)
+        # fused first chunks vocode at the bucket of the step's largest
+        # fused DUMP, not the decode block: dumps are the dump-ladder's
+        # small first rungs (10 tokens -> bucket 16), and a block-sized
+        # bucket (64 -> 96) was measured to add ~25-35 ms of vocoder
+        # time to every sentence's first chunk.  Cap for warmup.
         self._fuse_bucket = codec.bucket_for(min(self.block,
                                                  max(codec.buckets)))
         self.slots = [_Slot() for _ in range(self.B)]
@@ -258,8 +262,12 @@ class DecodePool:
                 for j, (i, req) in enumerate(part):
                     fidx[j] = i
                     flens[j] = req.fused_dump
-                rows = _gather_rows(tokens, jnp.asarray(fidx),
-                                    self._fuse_bucket)
+                # bucket by the group's largest dump, not the block (see
+                # _fuse_bucket note); dumps can't exceed the block
+                fb = self.codec.bucket_for(
+                    min(max(req.fused_dump for _, req in part),
+                        self._fuse_bucket))
+                rows = _gather_rows(tokens, jnp.asarray(fidx), fb)
                 wavs.append(self.codec.decode_codes_device(rows, flens))
                 self.synth_calls += 1
         except BaseException as exc:
@@ -299,31 +307,58 @@ class DecodePool:
             else:
                 req.future.set_result(out)
 
+    async def _resolve_task(self, inflight: Tuple) -> None:
+        """Per-step fetch task: a failed fetch must fail its own step's
+        futures (they were popped from the queues at dispatch, so the
+        crash handler can no longer see them)."""
+        try:
+            await self._resolve_step(inflight)
+        except BaseException as exc:
+            cancelled = isinstance(exc, asyncio.CancelledError)
+            for _, req in inflight[0]:
+                if not req.future.done():
+                    # pool teardown: cancel, don't park an exception on
+                    # futures nobody will await
+                    if cancelled:
+                        req.future.cancel()
+                    else:
+                        req.future.set_exception(exc)
+            raise
+
     async def _step_loop(self) -> None:
-        """Pipelined: dispatch step N+1 (chained on the on-device state)
-        BEFORE fetching step N's results, so each iteration costs
-        max(decode time, fetch round trip) instead of their sum.  The
-        profile that motivated this (benchmarks/pool_profile.py, r3)
-        showed 60 pool steps x ~47 ms/iteration at BOTH 4-way and 8-way —
-        the wall was the serial dispatch->fetch->dispatch cycle paying a
-        full tunnel RTT per step, not device saturation (which is why
-        4-way and 8-way had identical wall clocks).  Consumers issue
-        ahead by one block (scheduler + PooledEngine), so at steady state
-        the next block request is already queued when step N dispatches.
+        """Pipelined to ``pool_pipeline_depth`` in-flight steps: each
+        dispatched step (chained on the on-device state) starts its own
+        concurrent fetch task immediately, and the loop blocks only on
+        the OLDEST one.  Fetch round trips overlap on the transport
+        (benchmarks/fetch_probe.py: serial fetches pay ~29 ms RTT each,
+        concurrent fetches of chained steps cost ~device time), so at
+        depth>=2 the loop is decode-bound instead of RTT-bound —
+        measured 20.5 -> 14.5 ms/step at block 32, 25 -> 19.6 at
+        block 64 (B=16).  The r3 depth-1 history: the serial
+        dispatch->fetch cycle cost a full RTT per step, giving 4-way and
+        8-way IDENTICAL wall clocks (benchmarks/pool_profile.py).
+        Consumers issue ahead one block (scheduler + PooledEngine), so
+        two requests per slot are outstanding at steady state — exactly
+        what depth 2 needs.
         """
-        self._inflight = None
+        self._inflight = deque()   # (record, fetch task), oldest first
+        depth = max(1, int(getattr(self.scfg, "pool_pipeline_depth", 1)))
         while True:
-            nxt = self._dispatch_step()
-            if self._inflight is not None:
-                await self._resolve_step(self._inflight)
+            while len(self._inflight) < depth:
+                nxt = self._dispatch_step()
+                if nxt is None:
+                    break
+                self._inflight.append(
+                    (nxt, asyncio.create_task(self._resolve_task(nxt))))
+            if self._inflight:
+                _, task = self._inflight.popleft()
+                await task
                 # yield so consumers see results and enqueue follow-ups
                 # before the next gather
                 await asyncio.sleep(0)
-            self._inflight = nxt
-            if self._inflight is None:
-                if not any(s.active and s.queue for s in self.slots):
-                    await self._wake.wait()
-                    self._wake.clear()
+            elif not any(s.active and s.queue for s in self.slots):
+                await self._wake.wait()
+                self._wake.clear()
 
     # -- batched synthesis ------------------------------------------------
     # Concurrent requests' chunks are grouped per bucket and vocoded in ONE
@@ -406,11 +441,14 @@ class DecodePool:
                 jnp.asarray(windows), np.ones((self.B,), np.int32),
                 np.ones((self.B,), np.int32))
             np.asarray(tokens)
-        # fused first-chunk path: gather + chained ragged vocode
-        rows = _gather_rows(tokens, jnp.zeros((self.SYNTH_BATCH,), jnp.int32),
-                            self._fuse_bucket)
-        np.asarray(self.codec.decode_codes_device(
-            rows, np.ones((self.SYNTH_BATCH,), np.int32)))
+        # fused first-chunk path: gather + chained ragged vocode, one
+        # program per dump bucket <= the block-capped cap (traffic picks
+        # the bucket of each step's largest fused dump)
+        for fb in [b for b in self.codec.buckets if b <= self._fuse_bucket]:
+            rows = _gather_rows(tokens,
+                                jnp.zeros((self.SYNTH_BATCH,), jnp.int32), fb)
+            np.asarray(self.codec.decode_codes_device(
+                rows, np.ones((self.SYNTH_BATCH,), np.int32)))
         # cover the full traffic cycle step -> masked reset -> step: the
         # reset program and the step-after-reset can each see a new input
         # layout, i.e. a new executable
@@ -452,14 +490,11 @@ class DecodePool:
                     print("DecodePool step loop crashed:",
                           "".join(traceback.format_exception(exc)),
                           flush=True)
-                    # fail all waiters so streams error instead of hanging
-                    # (including the popped-at-dispatch in-flight heads)
-                    inflight = getattr(self, "_inflight", None)
-                    if inflight is not None:
-                        for _, req in inflight[0]:
-                            if not req.future.done():
-                                req.future.set_exception(exc)
-                        self._inflight = None
+                    # fail all queued waiters so streams error instead of
+                    # hanging.  In-flight steps need no help: their fetch
+                    # tasks run independently and _resolve_task fails its
+                    # own step's futures on a fetch error.
+                    self._inflight = None
                     for s in self.slots:
                         while s.queue:
                             req = s.queue.popleft()
@@ -476,8 +511,14 @@ class DecodePool:
         if self._synth_task is not None:
             self._synth_task.cancel()
             self._synth_task = None
-        # a restart (new event loop) must not resolve a stale in-flight
-        # record from the cancelled loop
+        # a restart (new event loop) must not resolve stale in-flight
+        # records from the cancelled loop
+        if self._inflight:
+            for rec, task in self._inflight:
+                task.cancel()
+                for _, req in rec[0]:
+                    if not req.future.done():
+                        req.future.cancel()
         self._inflight = None
 
 

@@ -253,6 +253,16 @@ class ServeConfig:
     # on device; the dedicated path keeps its own 32/16/128 ladder.
     pool_decode_block: int = 64
                                   # (2 per request); 0: dedicated replicas
+    # In-flight pool steps (serve/pool.py::_step_loop).  Fetch round
+    # trips overlap on the transport (benchmarks/fetch_probe.py: serial
+    # fetches pay ~29 ms RTT each, concurrent fetches of chained steps
+    # cost ~device time), so keeping K steps in flight with concurrent
+    # fetch tasks makes the loop decode-bound instead of RTT-bound:
+    # measured ms/step at B=16: block 32: 20.5 (depth 1) -> 14.5
+    # (depth 2); block 64: 25.0 -> 19.6.  Consumers issue ahead one
+    # block (2 outstanding per slot), so depth 2 is fillable at steady
+    # state; >2 only helps when slots are staggered.
+    pool_pipeline_depth: int = 2
 
     def dump_size_ladder(self, initial: int) -> List[int]:
         """The ×3-growth chunk schedule (streaming_server.py:373-376)."""

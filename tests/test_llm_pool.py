@@ -486,7 +486,7 @@ def test_llm_pool_restart_after_stop_serves_new_loop(params):
         gen = pool.generate(PROMPTS[0], max_tokens=64)
         await gen.__anext__()              # prefill resolved
         for _ in range(500):               # wait for an in-flight record
-            if pool._inflight is not None:
+            if pool._inflight:
                 break
             await asyncio.sleep(0)
         pool.stop()

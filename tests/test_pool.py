@@ -118,7 +118,7 @@ def test_pool_restart_after_stop_serves_new_loop():
         e.decode_block_async(None, window, 1, pool.block)
         # let the loop dispatch so the in-flight record is populated
         for _ in range(500):
-            if pool._inflight is not None:
+            if pool._inflight:
                 break
             await asyncio.sleep(0)
         pool.stop()
