@@ -37,6 +37,10 @@ def timed(fn, reps=5):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override pool_pipeline_depth")
+    ap.add_argument("--no_merge", action="store_true",
+                    help="disable pool_merge_blocks")
     ap.add_argument("--skip_micro", action="store_true",
                     help="skip the per-program microbench sweep")
     cli = ap.parse_args()
@@ -66,6 +70,10 @@ def main() -> None:
         pool_decode_block=cli.block,
         chunk_buckets=(16, 32, 96, 160, 288, 480, 512, 896, 1280),
     )
+    if cli.depth is not None:
+        scfg = dataclasses.replace(scfg, pool_pipeline_depth=cli.depth)
+    if cli.no_merge:
+        scfg = dataclasses.replace(scfg, pool_merge_blocks=False)
     dev = jax.devices()[0]
     key = jax.random.PRNGKey(0)
     params = dec.init_decoder_params(key, dcfg)

@@ -119,11 +119,27 @@ class DecodePool:
         self.device = device
         self.mesh = mesh
 
+        # Block merging (the latency/throughput frontier fix, r3):
+        # consumers submit ``block``-token requests — a sentence's first
+        # chunk only waits one small scan — and the pool fuses each
+        # slot's two queued requests into ONE ``2*block``-wide step
+        # whenever demand allows, amortizing the ~9 ms fixed step cost
+        # (benchmarks/fetch_probe.py: device ms/step = 8.7 + 0.21/token)
+        # without giving up the small-block first-chunk latency.
+        self.merge = bool(getattr(self.scfg, "pool_merge_blocks", False))
+        self.big_block = 2 * self.block if self.merge else self.block
+        depth = max(1, int(getattr(self.scfg, "pool_pipeline_depth", 1)))
+        # outstanding requests each consumer should keep in flight so
+        # every in-flight step can take a merged pair from its slot
+        self.issue_ahead = depth * (2 if self.merge else 1)
         self.states = dec.init_decode_state_batch(self.dcfg, self.B,
                                                   cache_dtype)
+        self._widths = ((self.block, self.big_block) if self.merge
+                       else (self.block,))
         if mesh is None:
-            self._decode = partial(dec.decode_block_batch, cfg=self.dcfg,
-                                   block=self.block)
+            self._decode_w = {w: partial(dec.decode_block_batch,
+                                         cfg=self.dcfg, block=w)
+                              for w in self._widths}
         else:
             # Multi-chip pooled serving: the slot batch shards over the
             # mesh's dp axis and every pool step runs ONE shard_map'd
@@ -152,7 +168,8 @@ class DecodePool:
                 prev_token=NamedSharding(mesh, P(DP_AXIS)),
                 done=NamedSharding(mesh, P(DP_AXIS)))
             self.states = jax.device_put(self.states, sh)
-            self._decode = make_sharded_decode(self.dcfg, self.block, mesh)
+            self._decode_w = {w: make_sharded_decode(self.dcfg, w, mesh)
+                              for w in self._widths}
         # fused first chunks vocode at the bucket of the step's largest
         # fused DUMP, not the decode block: dumps are the dump-ladder's
         # small first rungs (10 tokens -> bucket 16), and a block-sized
@@ -165,6 +182,7 @@ class DecodePool:
         self._wake: Optional[asyncio.Event] = None
         self._inflight = None
         self.steps = 0
+        self.merged_steps = 0
         self._synth_q: Deque = deque()
         self._synth_task: Optional[asyncio.Task] = None
         self._synth_wake: Optional[asyncio.Event] = None
@@ -221,28 +239,59 @@ class DecodePool:
             self.slots[i].pending_reset = False
 
     def _dispatch_step(self) -> Optional[Tuple]:
-        """Gather every non-empty slot queue's head and dispatch ONE
-        batched decode (plus chained fused vocodes) — no host fetch.
-        Returns the in-flight record, or None when no work is queued.
-        Popping the heads HERE (at dispatch, not at resolve) lets the
-        next dispatch see each slot's issue-ahead request."""
+        """Gather every non-empty slot queue's head — plus, when merging
+        is on and a slot has a second full-limit request queued, that
+        request too — and dispatch ONE batched decode (plus chained
+        fused vocodes) — no host fetch.  Returns the in-flight record,
+        or None when no work is queued.  Popping the requests HERE (at
+        dispatch, not at resolve) lets the next dispatch see each slot's
+        issue-ahead requests.
+
+        Merge correctness: a pair (r1, r2) runs as one ``2*block`` scan
+        with window = r1.window ++ r2.window, limit = r1.limit +
+        r2.limit, text_len = r2.text_len.  This is exact iff r1.limit ==
+        block: active steps are a prefix, so steps 0..block-1 consume
+        r1's window at r1's positions and the rest consume r2's (whose
+        window was built for position issued+block).  r1.text_len <=
+        r2.text_len can differ only while r1's sentence is still
+        streaming, in which case r1.limit == block guarantees
+        pos < r1.text_len throughout r1's steps — the text_len clamp
+        never fires there, so r2's value is safe for the whole row.
+        EOA inside r1 freezes the row (done is sticky), exactly like
+        two sequential steps.  Fused (sentence-first) requests never
+        merge: their first chunk should not wait on a double scan."""
         pad = self.dcfg.pad_token_id
         self._apply_resets()
-        heads: List[Tuple[int, _Request]] = []
+        picks: List[Tuple[int, List[_Request]]] = []
         for i, s in enumerate(self.slots):
             if s.active and s.queue:
-                heads.append((i, s.queue.popleft()))
-        if not heads:
+                rs = [s.queue.popleft()]
+                if (self.merge and s.queue
+                        and rs[0].limit == self.block
+                        and rs[0].fused_dump == 0
+                        and s.queue[0].fused_dump == 0):
+                    rs.append(s.queue.popleft())
+                picks.append((i, rs))
+        if not picks:
             return None
+        merged = any(len(rs) == 2 for _, rs in picks)
+        width = self.big_block if merged else self.block
+        self.merged_steps += int(merged)
+        # heads: (slot, request, token-row offset of this request)
+        heads: List[Tuple[int, _Request, int]] = []
         try:
-            windows = np.full((self.B, self.block), pad, np.int32)
+            windows = np.full((self.B, width), pad, np.int32)
             text_lens = np.zeros((self.B,), np.int32)
             limits = np.zeros((self.B,), np.int32)
-            for i, req in heads:
-                windows[i] = req.window
-                text_lens[i] = req.text_len
-                limits[i] = req.limit
-            tokens, _, self.states = self._decode(
+            for i, rs in picks:
+                off = 0
+                for req in rs:
+                    windows[i, off: off + self.block] = req.window
+                    text_lens[i] = req.text_len
+                    limits[i] += req.limit
+                    heads.append((i, req, off))
+                    off += self.block
+            tokens, _, self.states = self._decode_w[width](
                 self.params, self.text_table, self.codebook, self.states,
                 jnp.asarray(windows), jnp.asarray(text_lens),
                 jnp.asarray(limits))
@@ -253,7 +302,10 @@ class DecodePool:
             # SYNTH_BATCH fused slots in one step (a >16-slot pool's
             # simultaneous sentence starts) chunk into extra vocode calls
             # rather than silently losing the fused path.
-            fused = [(i, req) for i, req in heads if req.fused_dump > 0]
+            # fused requests never merge, so their tokens sit at row
+            # offset 0 — exactly what _gather_rows reads
+            fused = [(i, req) for i, req, off in heads
+                     if req.fused_dump > 0]
             wavs = []
             for c0 in range(0, len(fused), self.SYNTH_BATCH):
                 part = fused[c0: c0 + self.SYNTH_BATCH]
@@ -271,9 +323,9 @@ class DecodePool:
                 wavs.append(self.codec.decode_codes_device(rows, flens))
                 self.synth_calls += 1
         except BaseException as exc:
-            # heads were popped at dispatch: fail them now or their
-            # waiters hang (the crash handler only sees queues+inflight)
-            for _, req in heads:
+            # requests were popped at dispatch: fail them now or their
+            # waiters hang (the crash handler only sees the queues)
+            for _, req, _ in heads:
                 if not req.future.done():
                     req.future.set_exception(exc)
             raise
@@ -291,10 +343,10 @@ class DecodePool:
         fused_slots = {i: (j, req.fused_dump)
                        for j, (i, req) in enumerate(fused)}
         hop = self.codec.cfg.hop_length
-        for i, req in heads:
+        for i, req, off in heads:
             if req.future.done():
                 continue
-            out = [int(t) for t in toks[i] if t >= 0]
+            out = [int(t) for t in toks[i][off: off + self.block] if t >= 0]
             if req.fused_dump > 0:
                 audio = None
                 if i in fused_slots and len(out) >= req.fused_dump:
@@ -315,7 +367,7 @@ class DecodePool:
             await self._resolve_step(inflight)
         except BaseException as exc:
             cancelled = isinstance(exc, asyncio.CancelledError)
-            for _, req in inflight[0]:
+            for _, req, _ in inflight[0]:
                 if not req.future.done():
                     # pool teardown: cancel, don't park an exception on
                     # futures nobody will await
@@ -428,19 +480,24 @@ class DecodePool:
         synth program before traffic (compiles are the only source of
         multi-second latency; everything after is steady-state)."""
         pad = self.dcfg.pad_token_id
-        windows = np.full((self.B, self.block), pad, np.int32)
-        # Run the step TWICE: the first call takes the constructor-made
-        # states (default layouts) and returns jit-output states whose TPU
-        # layouts can differ, so the steady-state program — the one every
-        # traffic step runs — is a SECOND executable.  Without the second
-        # call the first wave pays its compile/cache-load (measured
-        # +1.4 s on the first concurrent wave's first chunk).
+        # Run each width's step TWICE: the first call takes the
+        # constructor-made states (default layouts) and returns
+        # jit-output states whose TPU layouts can differ, so the
+        # steady-state program — the one every traffic step runs — is a
+        # SECOND executable.  Without the second call the first wave
+        # pays its compile/cache-load (measured +1.4 s on the first
+        # concurrent wave's first chunk).  With merging on, traffic
+        # interleaves widths on the same chained state, so both widths
+        # warm in the chain.
         for _ in range(2):
-            tokens, _, self.states = self._decode(
-                self.params, self.text_table, self.codebook, self.states,
-                jnp.asarray(windows), np.ones((self.B,), np.int32),
-                np.ones((self.B,), np.int32))
-            np.asarray(tokens)
+            for w in self._widths:
+                windows = np.full((self.B, w), pad, np.int32)
+                tokens, _, self.states = self._decode_w[w](
+                    self.params, self.text_table, self.codebook,
+                    self.states, jnp.asarray(windows),
+                    np.ones((self.B,), np.int32),
+                    np.ones((self.B,), np.int32))
+                np.asarray(tokens)
         # fused first-chunk path: gather + chained ragged vocode, one
         # program per dump bucket <= the block-capped cap (traffic picks
         # the bucket of each step's largest fused dump)
@@ -455,11 +512,13 @@ class DecodePool:
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
-        tokens, _, self.states = self._decode(
-            self.params, self.text_table, self.codebook, self.states,
-            jnp.asarray(windows), np.ones((self.B,), np.int32),
-            np.ones((self.B,), np.int32))
-        np.asarray(tokens)
+        for w in self._widths:
+            windows = np.full((self.B, w), pad, np.int32)
+            tokens, _, self.states = self._decode_w[w](
+                self.params, self.text_table, self.codebook, self.states,
+                jnp.asarray(windows), np.ones((self.B,), np.int32),
+                np.ones((self.B,), np.int32))
+            np.asarray(tokens)
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
@@ -516,7 +575,7 @@ class DecodePool:
         if self._inflight:
             for rec, task in self._inflight:
                 task.cancel()
-                for _, req in rec[0]:
+                for _, req, _ in rec[0]:
                     if not req.future.done():
                         req.future.cancel()
         self._inflight = None
@@ -553,6 +612,10 @@ class PooledEngine:
         self.scfg = scfg or pool.scfg
         self.codec = pool.codec
         self.block = pool.block
+        # deep enough that every in-flight pool step can take a merged
+        # pair from this slot (scheduler reads this to size its
+        # issue-ahead pipeline)
+        self.issue_ahead = pool.issue_ahead
         self.slot = pool.acquire()
         pool.start()
 

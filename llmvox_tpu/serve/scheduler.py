@@ -29,8 +29,9 @@ eos token still terminates the request.
 from __future__ import annotations
 
 import asyncio
+from collections import deque
 from dataclasses import dataclass, field
-from typing import AsyncIterator, List, Optional
+from typing import AsyncIterator, Deque, List, Optional
 
 import numpy as np
 
@@ -202,11 +203,17 @@ class StreamingScheduler:
             await synth_q.put(list(codes))
 
         issued = 0          # absolute decode position dispatched so far
-        pending = None      # in-flight PendingTokens (issue-ahead by one)
+        # In-flight PendingTokens, oldest first.  Dedicated engines
+        # pipeline one block ahead (2 outstanding); pooled engines
+        # request enough outstanding blocks that every in-flight pool
+        # step can take a merged pair from their slot
+        # (PooledEngine.issue_ahead = pipeline_depth * merge factor).
+        ahead = max(1, int(getattr(engine, "issue_ahead", 1)))
+        pending: Deque = deque()
 
         async def end_sentence(flush_buffer: bool) -> bool:
             """Terminate the current sentence; True => whole request ended."""
-            nonlocal st, dec_state, issued, pending
+            nonlocal st, dec_state, issued
             if flush_buffer and st.buffer:
                 await synthesize(st.buffer)
             ended = st.end_generation
@@ -218,7 +225,7 @@ class StreamingScheduler:
                 st = _SentenceState()
                 dec_state = engine.new_state()
                 issued = 0
-                pending = None
+                pending.clear()
                 grow_dump()
             return ended
 
@@ -252,124 +259,124 @@ class StreamingScheduler:
                             st.text_ids.append(dcfg.text_eos_id)
 
                 # -- generate as far as pacing allows ---------------------
-                # Issue-ahead pipeline: dispatch block i+1 on the chained
-                # device state before fetching block i's tokens.  ``issued``
-                # tracks the optimistic decode position of dispatched
-                # blocks; it only diverges from the fetched position when
-                # EOA fires, at which point the speculative block generates
-                # nothing (device-side ``done``) and is discarded.
+                # Issue-ahead pipeline: keep up to 1+ahead blocks
+                # dispatched on the chained device state before fetching
+                # the oldest one's tokens.  ``issued`` tracks the
+                # optimistic decode position of dispatched blocks; it
+                # only diverges from the fetched position when EOA
+                # fires, at which point the speculative blocks generate
+                # nothing (device-side ``done``) and are discarded.
                 while True:
-                    nxt = None
-                    # Adaptive block growth: after the sentence has
-                    # generated past the small first dumps, decode in
-                    # larger blocks — same device throughput, ~4x fewer
-                    # host round-trips (the dominant cost over a remote
-                    # chip); EOA detection coarsens by <= big_block
-                    # tokens, well under max_dump_size of buffered audio.
-                    cur = block
-                    if (big_block > block
-                            and st.n_generated >= cfg.decode_block_switch):
-                        cur = big_block
-                    elif (first_block and issued == 0
-                          and st.n_generated == 0
-                          and dump_size <= first_block):
-                        # sentence's first device call: a short block — the
-                        # first chunk needs only dump_size tokens, so the
-                        # extra decode_block-dump steps would just delay it
-                        cur = first_block
-                    if issued + cur > dcfg.block_size:
-                        # KV-cache capacity guard (the reference would
-                        # assert at 8192, src/model.py:205); close out like
-                        # the length cap once the pipeline drains.
-                        if pending is None:
-                            if await end_sentence(flush_buffer=True):
-                                return
-                            terminated = True
+                    # -- fill the dispatch pipeline ----------------------
+                    capped = False
+                    while len(pending) < 1 + ahead:
+                        # Adaptive block growth: after the sentence has
+                        # generated past the small first dumps, decode in
+                        # larger blocks — same device throughput, ~4x fewer
+                        # host round-trips (the dominant cost over a remote
+                        # chip); EOA detection coarsens by <= big_block
+                        # tokens, well under max_dump_size of buffered
+                        # audio.
+                        cur = block
+                        if (big_block > block
+                                and st.n_generated >= cfg.decode_block_switch):
+                            cur = big_block
+                        elif (first_block and issued == 0
+                              and st.n_generated == 0
+                              and dump_size <= first_block):
+                            # sentence's first device call: a short block —
+                            # the first chunk needs only dump_size tokens,
+                            # so the extra decode_block-dump steps would
+                            # just delay it
+                            cur = first_block
+                        if issued + cur > dcfg.block_size:
+                            # KV-cache capacity guard (the reference would
+                            # assert at 8192, src/model.py:205); close out
+                            # like the length cap once the pipeline drains.
+                            capped = True
                             break
-                    else:
                         if st.sentence_done:
                             limit = cur
                         else:
                             limit = min(cur, len(st.text_ids) - issued)
-                        if limit > 0:
-                            window = np.full(cur, dcfg.pad_token_id,
-                                             np.int32)
-                            avail = st.text_ids[issued:issued + cur]
-                            window[:len(avail)] = avail
-                            if (can_fuse and issued == 0
-                                    and st.n_generated == 0
-                                    and dump_size <= limit
-                                    and cur in (block, first_block)):
-                                # sentence's first block: synthesize its
-                                # first dump-size chunk in the same device
-                                # call — one round trip to first audio
-                                nxt, dec_state = (
-                                    engine.decode_block_fused_async(
-                                        dec_state, window,
-                                        len(st.text_ids), limit,
-                                        dump_size, block=cur))
-                            else:
-                                nxt, dec_state = engine.decode_block_async(
-                                    dec_state, window, len(st.text_ids),
-                                    limit, block=cur)
-                            issued += limit
+                        if limit <= 0:
+                            break  # starved for text
+                        window = np.full(cur, dcfg.pad_token_id, np.int32)
+                        avail = st.text_ids[issued:issued + cur]
+                        window[:len(avail)] = avail
+                        if (can_fuse and issued == 0
+                                and st.n_generated == 0
+                                and dump_size <= limit
+                                and cur in (block, first_block)):
+                            # sentence's first block: synthesize its
+                            # first dump-size chunk in the same device
+                            # call — one round trip to first audio
+                            nxt, dec_state = (
+                                engine.decode_block_fused_async(
+                                    dec_state, window,
+                                    len(st.text_ids), limit,
+                                    dump_size, block=cur))
+                        else:
+                            nxt, dec_state = engine.decode_block_async(
+                                dec_state, window, len(st.text_ids),
+                                limit, block=cur)
+                        pending.append(nxt)
+                        issued += limit
 
-                    if pending is None and nxt is None:
+                    if not pending:
+                        if capped:
+                            if await end_sentence(flush_buffer=True):
+                                return
+                            terminated = True
                         break  # starved for text (or at capacity)
 
-                    if pending is not None:
-                        with trace.span(f"decode_r{index}"):
-                            got = await pending.afetch()
-                        if isinstance(got, tuple):   # fused: (tokens, audio)
-                            tokens, st.fused_audio = got
-                            st.fused_dump = dump_size
-                        else:
-                            tokens = got
-                        pending = None
-                        st.n_generated += len(tokens)
+                    with trace.span(f"decode_r{index}"):
+                        got = await pending.popleft().afetch()
+                    if isinstance(got, tuple):   # fused: (tokens, audio)
+                        tokens, st.fused_audio = got
+                        st.fused_dump = dump_size
+                    else:
+                        tokens = got
+                    st.n_generated += len(tokens)
 
-                        # Per-token bookkeeping, exactly the reference's
-                        # inner-loop order (streaming_server.py:347-422).
-                        for tok in tokens:
-                            st.buffer.append(tok)
-                            if len(st.buffer) >= dump_size:
-                                chunk, st.buffer = (st.buffer[:dump_size],
-                                                    st.buffer[dump_size:])
-                                if (st.fused_audio is not None
-                                        and not st.first_dump_done
-                                        and len(chunk) == st.fused_dump):
-                                    # chunk == the sentence's first
-                                    # fused_dump tokens, already vocoded
-                                    # on-device with the decode block
-                                    await synth_q.put(st.fused_audio)
-                                else:
-                                    await synthesize(chunk)
-                                st.first_dump_done = True
-                                st.fused_audio = None
-                                grow_dump()
-                            elif dcfg.eoa_token_id in st.buffer:
-                                chunk, st.buffer = st.buffer, []
+                    # Per-token bookkeeping, exactly the reference's
+                    # inner-loop order (streaming_server.py:347-422).
+                    for tok in tokens:
+                        st.buffer.append(tok)
+                        if len(st.buffer) >= dump_size:
+                            chunk, st.buffer = (st.buffer[:dump_size],
+                                                st.buffer[dump_size:])
+                            if (st.fused_audio is not None
+                                    and not st.first_dump_done
+                                    and len(chunk) == st.fused_dump):
+                                # chunk == the sentence's first
+                                # fused_dump tokens, already vocoded
+                                # on-device with the decode block
+                                await synth_q.put(st.fused_audio)
+                            else:
                                 await synthesize(chunk)
-                                grow_dump()
-                            if (tok == dcfg.eoa_token_id
-                                    or len(st.buffer) > cfg.max_audio_length):
-                                # reference discards the residual buffer at
-                                # sentence reset (streaming_server.py:414)
-                                if await end_sentence(flush_buffer=False):
-                                    return
-                                terminated = True
-                                break
-                        if terminated:
+                            st.first_dump_done = True
+                            st.fused_audio = None
+                            grow_dump()
+                        elif dcfg.eoa_token_id in st.buffer:
+                            chunk, st.buffer = st.buffer, []
+                            await synthesize(chunk)
+                            grow_dump()
+                        if (tok == dcfg.eoa_token_id
+                                or len(st.buffer) > cfg.max_audio_length):
+                            # reference discards the residual buffer at
+                            # sentence reset (streaming_server.py:414)
+                            if await end_sentence(flush_buffer=False):
+                                return
+                            terminated = True
                             break
-
-                    pending = nxt
-                    if not st.sentence_done and pending is None:
-                        break  # consumed all available text; await more
+                    if terminated:
+                        break
 
                 if terminated:
                     continue
 
-                if st.sentence_done and pending is None:
+                if st.sentence_done and not pending:
                     # Defensive: generation stalled without EOA termination
                     # (unreachable in normal operation).  Close out so the
                     # request can never deadlock.

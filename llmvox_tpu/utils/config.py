@@ -245,14 +245,21 @@ class ServeConfig:
     # (one shard_map'd decode program across the slice; capacity must
     # divide by it).  1 = single-device pool.
     pool_mesh_dp: int = 1
-    # Pool decode block (0 = use decode_block).  The pool's step loop is
-    # round-trip-bound over a tunneled chip (~30 ms/step), so a larger
-    # fixed block wins throughput: measured r3 (benchmarks/pool_profile),
-    # block 32 -> 25-27x 4-way agg RTF @ ~78 ms first chunk; block 64 ->
-    # 44-46x @ ~97 ms (8-way: 52x -> 84x).  EOA overshoot stays masked
-    # on device; the dedicated path keeps its own 32/16/128 ladder.
-    pool_decode_block: int = 64
+    # Pool decode block (0 = use decode_block): the REQUEST granularity —
+    # a sentence's first chunk waits one scan of this size.  With
+    # ``pool_merge_blocks`` the pool fuses two queued requests per slot
+    # into one 2x-wide step at steady state, so throughput matches the
+    # big block while first chunks keep the small one: measured r3
+    # (benchmarks/pool_profile, depth-2 pipeline), fixed 32 -> 33x 4-way
+    # agg RTF @ ~68 ms first chunk; fixed 64 -> 50x @ ~90 ms; merged
+    # 32/64 targets 50x @ ~70 ms.  EOA overshoot stays masked on device;
+    # the dedicated path keeps its own 32/16/128 ladder.
+    pool_decode_block: int = 32
                                   # (2 per request); 0: dedicated replicas
+    # Fuse two queued block requests per slot into one double-width pool
+    # step when demand allows (exactness argument in
+    # serve/pool.py::_dispatch_step).
+    pool_merge_blocks: bool = True
     # In-flight pool steps (serve/pool.py::_step_loop).  Fetch round
     # trips overlap on the transport (benchmarks/fetch_probe.py: serial
     # fetches pay ~29 ms RTT each, concurrent fetches of chained steps

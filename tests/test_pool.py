@@ -101,6 +101,58 @@ def test_fused_first_chunks_beyond_synth_batch_all_get_audio():
         assert audio is not None and len(audio) == dump * hop * 4
 
 
+def test_merged_pair_steps_match_sequential_steps():
+    """Block merging (pool.py::_dispatch_step): a slot's two queued
+    full-limit requests run as ONE double-width step whose per-request
+    tokens must be bit-identical to two sequential single-width steps —
+    including a slot that rides the big step with only one request."""
+    import dataclasses
+
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    scfg_m = dataclasses.replace(SERVE_CFG, pool_merge_blocks=True)
+    scfg_s = dataclasses.replace(SERVE_CFG, pool_merge_blocks=False)
+
+    def run(scfg):
+        pool = DecodePool(eng.params, np.asarray(eng.text_table), eng.codec,
+                          capacity=4, dcfg=eng.dcfg, scfg=scfg,
+                          cache_dtype=jnp.float32, param_dtype=jnp.float32)
+        blk = pool.block
+        text = list(range(5, 5 + 2 * blk))
+
+        async def go():
+            engines = [PooledEngine(pool, scfg) for _ in range(2)]
+            for e in engines:
+                e.new_state()
+            pendings = []
+            for k, e in enumerate(engines):
+                w1 = np.full(blk, eng.dcfg.pad_token_id, np.int32)
+                w1[:blk] = text[:blk]
+                w2 = np.full(blk, eng.dcfg.pad_token_id, np.int32)
+                w2[:blk] = text[blk:2 * blk]
+                # slot 0 queues a full-limit pair (mergeable); slot 1
+                # queues one full + later one short (rides along)
+                p1, _ = e.decode_block_async(None, w1, 2 * blk, blk)
+                pendings.append(p1)
+                if k == 0:
+                    p2, _ = e.decode_block_async(None, w2, 2 * blk,
+                                                 blk // 2)
+                    pendings.append(p2)
+            res = [await p.afetch() for p in pendings]
+            merged = pool.merged_steps
+            for e in engines:
+                e.close()
+            pool.stop()
+            return res, merged
+
+        res, merged = asyncio.run(asyncio.wait_for(go(), timeout=600))
+        return res, merged
+
+    want, merged_off = run(scfg_s)
+    got, merged_on = run(scfg_m)
+    assert merged_off == 0 and merged_on >= 1
+    assert got == want
+
+
 def test_pool_restart_after_stop_serves_new_loop():
     """stop() must clear the pipelined in-flight record: a restart on a
     NEW event loop would otherwise try to resolve futures bound to the
