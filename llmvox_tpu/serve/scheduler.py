@@ -301,6 +301,15 @@ class StreamingScheduler:
                             limit = min(cur, len(st.text_ids) - issued)
                         if limit <= 0:
                             break  # starved for text
+                        if limit < cur and len(pending) >= 2:
+                            # Text is trickling in: a partial-limit block
+                            # still costs a full ``cur``-scan device step,
+                            # so don't flood the pipeline with tiny
+                            # requests — beyond the classic 1-ahead pair,
+                            # wait for the text to fill a whole block
+                            # (measured: eager partial fills at depth 4
+                            # halved the LLM-driven 1-way RTF).
+                            break
                         window = np.full(cur, dcfg.pad_token_id, np.int32)
                         avail = st.text_ids[issued:issued + cur]
                         window[:len(avail)] = avail
