@@ -78,18 +78,30 @@ def main() -> None:
     llm.warmup()
     print(f"warmup {time.time() - t0:.1f}s", flush=True)
 
-    async def combined_request(i):
+    async def combined_request(i, marks=None):
         pengines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
         try:
             psched = StreamingScheduler(pengines, scfg)
             n_bytes = 0
             t_start = time.perf_counter()
             first = None
-            async for chunk in psched.run(llm.predict(
-                    {"system": "You are a concise voice assistant.",
-                     "prompt": f"Benchmark question number {i}?"})):
+
+            async def tapped():
+                k = 0
+                async for delta in llm.predict(
+                        {"system": "You are a concise voice assistant.",
+                         "prompt": f"Benchmark question number {i}?"}):
+                    if marks is not None and k < 4:
+                        marks.append((f"delta{k}",
+                                      (time.perf_counter() - t_start) * 1e3))
+                    k += 1
+                    yield delta
+
+            async for chunk in psched.run(tapped()):
                 if first is None:
                     first = (time.perf_counter() - t_start) * 1000.0
+                    if marks is not None:
+                        marks.append(("first_audio", first))
                 n_bytes += len(chunk)
             wall = time.perf_counter() - t_start
             return first, n_bytes / 4 / ccfg.sample_rate, wall
@@ -102,9 +114,11 @@ def main() -> None:
         await combined_request(0)            # pipeline the transport
         f_list, r_list = [], []
         for i in range(3):
-            f1, a1, w1 = await combined_request(100 + i)
+            marks = []
+            f1, a1, w1 = await combined_request(100 + i, marks)
             f_list.append(round(f1, 1))
             r_list.append(round(a1 / w1, 2))
+            out[f"marks_{i}"] = [(k, round(v, 1)) for k, v in marks]
         out["first_1way_ms"] = f_list
         out["rtf_1way"] = r_list
         for wave in range(3):

@@ -169,6 +169,35 @@ def _repeat_kv(x: jnp.ndarray, q_per_kv: int) -> jnp.ndarray:
     return jnp.repeat(x, q_per_kv, axis=-2)
 
 
+def _gqa_cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                         v_cache: jnp.ndarray, valid: jnp.ndarray,
+                         cfg: LlamaConfig) -> jnp.ndarray:
+    """Grouped-query attention against a KV cache WITHOUT materializing
+    the repeated heads: the decode loop is HBM-bandwidth-bound on cache
+    reads, and ``jnp.repeat`` doubled (q_per_kv=2) or quadrupled that
+    traffic — and allocated it — every single step.  Query head h uses
+    kv head h // q_per_kv (HF repeat_kv's layout), expressed here by
+    folding the group axis into the einsum.
+
+    q: (B, T, H, hd); k_cache/v_cache: (B, S, KV, hd);
+    valid: (B, T, S) or (T, S) bool.  Returns (B, T, H, hd).
+    """
+    b, t, h, hd = q.shape
+    g = cfg.q_per_kv
+    scale = 1.0 / math.sqrt(hd)
+    qg = q.reshape(b, t, cfg.n_kv_head, g, hd)
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k_cache,
+                        preferred_element_type=jnp.float32,
+                        precision=ops.mm_precision(q.dtype)) * scale
+    if valid.ndim == 2:
+        valid = valid[None]
+    logits = jnp.where(valid[:, None, None], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    att = jnp.einsum("bkgts,bskd->btkgd", w, v_cache,
+                     precision=ops.mm_precision(q.dtype))
+    return att.reshape(b, t, h, hd)
+
+
 def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
                 positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Teacher-forced forward: (B, T) int32 -> (B, T, V) logits."""
@@ -236,20 +265,11 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
     v_cache = lax.dynamic_update_slice(
         v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
     # attention over the cache: key j valid for query i iff j <= pos + i
-    kk = _repeat_kv(k_cache, cfg.q_per_kv)
-    vv = _repeat_kv(v_cache, cfg.q_per_kv)
-    scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bthd,bshd->bhts", q, kk,
-                        preferred_element_type=jnp.float32,
-                        precision=ops.mm_precision(q.dtype)) * scale
-    s = kk.shape[1]
+    s = k_cache.shape[1]
     jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
     ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
     valid = jpos <= pos + ipos
-    logits = jnp.where(valid[None, None], logits, -jnp.inf)
-    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    att = jnp.einsum("bhts,bshd->bthd", w, vv,
-                     precision=ops.mm_precision(q.dtype))
+    att = _gqa_cache_attention(q, k_cache, v_cache, valid, cfg)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
     gate = ops.linear(h, lp["wgate"])
@@ -423,12 +443,21 @@ def init_llama_pool_state(cfg: LlamaConfig, batch: int,
 
 
 def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
-                     pos_vec: jnp.ndarray, cfg: LlamaConfig):
+                     pos_vec: jnp.ndarray, cfg: LlamaConfig,
+                     attn_len: Optional[int] = None):
     """One layer for T new tokens where row b sits at absolute position
     ``pos_vec[b]`` — the per-row counterpart of :func:`_layer_step`.
     Cache writes land at each row's own offset (vmapped dynamic-update
     slice); the causal mask is per-row (key j valid for row b's query i
-    iff j <= pos_vec[b] + i)."""
+    iff j <= pos_vec[b] + i).
+
+    ``attn_len`` (static) bounds the attention read to the cache's first
+    ``attn_len`` rows: the decode loop is bandwidth-bound on cache
+    traffic (B * S * KV * hd per step), and most of a fixed-capacity
+    cache is empty early in a conversation.  The CALLER must guarantee
+    every row's pos + T <= attn_len (serve/llm_pool.py tracks each
+    slot's position upper bound and picks a bucket); writes still target
+    the full cache, so growing attn_len later loses nothing."""
     b, t, _ = x.shape
     hd = cfg.head_dim
     positions = pos_vec[:, None] + jnp.arange(t)[None, :]      # (B, T)
@@ -442,23 +471,18 @@ def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
         lambda c, u, p: lax.dynamic_update_slice(c, u, (p, 0, 0)))
     k_cache = upd(k_cache, k.astype(k_cache.dtype), pos_vec)
     v_cache = upd(v_cache, v.astype(v_cache.dtype), pos_vec)
-    kk = _repeat_kv(k_cache, cfg.q_per_kv)
-    vv = _repeat_kv(v_cache, cfg.q_per_kv)
-    scale = 1.0 / math.sqrt(hd)
-    logits = jnp.einsum("bthd,bshd->bhts", q, kk,
-                        preferred_element_type=jnp.float32,
-                        precision=ops.mm_precision(q.dtype)) * scale
-    s = kk.shape[1]
+    ka, va = k_cache, v_cache
+    if attn_len is not None and attn_len < ka.shape[1]:
+        ka = ka[:, :attn_len]
+        va = va[:, :attn_len]
+    s = ka.shape[1]
     jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
     ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
     valid = jpos[None] <= pos_vec[:, None, None] + ipos[None]  # (B, T, S)
-    logits = jnp.where(valid[:, None], logits, -jnp.inf)
-    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     # cache dtype may differ from the activation dtype (e.g. f32 cache
     # under bf16 params) — cast after the value matmul so the residual
     # stream keeps x's dtype through the scan carry
-    att = jnp.einsum("bhts,bshd->bthd", w, vv,
-                     precision=ops.mm_precision(q.dtype)).astype(x.dtype)
+    att = _gqa_cache_attention(q, ka, va, valid, cfg).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
     gate = ops.linear(h, lp["wgate"])
@@ -469,13 +493,14 @@ def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
 
 
 def _scan_layers_rows(params: Dict, tokens: jnp.ndarray, k, v,
-                      pos_vec: jnp.ndarray, cfg: LlamaConfig):
+                      pos_vec: jnp.ndarray, cfg: LlamaConfig,
+                      attn_len: Optional[int] = None):
     x = params["tok_emb"][tokens]
 
     def body(carry, scan_in):
         x = carry
         lp, kc, vc = scan_in
-        x, kc, vc = _layer_step_rows(lp, x, kc, vc, pos_vec, cfg)
+        x, kc, vc = _layer_step_rows(lp, x, kc, vc, pos_vec, cfg, attn_len)
         return x, (kc, vc)
 
     return lax.scan(body, x, (params["h"], k, v))
@@ -534,13 +559,15 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("block", "temperature", "top_k", "top_p"),
+         static_argnames=("block", "temperature", "top_k", "top_p",
+                          "attn_len"),
          donate_argnames=("state",))
 def decode_block_pooled(params: Dict, state: LlamaPoolState,
                         active: jnp.ndarray, rng: jax.Array,
                         cfg: LlamaConfig, block: int = 16,
                         temperature: float = 0.0, top_k: int = 0,
-                        top_p: float = 1.0
+                        top_p: float = 1.0,
+                        attn_len: Optional[int] = None
                         ) -> Tuple[jnp.ndarray, LlamaPoolState]:
     """Advance every ACTIVE row ``block`` tokens in one device program.
 
@@ -549,12 +576,17 @@ def decode_block_pooled(params: Dict, state: LlamaPoolState,
     garbage output is discarded by the host).  Returns (B, block) tokens —
     the tokens generated AFTER each row's ``state.tok``.  Host-side EOS
     handling, exactly like :func:`decode_block`.
+
+    ``attn_len`` (static): attention window bucket — every active row
+    must satisfy pos + block <= attn_len (see :func:`_layer_step_rows`);
+    None attends over the whole cache.
     """
     active = active.astype(jnp.bool_)
 
     def step(carry, _):
         tok, k, v, pos, rng = carry
-        x, (k, v) = _scan_layers_rows(params, tok[:, None], k, v, pos, cfg)
+        x, (k, v) = _scan_layers_rows(params, tok[:, None], k, v, pos, cfg,
+                                      attn_len)
         x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
         logits = ops.linear(x, _head(params))
         rng, sub = jax.random.split(rng)

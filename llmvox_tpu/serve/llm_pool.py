@@ -91,6 +91,21 @@ class LLMPool:
             self.buckets = (min(16, cap),)
         self.state = llama.init_llama_pool_state(cfg, capacity,
                                                  self.cache_dtype)
+        # Attention-window bucket ladder: the pooled decode step is
+        # bandwidth-bound on KV-cache reads (B * S * KV * hd per token),
+        # and most of a fixed-capacity cache is empty early in a
+        # conversation — attend only over a bucket covering every active
+        # row's position upper bound (tracked host-side at dispatch
+        # time; models/llama.py::decode_block_pooled attn_len).
+        self._ub = [0] * self.B
+        ladder = []
+        b = 128
+        while b < cfg.max_seq_len:
+            if b >= self.block + 1:
+                ladder.append(b)
+            b *= 2
+        ladder.append(cfg.max_seq_len)
+        self.attn_buckets = tuple(ladder)
         self._rng = jax.random.PRNGKey(seed)
         self.slots = [_LSlot() for _ in range(self.B)]
         self._prefills: Deque[_PrefillReq] = deque()
@@ -197,8 +212,16 @@ class LLMPool:
                     temperature=self.temperature, top_k=self.top_k,
                     top_p=self.top_p)
                 self.prefill_calls += 1
+                for r in part:
+                    self._ub[r.slot] = len(r.ids)
                 out.append((first, part))
         return out
+
+    def _attn_bucket(self, needed: int) -> int:
+        for b in self.attn_buckets:
+            if needed <= b:
+                return b
+        return self.attn_buckets[-1]
 
     # -- step loop ------------------------------------------------------
     def _dispatch(self):
@@ -223,11 +246,15 @@ class LLMPool:
                 active[heads] = True
                 for i in heads:
                     blocks.append((i, self.slots[i].queue.popleft()))
+                attn = self._attn_bucket(
+                    max(self._ub[i] for i in heads) + self.block)
+                for i in heads:
+                    self._ub[i] += self.block
                 toks, self.state = llama.decode_block_pooled(
                     self.params, self.state, jnp.asarray(active),
                     self._next_key(), self.cfg, block=self.block,
                     temperature=self.temperature, top_k=self.top_k,
-                    top_p=self.top_p)
+                    top_p=self.top_p, attn_len=attn)
                 self.steps += 1
         except BaseException as exc:
             # futures already popped here would otherwise hang their
@@ -391,11 +418,13 @@ class LLMPool:
                         self.cfg, temperature=self.temperature,
                         top_k=self.top_k, top_p=self.top_p)
                     np.asarray(first)
-            toks, self.state = llama.decode_block_pooled(
-                self.params, self.state, inactive, self._next_key(),
-                self.cfg, block=self.block, temperature=self.temperature,
-                top_k=self.top_k, top_p=self.top_p)
-            np.asarray(toks)
+            for attn in self.attn_buckets:
+                toks, self.state = llama.decode_block_pooled(
+                    self.params, self.state, inactive, self._next_key(),
+                    self.cfg, block=self.block,
+                    temperature=self.temperature,
+                    top_k=self.top_k, top_p=self.top_p, attn_len=attn)
+                np.asarray(toks)
 
     # -- streaming generation -------------------------------------------
     async def generate(self, ids: List[int],

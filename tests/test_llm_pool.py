@@ -504,3 +504,74 @@ def test_llm_pool_restart_after_stop_serves_new_loop(params):
 
     got = asyncio.run(asyncio.wait_for(second(), timeout=600))
     assert got[:9] == _b1_greedy(params, PROMPTS[1], 9)
+
+
+def test_attn_window_bucket_matches_full_cache(params):
+    """The pooled decode's bucketed attention window (attn_len) must be
+    invisible in the output: rows never attend past their pos, so a
+    bucket covering every active row's pos+block bound is exact."""
+    CFG2 = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4,
+                             n_kv_head=2, n_embd=32, intermediate_size=64,
+                             max_seq_len=512)
+    params2 = llama.init_llama_params(jax.random.PRNGKey(0), CFG2)
+
+    state_a = llama.init_llama_pool_state(CFG2, batch=2)
+    state_b = llama.init_llama_pool_state(CFG2, batch=2)
+    ids = PROMPTS[1]
+    tokens = np.zeros((1, 16), np.int32)
+    tokens[0, : len(ids)] = ids
+    for which in range(2):
+        st = state_a if which == 0 else state_b
+        _, st = llama.prefill_slots(
+            params2, jnp.asarray(tokens), jnp.asarray([len(ids)], np.int32),
+            st, jnp.asarray([0], np.int32), jnp.asarray([True]),
+            jax.random.PRNGKey(4), CFG2)
+        if which == 0:
+            state_a = st
+        else:
+            state_b = st
+    active = jnp.asarray([True, False])
+    toks_full, state_a = llama.decode_block_pooled(
+        params2, state_a, active, jax.random.PRNGKey(5), CFG2, block=8)
+    toks_win, state_b = llama.decode_block_pooled(
+        params2, state_b, active, jax.random.PRNGKey(5), CFG2, block=8,
+        attn_len=128)
+    np.testing.assert_array_equal(np.asarray(toks_full)[0],
+                                  np.asarray(toks_win)[0])
+    # a second windowed block chained on the windowed state still matches
+    toks_full2, _ = llama.decode_block_pooled(
+        params2, state_a, active, jax.random.PRNGKey(6), CFG2, block=8)
+    toks_win2, _ = llama.decode_block_pooled(
+        params2, state_b, active, jax.random.PRNGKey(6), CFG2, block=8,
+        attn_len=128)
+    np.testing.assert_array_equal(np.asarray(toks_full2)[0],
+                                  np.asarray(toks_win2)[0])
+
+
+def test_llm_pool_picks_attn_bucket(params):
+    """LLMPool tracks per-slot position upper bounds and the ladder:
+    short conversations must decode at the smallest sufficient bucket."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    CFG2 = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4,
+                             n_kv_head=2, n_embd=32, intermediate_size=64,
+                             max_seq_len=512)
+    params2 = llama.init_llama_params(jax.random.PRNGKey(0), CFG2)
+    pool = LLMPool(params2, CFG2, capacity=2, block=8,
+                   prefill_buckets=(16, 32))
+    assert pool.attn_buckets == (128, 256, 512)
+    assert pool._attn_bucket(20) == 128
+    assert pool._attn_bucket(129) == 256
+    assert pool._attn_bucket(513) == 512
+
+    async def go():
+        out = []
+        async for toks in pool.generate(PROMPTS[0], max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    # greedy path must be unchanged by the window (ub stays < 128 here)
+    assert len(got) >= 9
+    assert max(pool._ub) <= 128
