@@ -2,15 +2,19 @@
 pooled TTS on one chip) — the combined_* fields of bench.py, runnable
 alone for fast iteration on scheduler/pool changes.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/combined_probe.py
+Usage: python benchmarks/combined_probe.py
 """
 from __future__ import annotations
 
 import asyncio
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

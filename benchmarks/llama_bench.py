@@ -43,14 +43,24 @@ def bench(name: str, cfg: llama.LlamaConfig, block: int = 16) -> dict:
     prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, (1, 128)),
                          jnp.int32)
 
+    # window ladder, exactly as streams/jax_llm.py serves it: prefill
+    # bounded to its bucket (fresh state), decode at the smallest
+    # power-of-two window covering pos + block
+    ladder = llama.attn_window_ladder(cfg.max_seq_len)
+
+    def attn_for(needed):
+        return next((b for b in ladder if needed <= b), ladder[-1])
+
     state = llama.init_llama_decode_state(cfg, 1, jnp.bfloat16)
     t0 = time.time()
     logits, state = llama.prefill_padded(
-        params, prompt, jnp.asarray(128, jnp.int32), state, cfg)
+        params, prompt, jnp.asarray(128, jnp.int32), state, cfg,
+        attn_len=128)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     toks, state = llama.decode_block(params, first, state,
                                      jax.random.PRNGKey(1), cfg,
-                                     block=block)
+                                     block=block,
+                                     attn_len=attn_for(128 + block))
     np.asarray(toks)
     compile_s = time.time() - t0
 
@@ -60,7 +70,8 @@ def bench(name: str, cfg: llama.LlamaConfig, block: int = 16) -> dict:
         st = llama.init_llama_decode_state(cfg, 1, jnp.bfloat16)
         t0 = time.perf_counter()
         lg, st = llama.prefill_padded(params, prompt,
-                                      jnp.asarray(128, jnp.int32), st, cfg)
+                                      jnp.asarray(128, jnp.int32), st, cfg,
+                                      attn_len=128)
         np.asarray(lg)
         pf.append(time.perf_counter() - t0)
 
@@ -70,18 +81,20 @@ def bench(name: str, cfg: llama.LlamaConfig, block: int = 16) -> dict:
     # (measured 259 -> 15 ms/block on the same executable)
     nblocks = 8
 
-    def run_blocks(tok, st):
+    def run_blocks(tok, st, pos):
         t0 = time.perf_counter()
         for _ in range(nblocks):
             toks, st = llama.decode_block(params, tok, st,
                                           jax.random.PRNGKey(2), cfg,
-                                          block=block)
+                                          block=block,
+                                          attn_len=attn_for(pos + block))
+            pos += block
             tok = toks[:, -1]
         np.asarray(tok)
-        return time.perf_counter() - t0, tok, st
+        return time.perf_counter() - t0, tok, st, pos
 
-    _, tok, st = run_blocks(first, state)
-    dec_s, _, _ = run_blocks(tok, st)
+    _, tok, st, pos = run_blocks(first, state, 128 + block)
+    dec_s, _, _, _ = run_blocks(tok, st, pos)
     n_tok = nblocks * block
     return {
         "model": name,

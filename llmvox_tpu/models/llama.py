@@ -109,6 +109,21 @@ def num_llama_params(params: Dict) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 
 
+def attn_window_ladder(max_seq_len: int, min_window: int = 128
+                       ) -> Tuple[int, ...]:
+    """Power-of-two attention-window buckets (128, 256, ... capacity) for
+    the ``attn_len`` knob of the decode paths: one compiled program per
+    rung, each reading only its window of the KV cache.  128 is the TPU
+    lane width — smaller windows would not tile better."""
+    ladder = []
+    b = min_window
+    while b < max_seq_len:
+        ladder.append(b)
+        b *= 2
+    ladder.append(max_seq_len)
+    return tuple(ladder)
+
+
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     """LlamaRMSNorm: x / sqrt(mean(x^2) + eps) * scale, stats in fp32."""
     x32 = x.astype(jnp.float32)
@@ -247,10 +262,15 @@ def init_llama_decode_state(cfg: LlamaConfig, batch: int = 1,
 
 
 def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
-                cfg: LlamaConfig):
+                cfg: LlamaConfig, attn_len: Optional[int] = None):
     """One layer for T new tokens at absolute positions pos..pos+T-1 with
     the cache already holding ``pos`` tokens.  Returns (x, new_k, new_v)
-    where new_k/new_v are the cache slices for these tokens."""
+    where new_k/new_v are the cache slices for these tokens.
+
+    ``attn_len`` (static) bounds the attention read to the cache's first
+    ``attn_len`` rows — exact iff the caller guarantees pos + T <=
+    attn_len (see :func:`_layer_step_rows` for the bandwidth rationale);
+    writes still target the full cache."""
     b, t, _ = x.shape
     hd = cfg.head_dim
     positions = pos + jnp.arange(t)[None, :]
@@ -265,11 +285,15 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
     v_cache = lax.dynamic_update_slice(
         v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0))
     # attention over the cache: key j valid for query i iff j <= pos + i
-    s = k_cache.shape[1]
+    ka, va = k_cache, v_cache
+    if attn_len is not None and attn_len < ka.shape[1]:
+        ka = ka[:, :attn_len]
+        va = va[:, :attn_len]
+    s = ka.shape[1]
     jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
     ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
     valid = jpos <= pos + ipos
-    att = _gqa_cache_attention(q, k_cache, v_cache, valid, cfg)
+    att = _gqa_cache_attention(q, ka, va, valid, cfg)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
     gate = ops.linear(h, lp["wgate"])
@@ -280,13 +304,14 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
 
 
 def _forward_cached(params: Dict, tokens: jnp.ndarray,
-                    state: LlamaDecodeState, cfg: LlamaConfig
+                    state: LlamaDecodeState, cfg: LlamaConfig,
+                    attn_len: Optional[int] = None
                     ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """(B, T) new tokens -> (B, V) logits of the LAST position; cache
     extended.  One lax.scan over the stacked layers.  The final norm and
     head run on the last position only (the head matmul over all T
     positions is the one cost worth skipping in the decode loop)."""
-    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg)
+    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg, attn_len)
     x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
     logits = ops.linear(x, _head(params))
     return logits, LlamaDecodeState(new_k, new_v,
@@ -294,7 +319,8 @@ def _forward_cached(params: Dict, tokens: jnp.ndarray,
 
 
 def _scan_layers(params: Dict, tokens: jnp.ndarray,
-                 state: LlamaDecodeState, cfg: LlamaConfig):
+                 state: LlamaDecodeState, cfg: LlamaConfig,
+                 attn_len: Optional[int] = None):
     """Shared depth scan for both cached-forward variants."""
     x = params["tok_emb"][tokens]
 
@@ -302,7 +328,7 @@ def _scan_layers(params: Dict, tokens: jnp.ndarray,
         x = carry
         lp, k_cache, v_cache = scan_in
         x, k_cache, v_cache = _layer_step(lp, x, k_cache, v_cache,
-                                          state.pos, cfg)
+                                          state.pos, cfg, attn_len)
         return x, (k_cache, v_cache)
 
     return lax.scan(body, x, (params["h"], state.k, state.v))
@@ -345,10 +371,11 @@ def prefill(params: Dict, tokens: jnp.ndarray, state: LlamaDecodeState,
     return _forward_cached(params, tokens, state, cfg)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("attn_len",))
 def prefill_padded(params: Dict, tokens: jnp.ndarray,
                    valid_len: jnp.ndarray, state: LlamaDecodeState,
-                   cfg: LlamaConfig) -> Tuple[jnp.ndarray, LlamaDecodeState]:
+                   cfg: LlamaConfig, attn_len: Optional[int] = None
+                   ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Bucketed prefill: ``tokens`` (B, Tpad) right-padded, only the first
     ``valid_len`` positions are real.  ONE compiled program per bucket
     width instead of one per prompt length.
@@ -360,8 +387,13 @@ def prefill_padded(params: Dict, tokens: jnp.ndarray,
     logits are taken at the last VALID position, and pad queries'
     outputs are discarded.  ``valid_len`` must be UNIFORM across the
     batch (``pos`` is shared): use B=1 or equal-length prompts.
+
+    ``attn_len`` (static): attention window bound, exact iff
+    ``pos + Tpad <= attn_len`` — a FRESH state (pos=0) may pass
+    ``attn_len=Tpad`` to skip reading the empty cache tail entirely.
     """
-    logits_all, new_state = _forward_cached_all(params, tokens, state, cfg)
+    logits_all, new_state = _forward_cached_all(params, tokens, state, cfg,
+                                                attn_len)
     valid_len = jnp.asarray(valid_len, jnp.int32)
     idx = jnp.broadcast_to(valid_len - 1, (tokens.shape[0],))
     logits = jnp.take_along_axis(logits_all, idx.reshape(-1, 1, 1),
@@ -371,11 +403,12 @@ def prefill_padded(params: Dict, tokens: jnp.ndarray,
 
 
 def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
-                        state: LlamaDecodeState, cfg: LlamaConfig
+                        state: LlamaDecodeState, cfg: LlamaConfig,
+                        attn_len: Optional[int] = None
                         ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Like :func:`_forward_cached` but returns logits at EVERY position
     (B, T, V) — the padded-prefill helper needs the last valid one."""
-    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg)
+    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg, attn_len)
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
     logits = ops.linear(x, _head(params))
     return logits, LlamaDecodeState(new_k, new_v,
@@ -383,20 +416,27 @@ def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("block", "temperature", "top_k", "top_p"))
+         static_argnames=("block", "temperature", "top_k", "top_p",
+                          "attn_len"))
 def decode_block(params: Dict, first_token: jnp.ndarray,
                  state: LlamaDecodeState, rng: jax.Array, cfg: LlamaConfig,
                  block: int = 16, temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0
+                 top_p: float = 1.0, attn_len: Optional[int] = None
                  ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Generate ``block`` tokens on-device from ``first_token`` (B,) int32
     (the token sampled from the prefill logits).  Returns tokens generated
     AFTER first_token: (B, block), plus the state.  The host sees one
-    dispatch per block; EOS handling is host-side (streams/jax_llm.py)."""
+    dispatch per block; EOS handling is host-side (streams/jax_llm.py).
+
+    ``attn_len`` (static): attention window bound — the caller must
+    guarantee ``pos + block <= attn_len`` (streams/jax_llm.py tracks the
+    position host-side and picks a power-of-two bucket); None attends
+    over the whole cache."""
 
     def step(carry, _):
         tok, state, rng = carry
-        logits, state = _forward_cached(params, tok[:, None], state, cfg)
+        logits, state = _forward_cached(params, tok[:, None], state, cfg,
+                                        attn_len)
         rng, sub = jax.random.split(rng)
         nxt = _sample(logits, sub, temperature, top_k, top_p)
         return (nxt, state, rng), nxt

@@ -98,14 +98,9 @@ class LLMPool:
         # row's position upper bound (tracked host-side at dispatch
         # time; models/llama.py::decode_block_pooled attn_len).
         self._ub = [0] * self.B
-        ladder = []
-        b = 128
-        while b < cfg.max_seq_len:
-            if b >= self.block + 1:
-                ladder.append(b)
-            b *= 2
-        ladder.append(cfg.max_seq_len)
-        self.attn_buckets = tuple(ladder)
+        self.attn_buckets = tuple(
+            b for b in llama.attn_window_ladder(cfg.max_seq_len)
+            if b >= self.block + 1 or b == cfg.max_seq_len)
         self._rng = jax.random.PRNGKey(seed)
         self.slots = [_LSlot() for _ in range(self.B)]
         self._prefills: Deque[_PrefillReq] = deque()

@@ -99,8 +99,20 @@ class JAXStreamModel:
         self.eos_id = _tokenizer_eos_id(tokenizer)
         self.eos_text = (eos_text if eos_text is not None
                          else getattr(tokenizer, "eos_token", "")) or ""
+        # attention-window buckets for decode_block's attn_len: most of a
+        # fixed-capacity cache is empty early in a generation, and the
+        # decode loop is bandwidth-bound on cache reads
+        self.attn_buckets = tuple(
+            b for b in llama.attn_window_ladder(cfg.max_seq_len)
+            if b >= block + 1 or b == cfg.max_seq_len)
         self._rng = jax.random.PRNGKey(seed)
         self._rng_lock = threading.Lock()
+
+    def _attn_bucket(self, needed: int) -> int:
+        for b in self.attn_buckets:
+            if needed <= b:
+                return b
+        return self.attn_buckets[-1]
 
     def load(self) -> None:
         pass
@@ -140,26 +152,32 @@ class JAXStreamModel:
             padded = ids + [0] * (bucket - len(ids))
             state = llama.init_llama_decode_state(self.cfg, batch=1,
                                                   dtype=self.cache_dtype)
+            # fresh state (pos=0): the prefill never needs to read past
+            # its own bucket of the cache
             logits, state = llama.prefill_padded(
                 self.params, jnp.asarray([padded], jnp.int32),
-                jnp.asarray(len(ids), jnp.int32), state, self.cfg)
+                jnp.asarray(len(ids), jnp.int32), state, self.cfg,
+                attn_len=bucket)
             tok = llama._sample(logits, self._next_key(),
                                 self.temperature, self.top_k, self.top_p)
 
             out: List[int] = [int(tok[0])]
             emitted = ""
+            pos = len(ids)     # host-tracked mirror of state.pos
             done = out[-1] == self.eos_id
             while not done and len(out) < self.max_tokens:
                 # fixed block size only: a shrinking tail block would
                 # compile a new program per distinct length right when
                 # the context is nearly full.  Stop one whole block
                 # short of capacity instead.
-                if int(state.pos) + self.block >= self.cfg.max_seq_len:
+                if pos + self.block >= self.cfg.max_seq_len:
                     break
                 toks, state = llama.decode_block(
                     self.params, tok, state, self._next_key(), self.cfg,
                     block=self.block, temperature=self.temperature,
-                    top_k=self.top_k, top_p=self.top_p)
+                    top_k=self.top_k, top_p=self.top_p,
+                    attn_len=self._attn_bucket(pos + self.block))
+                pos += self.block
                 for t in np.asarray(toks)[0].tolist():
                     out.append(int(t))
                     if out[-1] == self.eos_id:

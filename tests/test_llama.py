@@ -447,3 +447,79 @@ def test_top_p_sampling_stays_in_nucleus(hf_pair):
     # top_p=1.0 leaves the distribution unfiltered (any token possible)
     tok = llama._sample(lg, jax.random.PRNGKey(0), 1.0, 0, 1.0)
     assert 0 <= int(tok[0]) < CFG.vocab_size
+
+
+def test_b1_attn_window_matches_full_cache():
+    """decode_block/prefill_padded with a bounded attention window must be
+    invisible in the output (rows never attend past pos, so any window
+    covering pos + block is exact), including across a window-rung
+    upgrade between chained blocks."""
+    cfg = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4,
+                            n_kv_head=2, n_embd=32, intermediate_size=64,
+                            max_seq_len=512)
+    params = llama.init_llama_params(jax.random.PRNGKey(3), cfg)
+    ids = np.random.default_rng(11).integers(1, cfg.vocab_size, (1, 12))
+    padded = np.concatenate([ids, np.zeros((1, 4), np.int64)], axis=1)
+
+    st_full = llama.init_llama_decode_state(cfg, batch=1)
+    lg_full, st_full = llama.prefill_padded(
+        params, jnp.asarray(padded, jnp.int32), jnp.asarray(12, jnp.int32),
+        st_full, cfg)
+    st_win = llama.init_llama_decode_state(cfg, batch=1)
+    lg_win, st_win = llama.prefill_padded(
+        params, jnp.asarray(padded, jnp.int32), jnp.asarray(12, jnp.int32),
+        st_win, cfg, attn_len=16)
+    np.testing.assert_allclose(np.asarray(lg_win), np.asarray(lg_full),
+                               atol=1e-5)
+
+    first = jnp.argmax(lg_full, axis=-1).astype(jnp.int32)
+    tok_f, tok_w = first, first
+    pos = 12
+    for attn in (128, 128, 256):   # second rung exercises an upgrade
+        blk_f, st_full = llama.decode_block(params, tok_f, st_full,
+                                            jax.random.PRNGKey(5), cfg,
+                                            block=8)
+        blk_w, st_win = llama.decode_block(params, tok_w, st_win,
+                                           jax.random.PRNGKey(5), cfg,
+                                           block=8, attn_len=attn)
+        np.testing.assert_array_equal(np.asarray(blk_w), np.asarray(blk_f))
+        tok_f, tok_w = blk_f[:, -1], blk_w[:, -1]
+        pos += 8
+        assert pos + 8 <= attn or attn == 128  # windows stay valid
+
+
+def test_stream_adapter_attn_ladder_matches_full():
+    """JAXStreamModel's host-tracked window selection must not change the
+    greedy text vs an unwindowed manual decode."""
+    from llmvox_tpu.streams.jax_llm import JAXStreamModel
+
+    cfg = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4,
+                            n_kv_head=2, n_embd=32, intermediate_size=64,
+                            max_seq_len=512)
+    params = llama.init_llama_params(jax.random.PRNGKey(3), cfg)
+    tok = _ToyTokenizer()
+    model = JAXStreamModel(params, cfg, tok, block=4, temperature=0.0,
+                           max_tokens=12)
+    assert model.attn_buckets == (128, 256, 512)
+    text = "".join(d for d in model.predict({"system": "", "prompt": "hi"})
+                   if d != "<eos>")
+
+    # manual unwindowed greedy reference, mirroring the adapter's
+    # block-wholesale accumulation and eos handling
+    ids = model._prompt_ids({"system": "", "prompt": "hi"})
+    st = llama.init_llama_decode_state(cfg, batch=1)
+    lg, st = llama.prefill(params, jnp.asarray([ids], jnp.int32), st, cfg)
+    t = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    out = [int(t[0])]
+    done = out[-1] == tok.eos_token_id
+    while not done and len(out) < 12:
+        blk, st = llama.decode_block(params, t, st, jax.random.PRNGKey(0),
+                                     cfg, block=4)
+        for x in np.asarray(blk)[0].tolist():
+            out.append(int(x))
+            if out[-1] == tok.eos_token_id:
+                done = True
+                break
+        t = jnp.asarray([out[-1]], jnp.int32)
+    body = [i for i in out if i != tok.eos_token_id]
+    assert text == tok.decode(body)
