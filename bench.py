@@ -253,8 +253,14 @@ def main() -> None:
         return sum(counts) / (time.perf_counter() - t0)
 
     async def combined_bench():
-        await combined_request(0)            # pipeline the transport
-        f1, a1, w1 = await combined_request(1)
+        # TWO throwaway rounds: the LLM+TTS interleaved dispatch pattern
+        # needs its own transport pipelining beyond the first request
+        # (benchmarks/combined_probe.py marks: request 1's LLM deltas
+        # stall ~440 ms once, request 2+ run steady; the pool-only trace
+        # benchmarks/llm_pool_probe.py shows NO such stall in isolation)
+        await combined_request(0)
+        await combined_request(1)
+        f1, a1, w1 = await combined_request(2)
         firsts4, rtf4 = [], 0.0
         for wave in range(2):
             t0 = time.perf_counter()
