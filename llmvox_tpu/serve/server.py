@@ -261,8 +261,8 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
             stream_model = HFStreamVLM(cfg)
         stream_model.load()
     if asr_model is None and cfg.chat_type in ("voice", "visual_speech"):
-        from llmvox_tpu.streams.asr import WhisperASR
-        asr_model = WhisperASR(cfg)
+        from llmvox_tpu.streams.asr import build_asr
+        asr_model = build_asr(cfg)
         asr_model.load()
     if pool is not None:
         pool.warmup()

@@ -15,23 +15,26 @@ import numpy as np
 from llmvox_tpu.utils.config import ServeConfig
 
 
+def resolve_whisper_name(name: str) -> str:
+    """A bare variant name ("small", "large-v3") maps to the openai hub
+    repo like the reference (inference/asr.py:31); a path or an
+    org-qualified id is used verbatim so local models work."""
+    import os
+    if not (os.path.sep in name or "/" in name or os.path.isdir(name)):
+        name = f"openai/whisper-{name}"
+    return name
+
+
 class WhisperASR:
     def __init__(self, config: Optional[ServeConfig] = None):
         self.config = config or ServeConfig()
         self.transcriber = None
 
     def load(self) -> None:
-        import os
-
         from transformers import pipeline
-        # A bare variant name ("small", "large-v3") maps to the openai hub
-        # repo like the reference (inference/asr.py:31); a path or an
-        # org-qualified id is used verbatim so local models work.
-        name = self.config.asr_model
-        if not (os.path.sep in name or "/" in name or os.path.isdir(name)):
-            name = f"openai/whisper-{name}"
         self.transcriber = pipeline(
-            "automatic-speech-recognition", model=name,
+            "automatic-speech-recognition",
+            model=resolve_whisper_name(self.config.asr_model),
             device=self.config.asr_device)
 
     def decode_base64_audio(self, audio_base64: str) -> np.ndarray:
@@ -54,3 +57,173 @@ class WhisperASR:
             generate_kwargs={"task": task},
         )
         return out["text"].strip()
+
+
+class JAXWhisperASR:
+    """Whisper on the TPU (``models/whisper.py``) behind the same
+    ``run_asr`` interface as :class:`WhisperASR` — the full-TPU voice
+    chat's third leg (ASR + LLM + TTS on one chip).  Selected with
+    ``ServeConfig.asr_backend == "jax"``.
+
+    Decoding is GREEDY and matches HF ``generate(num_beams=1)`` token for
+    token: language detection from the <|startoftranscript|> logits
+    restricted to the language tokens, forced prompt
+    [sot, lang, task(, notimestamps)], ``begin_suppress_tokens`` applied
+    to the first sampled position and ``suppress_tokens`` to all of them,
+    EOS rows frozen on device (tests/test_whisper.py proves token-level
+    equality vs the HF pipeline on transcribe AND translate routing).
+    Whisper checkpoints' generation configs default to beam 5; beam
+    search is not implemented — greedy is the standard streaming/latency
+    deployment choice (whisper.cpp, faster-whisper defaults).
+    """
+
+    def __init__(self, config: Optional[ServeConfig] = None,
+                 device=None, dtype=None):
+        self.config = config or ServeConfig()
+        self.device = device
+        self.dtype = dtype
+        self.params = None
+
+    # -- loading --------------------------------------------------------
+    def load(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        from transformers import (WhisperForConditionalGeneration,
+                                  WhisperTokenizer)
+
+        from llmvox_tpu.models import whisper as W
+        from llmvox_tpu.tools.convert import convert_whisper_state_dict
+
+        name = resolve_whisper_name(self.config.asr_model)
+        model = WhisperForConditionalGeneration.from_pretrained(name).eval()
+        hc = model.config
+        self.tokenizer = WhisperTokenizer.from_pretrained(name)
+        gc = model.generation_config
+        self.cfg = W.WhisperConfig(
+            vocab_size=hc.vocab_size, n_mels=hc.num_mel_bins,
+            d_model=hc.d_model, enc_layers=hc.encoder_layers,
+            dec_layers=hc.decoder_layers,
+            enc_heads=hc.encoder_attention_heads,
+            dec_heads=hc.decoder_attention_heads,
+            enc_ffn=hc.encoder_ffn_dim, dec_ffn=hc.decoder_ffn_dim,
+            max_source_positions=hc.max_source_positions,
+            max_target_positions=hc.max_target_positions,
+            decoder_start_token_id=int(gc.decoder_start_token_id),
+            eos_token_id=int(gc.eos_token_id))
+        params = convert_whisper_state_dict(
+            model.state_dict(), hc.encoder_layers, hc.decoder_layers)
+        if self.dtype is not None:
+            params = jax.tree.map(lambda x: x.astype(self.dtype), params)
+        if self.device is not None:
+            params = jax.device_put(params, self.device)
+        self.params = jax.tree.map(jnp.asarray, params)
+        # generation-config metadata (HF names)
+        self.lang_to_id = dict(getattr(gc, "lang_to_id", None) or {})
+        self.task_to_id = dict(getattr(gc, "task_to_id", None) or {})
+        self.no_timestamps_id = getattr(gc, "no_timestamps_token_id", None)
+        self.suppress = tuple(getattr(gc, "suppress_tokens", None) or ())
+        self.begin_suppress = tuple(
+            getattr(gc, "begin_suppress_tokens", None) or ())
+        self.max_length = int(getattr(gc, "max_length", None)
+                              or self.cfg.max_target_positions)
+        self.decode_block_size = 16
+
+    def _lang_token(self, language: Optional[str]) -> Optional[int]:
+        """Language name/code -> language token id, or None to detect."""
+        if not language or not self.lang_to_id:
+            return None
+        lang = language.strip().lower()
+        try:
+            from transformers.models.whisper.tokenization_whisper import (
+                TO_LANGUAGE_CODE)
+            lang = TO_LANGUAGE_CODE.get(lang, lang)
+        except Exception:
+            pass
+        return self.lang_to_id.get(f"<|{lang}|>")
+
+    # -- decoding -------------------------------------------------------
+    def transcribe(self, audio: np.ndarray, task: str = "transcribe",
+                   language: Optional[str] = None) -> str:
+        import jax.numpy as jnp
+
+        from llmvox_tpu.models import whisper as W
+        if self.params is None:
+            self.load()
+        cfg = self.cfg
+        mel = W.log_mel(jnp.asarray(W.pad_or_trim(audio, cfg)), cfg)
+        enc = W.encode(self.params, mel, cfg)
+        cross = W.make_cross_kv(self.params, enc, cfg)
+        dtype = self.params["dec"]["tok_emb"].dtype
+        sot = cfg.decoder_start_token_id
+
+        lang_id = self._lang_token(language)
+        if lang_id is None and self.lang_to_id:
+            # HF detect_language: one [sot] forward, argmax restricted to
+            # the language tokens
+            st = W.init_whisper_decode_state(cfg, 1, dtype)
+            logits, _ = W.prefill(
+                self.params, jnp.asarray([[sot]], jnp.int32), st, cross, cfg)
+            row = np.asarray(logits[0, 0], np.float32)
+            cand = np.fromiter(self.lang_to_id.values(), np.int64)
+            lang_id = int(cand[np.argmax(row[cand])])
+
+        forced = [sot]
+        if lang_id is not None:
+            forced.append(int(lang_id))
+        if self.task_to_id:
+            forced.append(int(self.task_to_id.get(
+                task, next(iter(self.task_to_id.values())))))
+        if self.no_timestamps_id is not None:
+            forced.append(int(self.no_timestamps_id))
+
+        state = W.init_whisper_decode_state(cfg, 1, dtype)
+        logits, state = W.prefill(
+            self.params, jnp.asarray([forced], jnp.int32), state, cross, cfg)
+        row = np.asarray(logits[0, -1], np.float32)
+        for t in self.suppress + self.begin_suppress:
+            row[t] = -np.inf
+        first = int(np.argmax(row))
+        max_new = max(self.max_length - len(forced), 1)
+        out = [first]
+        if first != cfg.eos_token_id:
+            tok = jnp.asarray([first], jnp.int32)
+            while len(out) < max_new:
+                block = min(self.decode_block_size, max_new - len(out))
+                toks, state = W.decode_block(
+                    self.params, tok, state, cross, cfg, block=block,
+                    suppress=self.suppress)
+                row_t = [int(t) for t in np.asarray(toks[0])]
+                for t in row_t:
+                    if t == cfg.eos_token_id:
+                        break
+                    out.append(t)
+                else:
+                    tok = toks[:, -1]
+                    continue
+                break
+        if out and out[-1] == cfg.eos_token_id:
+            out = out[:-1]
+        return self.tokenizer.decode(out, skip_special_tokens=True)
+
+    # -- request interface (same semantics as WhisperASR) ---------------
+    decode_base64_audio = WhisperASR.decode_base64_audio
+
+    def run_asr(self, request: Dict) -> str:
+        if self.params is None:
+            self.load()
+        audio = self.decode_base64_audio(request["audio_base64"])
+        source = request.get("source_language",
+                             self.config.asr_default_language)
+        target = request.get("target_language", source)
+        task = "translate" if source != target else "transcribe"
+        return self.transcribe(audio, task=task, language=source).strip()
+
+
+def build_asr(config: Optional[ServeConfig] = None):
+    """ASR factory: ``asr_backend`` picks the host HF pipeline ("hf",
+    the reference-parity default) or the TPU-hosted JAX model ("jax")."""
+    config = config or ServeConfig()
+    backend = getattr(config, "asr_backend", "hf")
+    if backend == "jax":
+        return JAXWhisperASR(config)
+    return WhisperASR(config)

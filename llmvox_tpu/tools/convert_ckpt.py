@@ -18,7 +18,7 @@ from llmvox_tpu.train.checkpoint import save_params_npz
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("kind", choices=["decoder", "codec", "byt5",
-                                         "llama", "utmos"])
+                                         "llama", "utmos", "whisper"])
     parser.add_argument("src")
     parser.add_argument("dst")
     parser.add_argument("--no-encoder", action="store_true",
@@ -70,6 +70,28 @@ def main(argv=None) -> None:
                 "rope_original_max_position": int(
                     rs["original_max_position_embeddings"]),
             })
+        save_params_npz(args.dst, params, meta={"model_args": margs})
+    elif args.kind == "whisper":
+        # HF WhisperForConditionalGeneration dir/name ->
+        # models/whisper.py params + config meta (consumed by
+        # streams/asr.py::JAXWhisperASR)
+        from transformers import WhisperForConditionalGeneration
+        model = WhisperForConditionalGeneration.from_pretrained(args.src)
+        hc, gc = model.config, model.generation_config
+        params = convert.convert_whisper_state_dict(
+            model.state_dict(), hc.encoder_layers, hc.decoder_layers)
+        margs = {
+            "vocab_size": hc.vocab_size, "n_mels": hc.num_mel_bins,
+            "d_model": hc.d_model, "enc_layers": hc.encoder_layers,
+            "dec_layers": hc.decoder_layers,
+            "enc_heads": hc.encoder_attention_heads,
+            "dec_heads": hc.decoder_attention_heads,
+            "enc_ffn": hc.encoder_ffn_dim, "dec_ffn": hc.decoder_ffn_dim,
+            "max_source_positions": hc.max_source_positions,
+            "max_target_positions": hc.max_target_positions,
+            "decoder_start_token_id": int(gc.decoder_start_token_id),
+            "eos_token_id": int(gc.eos_token_id),
+        }
         save_params_npz(args.dst, params, meta={"model_args": margs})
     elif args.kind == "utmos":
         # the reference's UTMOS Lightning checkpoint

@@ -208,6 +208,9 @@ class ServeConfig:
     # ASR settings
     asr_model: str = "small"
     asr_device: str = "cpu"
+    # "hf": host HF pipeline (reference parity, inference/asr.py);
+    # "jax": TPU-hosted models/whisper.py behind the same interface
+    asr_backend: str = "hf"
     asr_sample_rate: float = 16000.0
     asr_max_audio_length: int = 60
     asr_default_language: str = "english"

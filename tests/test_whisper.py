@@ -1,0 +1,307 @@
+"""JAX Whisper ASR (models/whisper.py) — HF-oracle parity, KV-cache block
+decode, the log-mel frontend, and the TPU-hosted ASR adapter.
+
+The reference transcribes voice-chat audio with an HF Whisper pipeline on
+CUDA (inference/asr.py:14-168); here the same model family runs on the
+TPU behind the identical ``run_asr`` interface, making the voice-chat
+stack (ASR + LLM + TTS) single-chip.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from llmvox_tpu.models import whisper as W
+from llmvox_tpu.tools.convert import convert_whisper_state_dict
+
+CFG = W.WhisperConfig(vocab_size=100, n_mels=16, d_model=32, enc_layers=2,
+                      dec_layers=2, enc_heads=2, dec_heads=2, enc_ffn=64,
+                      dec_ffn=64, max_source_positions=30,
+                      max_target_positions=32, decoder_start_token_id=98,
+                      eos_token_id=99)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import (WhisperConfig as HFConfig,
+                              WhisperForConditionalGeneration)
+    hf_cfg = HFConfig(
+        vocab_size=CFG.vocab_size, num_mel_bins=CFG.n_mels,
+        d_model=CFG.d_model, encoder_layers=CFG.enc_layers,
+        decoder_layers=CFG.dec_layers,
+        encoder_attention_heads=CFG.enc_heads,
+        decoder_attention_heads=CFG.dec_heads,
+        encoder_ffn_dim=CFG.enc_ffn, decoder_ffn_dim=CFG.dec_ffn,
+        max_source_positions=CFG.max_source_positions,
+        max_target_positions=CFG.max_target_positions,
+        decoder_start_token_id=CFG.decoder_start_token_id,
+        eos_token_id=CFG.eos_token_id, pad_token_id=CFG.eos_token_id,
+        bos_token_id=CFG.eos_token_id)
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    params = jax.tree.map(jnp.asarray, convert_whisper_state_dict(
+        hf.state_dict(), CFG.enc_layers, CFG.dec_layers))
+    feat = np.random.default_rng(0).normal(
+        size=(2, CFG.n_mels, CFG.n_audio_frames)).astype(np.float32)
+    return hf, params, feat
+
+
+def test_encoder_matches_hf(hf_pair):
+    hf, params, feat = hf_pair
+    with torch.no_grad():
+        want = hf.model.encoder(
+            torch.as_tensor(feat)).last_hidden_state.numpy()
+    got = np.asarray(W.encode(params, jnp.asarray(feat.transpose(0, 2, 1)),
+                              CFG))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_decoder_logits_match_hf(hf_pair):
+    """prefill returns logits at EVERY forced-prompt position == the HF
+    full forward (cross-KV precompute + self-attn cache write path)."""
+    hf, params, feat = hf_pair
+    ids = np.random.default_rng(1).integers(0, CFG.vocab_size, (2, 5))
+    with torch.no_grad():
+        want = hf(torch.as_tensor(feat),
+                  decoder_input_ids=torch.as_tensor(ids)).logits.numpy()
+    enc = W.encode(params, jnp.asarray(feat.transpose(0, 2, 1)), CFG)
+    cross = W.make_cross_kv(params, enc, CFG)
+    st = W.init_whisper_decode_state(CFG, 2)
+    lg, st = W.prefill(params, jnp.asarray(ids, jnp.int32), st, cross, CFG)
+    np.testing.assert_allclose(np.asarray(lg), want, atol=2e-5)
+    assert int(st.pos) == 5
+
+
+def test_greedy_block_decode_matches_hf_loop(hf_pair):
+    """decode_block chained on the prefill cache == the torch full-forward
+    greedy loop, token for token."""
+    hf, params, feat = hf_pair
+    ids = np.random.default_rng(2).integers(0, CFG.vocab_size, (2, 4))
+    enc = W.encode(params, jnp.asarray(feat.transpose(0, 2, 1)), CFG)
+    cross = W.make_cross_kv(params, enc, CFG)
+    st = W.init_whisper_decode_state(CFG, 2)
+    lg, st = W.prefill(params, jnp.asarray(ids, jnp.int32), st, cross, CFG)
+    tok = np.argmax(np.asarray(lg[:, -1]), -1).astype(np.int32)
+
+    tids = np.concatenate([ids, tok[:, None]], 1)
+    want = []
+    with torch.no_grad():
+        for _ in range(6):
+            logits = hf(torch.as_tensor(feat),
+                        decoder_input_ids=torch.as_tensor(tids)
+                        ).logits[:, -1].numpy()
+            nxt = np.argmax(logits, -1)
+            want.append(nxt)
+            tids = np.concatenate([tids, nxt[:, None]], 1)
+    toks, _ = W.decode_block(params, jnp.asarray(tok), st, cross, CFG,
+                             block=6)
+    np.testing.assert_array_equal(np.asarray(toks), np.stack(want, 1))
+
+
+def test_decode_block_chains_and_freezes_eos(hf_pair):
+    """Two chained 3-blocks == one 6-block; and a row whose next token is
+    forced to EOS (via suppress of everything else) stays frozen at EOS."""
+    hf, params, feat = hf_pair
+    ids = np.random.default_rng(3).integers(0, CFG.vocab_size, (2, 3))
+    enc = W.encode(params, jnp.asarray(feat.transpose(0, 2, 1)), CFG)
+    cross = W.make_cross_kv(params, enc, CFG)
+
+    def run(blocks):
+        st = W.init_whisper_decode_state(CFG, 2)
+        lg, st = W.prefill(params, jnp.asarray(ids, jnp.int32), st, cross,
+                           CFG)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        out = []
+        for b in blocks:
+            toks, st = W.decode_block(params, tok, st, cross, CFG, block=b)
+            out.append(np.asarray(toks))
+            tok = toks[:, -1]
+        return np.concatenate(out, 1)
+
+    np.testing.assert_array_equal(run([6]), run([3, 3]))
+
+    # suppress every id except EOS -> first decode step emits EOS, and the
+    # row stays EOS for the whole block (sticky done)
+    st = W.init_whisper_decode_state(CFG, 2)
+    lg, st = W.prefill(params, jnp.asarray(ids, jnp.int32), st, cross, CFG)
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    suppress = tuple(i for i in range(CFG.vocab_size)
+                     if i != CFG.eos_token_id)
+    toks, st = W.decode_block(params, tok, st, cross, CFG, block=4,
+                              suppress=suppress)
+    assert (np.asarray(toks) == CFG.eos_token_id).all()
+    assert np.asarray(st.done).all()
+    # frozen rows keep emitting EOS even without suppression
+    toks, _ = W.decode_block(params, toks[:, -1], st, cross, CFG, block=2)
+    assert (np.asarray(toks) == CFG.eos_token_id).all()
+
+
+def test_log_mel_matches_hf_feature_extractor():
+    """JAX log-mel == the HF WhisperFeatureExtractor numpy path (hann
+    STFT, slaney mel bank, the max-8dB clamp), on the real 80-mel/30 s
+    geometry."""
+    from transformers import WhisperFeatureExtractor
+    fe = WhisperFeatureExtractor(feature_size=80)
+    rng = np.random.default_rng(0)
+    audio = (0.5 * np.sin(2 * np.pi * 440 *
+                          np.arange(16000 * 2) / 16000)
+             + 0.05 * rng.normal(size=16000 * 2)).astype(np.float32)
+    want = fe(audio, sampling_rate=16000,
+              return_tensors="np").input_features[0]       # (80, 3000)
+    cfg = W.WhisperConfig()
+    got = np.asarray(W.log_mel(jnp.asarray(W.pad_or_trim(audio, cfg)),
+                               cfg))[0]                    # (3000, 80)
+    np.testing.assert_allclose(got.T, want, atol=2e-4)
+
+
+def test_converter_cli_roundtrip(hf_pair, tmp_path):
+    """convert_ckpt whisper on a saved HF dir -> npz -> load -> same
+    logits as the in-memory conversion."""
+    from llmvox_tpu.tools.convert_ckpt import main as convert_main
+    from llmvox_tpu.train.checkpoint import load_meta, load_params_npz
+    hf, params, feat = hf_pair
+    src = tmp_path / "hf"
+    hf.save_pretrained(src)
+    dst = tmp_path / "whisper.npz"
+    convert_main(["whisper", str(src), str(dst)])
+    loaded = load_params_npz(str(dst))
+    assert load_meta(str(dst))["model_args"]["d_model"] == CFG.d_model
+    a = jax.tree.leaves(jax.tree.map(np.asarray, loaded))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, params))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+@pytest.fixture(scope="module")
+def tiny_whisper_dir(tmp_path_factory):
+    from tests.tiny_hf import build_tiny_whisper
+    return build_tiny_whisper(str(tmp_path_factory.mktemp("tiny_whisper")))
+
+
+def _speechish(seed: int, seconds: float = 1.0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(16000 * seconds)
+    t = np.arange(n) / 16000
+    return (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.2 * np.sin(2 * np.pi * 660 * t)
+            + 0.1 * rng.normal(size=n)).astype(np.float32)
+
+
+def test_jax_asr_matches_hf_pipeline(tiny_whisper_dir):
+    """End to end vs the real HF ASR pipeline on the tiny checkpoint:
+    auto language detection + transcribe, token-for-token equal text."""
+    from transformers import pipeline
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    audio = _speechish(0)
+    pipe = pipeline("automatic-speech-recognition", model=tiny_whisper_dir,
+                    device="cpu")
+    # num_beams=1: the JAX backend implements greedy decoding (the tiny
+    # checkpoint's generation config defaults to beam 5)
+    want = pipe({"array": audio, "sampling_rate": 16000},
+                generate_kwargs={"task": "transcribe",
+                                 "num_beams": 1})["text"]
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    got = asr.transcribe(audio, task="transcribe", language=None)
+    assert got == want
+
+
+def test_jax_asr_run_asr_translate_routing(tiny_whisper_dir):
+    """run_asr: base64 int16 request, task=translate iff source != target
+    (the reference's routing), vs the HF pipeline given the same forced
+    language + task."""
+    import base64
+    from transformers import pipeline
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    audio = _speechish(1)
+    pcm = (audio * 32768.0).astype(np.int16)
+    b64 = base64.b64encode(pcm.tobytes()).decode()
+
+    pipe = pipeline("automatic-speech-recognition", model=tiny_whisper_dir,
+                    device="cpu")
+    want = pipe({"array": pcm.astype(np.float32) / 32768.0,
+                 "sampling_rate": 16000},
+                generate_kwargs={"task": "translate", "language": "en",
+                                 "num_beams": 1})["text"].strip()
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax",
+                                    asr_default_language="english"))
+    got = asr.run_asr({"audio_base64": b64, "source_language": "english",
+                       "target_language": "german"})
+    assert got == want
+
+
+def test_voicechat_endpoint_with_jax_asr(tiny_whisper_dir):
+    """The TPU-hosted ASR behind the real HTTP /voicechat endpoint: POST
+    base64 PCM -> JAX Whisper transcription -> scripted LLM -> streamed
+    audio (the full-TPU voice-chat wiring through serve/server.py)."""
+    import asyncio
+    import base64
+    import dataclasses
+    import socket
+    import threading
+    import time
+
+    from llmvox_tpu.serve.client import collect_audio, stream_request
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.serve.server import TTSServer
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.streams.scripted import ScriptedStream
+    from tests.test_server import _free_port
+    from tests.tiny_stack import SERVE_CFG, make_engines
+
+    port = _free_port()
+    cfg = dataclasses.replace(SERVE_CFG, api_host="127.0.0.1", api_port=port,
+                              asr_model=tiny_whisper_dir, asr_backend="jax")
+    engines = make_engines(0, cfg)
+    scheduler = StreamingScheduler(engines, cfg)
+    stream_model = ScriptedStream(["A reply to the voice query."],
+                                  eos_token=cfg.eos_token)
+    asr = JAXWhisperASR(cfg)
+    asr.load()
+    srv = TTSServer(scheduler, cfg, stream_model=stream_model,
+                    asr_model=asr)
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.serve())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        for _ in range(100):
+            try:
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=0.2):
+                    break
+            except OSError:
+                time.sleep(0.1)
+        pcm = (_speechish(2) * 32768.0).astype(np.int16)
+        wav, _ = collect_audio(stream_request(
+            "127.0.0.1", port, "/voicechat",
+            {"audio_base64": base64.b64encode(pcm.tobytes()).decode(),
+             "source_language": "english", "target_language": "english"},
+            timeout=300))
+        assert len(wav) > 0 and np.isfinite(wav).all()
+    finally:
+        srv.shutdown()
+        t.join(timeout=10)
+        loop.close()
+
+
+def test_build_asr_backend_selection():
+    from llmvox_tpu.streams.asr import JAXWhisperASR, WhisperASR, build_asr
+    from llmvox_tpu.utils.config import ServeConfig
+    assert isinstance(build_asr(ServeConfig()), WhisperASR)
+    assert isinstance(build_asr(ServeConfig(asr_backend="jax")),
+                      JAXWhisperASR)
