@@ -268,6 +268,11 @@ def encode(params: Dict, mel: jnp.ndarray,
     sinusoid table, pre-norm transformer, final LayerNorm."""
     p = params["enc"]
     b = mel.shape[0]
+    # run the encoder in the parameter dtype: log_mel returns f32 (its
+    # numerics are the HF extractor contract), but under bf16 serving the
+    # whole stack — and the cross-KV it feeds — must stay bf16, or the
+    # decoder residual silently promotes to f32 (scan carry mismatch)
+    mel = mel.astype(p["conv1_w"].dtype)
     x = ops.gelu_exact(ops.conv1d(mel, p["conv1_w"], p["conv1_b"],
                                   padding=1))
     x = ops.gelu_exact(ops.conv1d(x, p["conv2_w"], p["conv2_b"],
@@ -354,11 +359,14 @@ def _decoder_layer(lp: Dict, x: jnp.ndarray, k_cache, v_cache, xk, xv,
     s = k_cache.shape[1]
     jpos = lax.broadcasted_iota(jnp.int32, (t, s), 1)
     ipos = lax.broadcasted_iota(jnp.int32, (t, s), 0)
-    att = _mha(q, k_cache, v_cache, jpos <= pos + ipos)
+    # cache/cross dtypes may differ from the activation dtype — cast after
+    # the value matmul so the residual stream keeps x's dtype through the
+    # scan carry (same rule as models/llama.py::_layer_step_rows)
+    att = _mha(q, k_cache, v_cache, jpos <= pos + ipos).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.d_model), lp["wo"], lp["bo"])
     h = ops.layer_norm(x, lp["lnx_s"], lp["lnx_b"], 1e-5)
     q = ops.linear(h, lp["xwq"], lp["xbq"]).reshape(b, t, cfg.dec_heads, hd)
-    att = _mha(q, xk, xv)
+    att = _mha(q, xk, xv).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.d_model), lp["xwo"], lp["xbo"])
     h = ops.layer_norm(x, lp["ln2_s"], lp["ln2_b"], 1e-5)
     h = ops.gelu_exact(ops.linear(h, lp["fc1_w"], lp["fc1_b"]))

@@ -205,6 +205,87 @@ class JAXWhisperASR:
             out = out[:-1]
         return self.tokenizer.decode(out, skip_special_tokens=True)
 
+    def transcribe_batch(self, audios, task: str = "transcribe",
+                         language: Optional[str] = None):
+        """Batched transcription: N utterances through ONE encoder /
+        cross-KV / block-decode program chain (the TPU throughput path —
+        the HF pipeline the reference uses runs utterances one by one).
+        Per-row language detection; rows freeze at their own EOS on
+        device.  Returns a list of N strings."""
+        import jax.numpy as jnp
+
+        from llmvox_tpu.models import whisper as W
+        if self.params is None:
+            self.load()
+        cfg = self.cfg
+        n = len(audios)
+        batch = np.concatenate([W.pad_or_trim(a, cfg) for a in audios])
+        mel = W.log_mel(jnp.asarray(batch), cfg)
+        enc = W.encode(self.params, mel, cfg)
+        cross = W.make_cross_kv(self.params, enc, cfg)
+        dtype = self.params["dec"]["tok_emb"].dtype
+        sot = cfg.decoder_start_token_id
+
+        lang_id = self._lang_token(language)
+        if lang_id is not None:
+            lang_ids = [int(lang_id)] * n
+        elif self.lang_to_id:
+            st = W.init_whisper_decode_state(cfg, n, dtype)
+            logits, _ = W.prefill(
+                self.params, jnp.full((n, 1), sot, jnp.int32), st, cross,
+                cfg)
+            rows = np.asarray(logits[:, 0], np.float32)
+            cand = np.fromiter(self.lang_to_id.values(), np.int64)
+            lang_ids = [int(cand[np.argmax(r[cand])]) for r in rows]
+        else:
+            lang_ids = None
+
+        forced = np.full((n, 1), sot, np.int32)
+        if lang_ids is not None:
+            forced = np.concatenate(
+                [forced, np.asarray(lang_ids, np.int32)[:, None]], 1)
+        if self.task_to_id:
+            tid = int(self.task_to_id.get(
+                task, next(iter(self.task_to_id.values()))))
+            forced = np.concatenate(
+                [forced, np.full((n, 1), tid, np.int32)], 1)
+        if self.no_timestamps_id is not None:
+            forced = np.concatenate(
+                [forced, np.full((n, 1), int(self.no_timestamps_id),
+                                 np.int32)], 1)
+
+        state = W.init_whisper_decode_state(cfg, n, dtype)
+        logits, state = W.prefill(self.params, jnp.asarray(forced), state,
+                                  cross, cfg)
+        rows = np.asarray(logits[:, -1], np.float32)
+        for t in self.suppress + self.begin_suppress:
+            rows[:, t] = -np.inf
+        first = rows.argmax(-1).astype(np.int32)
+        max_new = max(self.max_length - forced.shape[1], 1)
+        outs = [[int(t)] for t in first]
+        eos = cfg.eos_token_id
+        # seed the device-side freeze for rows whose FIRST token is EOS
+        state = state._replace(done=jnp.asarray(first == eos))
+        tok = jnp.asarray(first)
+        produced = 1
+        while produced < max_new and not bool(np.asarray(state.done).all()):
+            block = min(self.decode_block_size, max_new - produced)
+            toks, state = W.decode_block(self.params, tok, state, cross,
+                                         cfg, block=block,
+                                         suppress=self.suppress)
+            host = np.asarray(toks)
+            for i in range(n):
+                outs[i].extend(int(t) for t in host[i])
+            produced += block
+            tok = toks[:, -1]
+        texts = []
+        for row in outs:
+            if eos in row:
+                row = row[: row.index(eos)]
+            texts.append(self.tokenizer.decode(row,
+                                               skip_special_tokens=True))
+        return texts
+
     # -- request interface (same semantics as WhisperASR) ---------------
     decode_base64_audio = WhisperASR.decode_base64_audio
 

@@ -240,6 +240,21 @@ def test_jax_asr_run_asr_translate_routing(tiny_whisper_dir):
     assert got == want
 
 
+def test_transcribe_batch_matches_sequential(tiny_whisper_dir):
+    """Batched N-utterance transcription (one program chain, per-row
+    language detection + EOS freeze) == per-utterance transcribe."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    audios = [_speechish(0), _speechish(3, 0.5), _speechish(4, 1.5)]
+    want = [asr.transcribe(a, task="transcribe", language=None)
+            for a in audios]
+    got = asr.transcribe_batch(audios, task="transcribe", language=None)
+    assert got == want
+
+
 def test_voicechat_endpoint_with_jax_asr(tiny_whisper_dir):
     """The TPU-hosted ASR behind the real HTTP /voicechat endpoint: POST
     base64 PCM -> JAX Whisper transcription -> scripted LLM -> streamed
