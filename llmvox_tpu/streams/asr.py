@@ -25,6 +25,19 @@ def resolve_whisper_name(name: str) -> str:
     return name
 
 
+def load_asr_audio(path: str, target_sr: int) -> np.ndarray:
+    """File -> mono float32 at ``target_sr``, peak-normalized — the
+    reference's preprocess_audio + transcribe gain (inference/asr.py:
+    70-102: torchaudio load/resample, first channel, ``y /= max(|y|)``),
+    built on the repo's stdlib WAV reader + native polyphase resampler."""
+    from llmvox_tpu.utils.audio import convert_audio, read_wav
+    wav, sr = read_wav(path)
+    wav = np.atleast_2d(wav)
+    y = convert_audio(wav, sr, target_sr, 1).reshape(-1).astype(np.float32)
+    peak = np.max(np.abs(y)) if y.size else 0.0
+    return y / (peak if peak > 0 else 1.0)
+
+
 class WhisperASR:
     def __init__(self, config: Optional[ServeConfig] = None):
         self.config = config or ServeConfig()
@@ -38,13 +51,21 @@ class WhisperASR:
             device=self.config.asr_device)
 
     def decode_base64_audio(self, audio_base64: str) -> np.ndarray:
-        """base64 int16 PCM -> float32 in [-1, 1] (inference/asr.py semantics)."""
+        """base64 int16 PCM -> float32, PEAK-normalized to [-1, 1] — the
+        reference's transcribe_raw gain (inference/asr.py:126-127:
+        ``y /= max(|y|)``, NOT a fixed /32768: absolute gain shifts the
+        Whisper log-mel features, so this matters for parity)."""
         raw = base64.b64decode(audio_base64)
         pcm = np.frombuffer(raw, dtype=np.int16)
-        return pcm.astype(np.float32) / 32768.0
+        y = pcm.astype(np.float32)
+        peak = np.max(np.abs(y)) if y.size else 0.0
+        return y / (peak if peak > 0 else 1.0)
 
     def run_asr(self, request: Dict) -> str:
-        """Transcribe a request with audio_base64 (+ source/target_language)."""
+        """Transcribe a request with audio_base64 (+ source/target_language).
+        Language routing matches run_asr -> transcribe_raw
+        (inference/asr.py:138-168): task = translate iff source != target,
+        and the source language is passed to generation."""
         if self.transcriber is None:
             self.load()
         audio = self.decode_base64_audio(request["audio_base64"])
@@ -52,11 +73,30 @@ class WhisperASR:
                              self.config.asr_default_language)
         target = request.get("target_language", source)
         task = "translate" if source != target else "transcribe"
+        kwargs = {"task": task}
+        if source:
+            kwargs["language"] = str(source).lower()
         out = self.transcriber(
             {"array": audio, "sampling_rate": int(self.config.asr_sample_rate)},
-            generate_kwargs={"task": task},
+            generate_kwargs=kwargs,
         )
         return out["text"].strip()
+
+    def transcribe_file(self, path: str, language: Optional[str] = None,
+                        task: str = "transcribe") -> str:
+        """Reference ``ASR.transcribe`` (inference/asr.py:88-111): load +
+        resample a file, peak-normalize, transcribe."""
+        if self.transcriber is None:
+            self.load()
+        audio = load_asr_audio(path, int(self.config.asr_sample_rate))
+        kwargs = {"task": task}
+        if language is not None:
+            kwargs["language"] = language.lower()
+        out = self.transcriber(
+            {"array": audio,
+             "sampling_rate": int(self.config.asr_sample_rate)},
+            generate_kwargs=kwargs)
+        return out["text"]
 
 
 class JAXWhisperASR:
@@ -288,6 +328,14 @@ class JAXWhisperASR:
 
     # -- request interface (same semantics as WhisperASR) ---------------
     decode_base64_audio = WhisperASR.decode_base64_audio
+
+    def transcribe_file(self, path: str, language: Optional[str] = None,
+                        task: str = "transcribe") -> str:
+        """Reference ``ASR.transcribe`` on the TPU backend."""
+        if self.params is None:
+            self.load()
+        audio = load_asr_audio(path, int(self.config.asr_sample_rate))
+        return self.transcribe(audio, task=task, language=language)
 
     def run_asr(self, request: Dict) -> str:
         if self.params is None:

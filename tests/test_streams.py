@@ -54,7 +54,10 @@ def test_hf_llm_adapter_streams_deltas():
 
 
 def test_asr_base64_decode():
-    """base64 int16 PCM -> float32 [-1, 1] (inference/asr.py semantics)."""
+    """base64 int16 PCM -> float32 PEAK-normalized to [-1, 1] — the
+    reference's transcribe_raw gain (inference/asr.py:126-127
+    ``y /= max(|y|)``), which differs from a fixed /32768 whenever the
+    clip doesn't hit full scale."""
     import base64
     from llmvox_tpu.streams.asr import WhisperASR
     pcm = np.array([0, 16384, -32768, 32767], np.int16)
@@ -63,6 +66,15 @@ def test_asr_base64_decode():
     np.testing.assert_allclose(
         out, [0.0, 0.5, -1.0, 32767 / 32768.0], atol=1e-6)
     assert out.dtype == np.float32
+    # a quiet clip normalizes by its own peak, not full scale
+    quiet = np.array([0, 100, -200], np.int16)
+    out = WhisperASR().decode_base64_audio(
+        base64.b64encode(quiet.tobytes()).decode())
+    np.testing.assert_allclose(out, [0.0, 0.5, -1.0], atol=1e-6)
+    # silence must not divide by zero
+    out = WhisperASR().decode_base64_audio(
+        base64.b64encode(np.zeros(4, np.int16).tobytes()).decode())
+    np.testing.assert_allclose(out, np.zeros(4), atol=1e-9)
 
 
 def test_multimodal_decode_helpers():

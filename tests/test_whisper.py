@@ -225,10 +225,13 @@ def test_jax_asr_run_asr_translate_routing(tiny_whisper_dir):
     pcm = (audio * 32768.0).astype(np.int16)
     b64 = base64.b64encode(pcm.tobytes()).decode()
 
+    # the request path peak-normalizes (reference transcribe_raw gain) and
+    # forwards the source language — feed the pipeline the same signal
+    y = pcm.astype(np.float32)
+    y /= np.max(np.abs(y))
     pipe = pipeline("automatic-speech-recognition", model=tiny_whisper_dir,
                     device="cpu")
-    want = pipe({"array": pcm.astype(np.float32) / 32768.0,
-                 "sampling_rate": 16000},
+    want = pipe({"array": y, "sampling_rate": 16000},
                 generate_kwargs={"task": "translate", "language": "en",
                                  "num_beams": 1})["text"].strip()
 
@@ -238,6 +241,29 @@ def test_jax_asr_run_asr_translate_routing(tiny_whisper_dir):
     got = asr.run_asr({"audio_base64": b64, "source_language": "english",
                        "target_language": "german"})
     assert got == want
+
+
+def test_transcribe_file_loads_resamples_normalizes(tiny_whisper_dir,
+                                                    tmp_path):
+    """File-path transcription (reference ASR.transcribe,
+    inference/asr.py:88-111): WAV load, resample to the ASR rate,
+    peak-normalize, same text as transcribing the loaded audio."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR, load_asr_audio
+    from llmvox_tpu.utils.audio import write_wav
+    from llmvox_tpu.utils.config import ServeConfig
+
+    audio24 = _speechish(5)          # pretend it's 24 kHz material
+    path = str(tmp_path / "clip.wav")
+    write_wav(path, 0.5 * audio24, 24000)
+    y = load_asr_audio(path, 16000)
+    assert abs(len(y) - len(audio24) * 16000 // 24000) <= 2
+    assert abs(float(np.max(np.abs(y))) - 1.0) < 1e-6   # peak-normalized
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    assert (asr.transcribe_file(path, language="en")
+            == asr.transcribe(y, task="transcribe", language="en"))
 
 
 def test_transcribe_batch_matches_sequential(tiny_whisper_dir):
