@@ -279,42 +279,20 @@ def main() -> None:
      combined_rtf_4way, llm_pool_8way_tok_s) = asyncio.run(combined_bench())
 
     # ---- TPU-hosted Whisper ASR (voice-chat input leg) -----------------
-    # whisper-base shapes, random bf16 weights; one utterance end to end
-    # (log-mel -> encode -> cross-KV -> prefill -> 2 greedy decode blocks)
-    # and batch-8 through one program chain (models/whisper.py)
-    from llmvox_tpu.models import whisper as W
-    wcfg = W.WhisperConfig(vocab_size=51865, d_model=512, enc_layers=6,
-                           dec_layers=6, enc_heads=8, dec_heads=8,
-                           enc_ffn=2048, dec_ffn=2048)
-    wparams = jax.device_put(
-        jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                     W.init_whisper_params(jax.random.PRNGKey(9), wcfg)),
-        dev)
-    wav1 = W.pad_or_trim(np.random.default_rng(1).normal(
-        size=16000 * 5).astype(np.float32), wcfg)
-
-    def asr_once(batch: int) -> float:
-        wav = np.repeat(wav1, batch, axis=0)
-        t0 = time.perf_counter()
-        mel = W.log_mel(jnp.asarray(wav), wcfg)
-        enc = W.encode(wparams, mel, wcfg)
-        cross = W.make_cross_kv(wparams, enc, wcfg)
-        st = W.init_whisper_decode_state(wcfg, batch, jnp.bfloat16)
-        lg, st = W.prefill(wparams, jnp.full((batch, 4), 3, jnp.int32),
-                           st, cross, wcfg)
-        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
-        for _ in range(2):
-            toks, st = W.decode_block(wparams, tok, st, cross, wcfg,
-                                      block=16)
-            tok = toks[:, -1]
-        np.asarray(tok)
-        return time.perf_counter() - t0
-
+    # whisper-base shapes, random bf16 weights; the measurement harness is
+    # shared with benchmarks/whisper_bench.py so the two can't drift
+    from benchmarks.whisper_bench import (base_cfg, bench_wav, make_params,
+                                          run_utterance)
+    wcfg = base_cfg()
+    wparams = make_params(wcfg, dev)
+    wav1 = bench_wav(wcfg)
     for b in (1, 8):
-        asr_once(b)
-        asr_once(b)
-    asr_ms = 1000 * statistics.median([asr_once(1) for _ in range(5)])
-    asr_b8_utt_s = 8 / statistics.median([asr_once(8) for _ in range(3)])
+        run_utterance(wparams, wcfg, wav1, b)
+        run_utterance(wparams, wcfg, wav1, b)
+    asr_ms = 1000 * statistics.median(
+        [run_utterance(wparams, wcfg, wav1, 1)[2] for _ in range(5)])
+    asr_b8_utt_s = 8 / statistics.median(
+        [run_utterance(wparams, wcfg, wav1, 8)[2] for _ in range(3)])
 
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS

@@ -28,11 +28,12 @@ def resolve_whisper_name(name: str) -> str:
 def load_asr_audio(path: str, target_sr: int) -> np.ndarray:
     """File -> mono float32 at ``target_sr``, peak-normalized — the
     reference's preprocess_audio + transcribe gain (inference/asr.py:
-    70-102: torchaudio load/resample, first channel, ``y /= max(|y|)``),
-    built on the repo's stdlib WAV reader + native polyphase resampler."""
+    70-102: torchaudio load/resample, FIRST channel only, ``y /=
+    max(|y|)``), built on the repo's stdlib WAV reader + polyphase
+    resampler."""
     from llmvox_tpu.utils.audio import convert_audio, read_wav
     wav, sr = read_wav(path)
-    wav = np.atleast_2d(wav)
+    wav = np.atleast_2d(wav)[:1]       # first channel, like the reference
     y = convert_audio(wav, sr, target_sr, 1).reshape(-1).astype(np.float32)
     peak = np.max(np.abs(y)) if y.size else 0.0
     return y / (peak if peak > 0 else 1.0)
@@ -49,6 +50,10 @@ class WhisperASR:
             "automatic-speech-recognition",
             model=resolve_whisper_name(self.config.asr_model),
             device=self.config.asr_device)
+        # English-only checkpoints (*.en) have no lang_to_id and reject a
+        # language kwarg entirely — only multilingual models get one
+        gc = getattr(self.transcriber.model, "generation_config", None)
+        self._multilingual = bool(getattr(gc, "lang_to_id", None))
 
     def decode_base64_audio(self, audio_base64: str) -> np.ndarray:
         """base64 int16 PCM -> float32, PEAK-normalized to [-1, 1] — the
@@ -74,7 +79,7 @@ class WhisperASR:
         target = request.get("target_language", source)
         task = "translate" if source != target else "transcribe"
         kwargs = {"task": task}
-        if source:
+        if source and self._multilingual:
             kwargs["language"] = str(source).lower()
         out = self.transcriber(
             {"array": audio, "sampling_rate": int(self.config.asr_sample_rate)},
@@ -90,7 +95,7 @@ class WhisperASR:
             self.load()
         audio = load_asr_audio(path, int(self.config.asr_sample_rate))
         kwargs = {"task": task}
-        if language is not None:
+        if language is not None and self._multilingual:
             kwargs["language"] = language.lower()
         out = self.transcriber(
             {"array": audio,
@@ -126,46 +131,82 @@ class JAXWhisperASR:
 
     # -- loading --------------------------------------------------------
     def load(self) -> None:
-        import jax
-        import jax.numpy as jnp
-        from transformers import (WhisperForConditionalGeneration,
-                                  WhisperTokenizer)
+        """Load weights + generation metadata.  ``asr_model`` may be an
+        HF checkpoint dir/hub name (converted in memory) or a
+        ``convert_ckpt whisper`` .npz artifact — the npz path keeps the
+        torch checkpoint out of the serve process entirely (only the
+        tokenizer files are read from ``tokenizer_src``)."""
+        import os
 
         from llmvox_tpu.models import whisper as W
-        from llmvox_tpu.tools.convert import convert_whisper_state_dict
 
-        name = resolve_whisper_name(self.config.asr_model)
-        model = WhisperForConditionalGeneration.from_pretrained(name).eval()
-        hc = model.config
-        self.tokenizer = WhisperTokenizer.from_pretrained(name)
-        gc = model.generation_config
-        self.cfg = W.WhisperConfig(
-            vocab_size=hc.vocab_size, n_mels=hc.num_mel_bins,
-            d_model=hc.d_model, enc_layers=hc.encoder_layers,
-            dec_layers=hc.decoder_layers,
-            enc_heads=hc.encoder_attention_heads,
-            dec_heads=hc.decoder_attention_heads,
-            enc_ffn=hc.encoder_ffn_dim, dec_ffn=hc.decoder_ffn_dim,
-            max_source_positions=hc.max_source_positions,
-            max_target_positions=hc.max_target_positions,
-            decoder_start_token_id=int(gc.decoder_start_token_id),
-            eos_token_id=int(gc.eos_token_id))
-        params = convert_whisper_state_dict(
-            model.state_dict(), hc.encoder_layers, hc.decoder_layers)
+        name = self.config.asr_model
+        if name.endswith(".npz") and os.path.isfile(name):
+            from llmvox_tpu.train.checkpoint import (load_meta,
+                                                     load_params_npz)
+            meta = load_meta(name)
+            params = load_params_npz(name)
+            self.cfg = W.WhisperConfig(**meta["model_args"])
+            gen = meta.get("generation", {})
+            tok_src = meta.get("tokenizer_src")
+        else:
+            from transformers import WhisperForConditionalGeneration
+
+            from llmvox_tpu.tools.convert import convert_whisper_state_dict
+            name = resolve_whisper_name(name)
+            model = WhisperForConditionalGeneration.from_pretrained(
+                name).eval()
+            hc, gc = model.config, model.generation_config
+            self.cfg = W.WhisperConfig(
+                vocab_size=hc.vocab_size, n_mels=hc.num_mel_bins,
+                d_model=hc.d_model, enc_layers=hc.encoder_layers,
+                dec_layers=hc.decoder_layers,
+                enc_heads=hc.encoder_attention_heads,
+                dec_heads=hc.decoder_attention_heads,
+                enc_ffn=hc.encoder_ffn_dim, dec_ffn=hc.decoder_ffn_dim,
+                max_source_positions=hc.max_source_positions,
+                max_target_positions=hc.max_target_positions,
+                decoder_start_token_id=int(gc.decoder_start_token_id),
+                eos_token_id=int(gc.eos_token_id))
+            params = convert_whisper_state_dict(
+                model.state_dict(), hc.encoder_layers, hc.decoder_layers)
+            gen = {
+                "lang_to_id": dict(getattr(gc, "lang_to_id", None) or {}),
+                "task_to_id": dict(getattr(gc, "task_to_id", None) or {}),
+                "no_timestamps_token_id": getattr(
+                    gc, "no_timestamps_token_id", None),
+                "suppress_tokens": list(
+                    getattr(gc, "suppress_tokens", None) or []),
+                "begin_suppress_tokens": list(
+                    getattr(gc, "begin_suppress_tokens", None) or []),
+                "max_length": getattr(gc, "max_length", None),
+            }
+            tok_src = name
+        self._finish_load(params, gen, tok_src)
+
+    def _finish_load(self, params, gen: Dict, tok_src) -> None:
+        import jax
+        import jax.numpy as jnp
+        from transformers import WhisperTokenizer
+
+        self.tokenizer = WhisperTokenizer.from_pretrained(tok_src)
         if self.dtype is not None:
             params = jax.tree.map(lambda x: x.astype(self.dtype), params)
         if self.device is not None:
             params = jax.device_put(params, self.device)
         self.params = jax.tree.map(jnp.asarray, params)
-        # generation-config metadata (HF names)
-        self.lang_to_id = dict(getattr(gc, "lang_to_id", None) or {})
-        self.task_to_id = dict(getattr(gc, "task_to_id", None) or {})
-        self.no_timestamps_id = getattr(gc, "no_timestamps_token_id", None)
-        self.suppress = tuple(getattr(gc, "suppress_tokens", None) or ())
+        self.lang_to_id = {k: int(v)
+                           for k, v in (gen.get("lang_to_id") or {}).items()}
+        self.task_to_id = {k: int(v)
+                           for k, v in (gen.get("task_to_id") or {}).items()}
+        nt = gen.get("no_timestamps_token_id")
+        self.no_timestamps_id = int(nt) if nt is not None else None
+        self.suppress = tuple(int(t)
+                              for t in gen.get("suppress_tokens") or ())
         self.begin_suppress = tuple(
-            getattr(gc, "begin_suppress_tokens", None) or ())
-        self.max_length = int(getattr(gc, "max_length", None)
-                              or self.cfg.max_target_positions)
+            int(t) for t in gen.get("begin_suppress_tokens") or ())
+        ml = gen.get("max_length")
+        self.max_length = int(ml) if ml else self.cfg.max_target_positions
         self.decode_block_size = 16
 
     def _lang_token(self, language: Optional[str]) -> Optional[int]:
@@ -219,7 +260,10 @@ class JAXWhisperASR:
         state = W.init_whisper_decode_state(cfg, 1, dtype)
         logits, state = W.prefill(
             self.params, jnp.asarray([forced], jnp.int32), state, cross, cfg)
-        row = np.asarray(logits[0, -1], np.float32)
+        # np.array, not np.asarray: the zero-copy view of a JAX array is
+        # read-only, and every real Whisper checkpoint ships suppress
+        # tokens that must be masked here
+        row = np.array(logits[0, -1], np.float32)
         for t in self.suppress + self.begin_suppress:
             row[t] = -np.inf
         first = int(np.argmax(row))
@@ -297,7 +341,7 @@ class JAXWhisperASR:
         state = W.init_whisper_decode_state(cfg, n, dtype)
         logits, state = W.prefill(self.params, jnp.asarray(forced), state,
                                   cross, cfg)
-        rows = np.asarray(logits[:, -1], np.float32)
+        rows = np.array(logits[:, -1], np.float32)   # copy: view is read-only
         for t in self.suppress + self.begin_suppress:
             rows[:, t] = -np.inf
         first = rows.argmax(-1).astype(np.int32)

@@ -92,7 +92,22 @@ def main(argv=None) -> None:
             "decoder_start_token_id": int(gc.decoder_start_token_id),
             "eos_token_id": int(gc.eos_token_id),
         }
-        save_params_npz(args.dst, params, meta={"model_args": margs})
+        # generation metadata + tokenizer source: everything the serving
+        # backend needs so transformers/torch stay out of the serve path
+        gen = {
+            "lang_to_id": dict(getattr(gc, "lang_to_id", None) or {}),
+            "task_to_id": dict(getattr(gc, "task_to_id", None) or {}),
+            "no_timestamps_token_id": getattr(gc, "no_timestamps_token_id",
+                                              None),
+            "suppress_tokens": list(getattr(gc, "suppress_tokens", None)
+                                    or []),
+            "begin_suppress_tokens": list(
+                getattr(gc, "begin_suppress_tokens", None) or []),
+            "max_length": getattr(gc, "max_length", None),
+        }
+        save_params_npz(args.dst, params,
+                        meta={"model_args": margs, "generation": gen,
+                              "tokenizer_src": args.src})
     elif args.kind == "utmos":
         # the reference's UTMOS Lightning checkpoint
         # ("epoch=3-step=7459.ckpt", WavTokenizer/metrics/UTMOS.py:26-28)

@@ -340,6 +340,50 @@ def test_voicechat_endpoint_with_jax_asr(tiny_whisper_dir):
         loop.close()
 
 
+def test_jax_asr_serves_from_converted_npz(tiny_whisper_dir, tmp_path):
+    """convert_ckpt whisper -> .npz is a first-class serving artifact:
+    JAXWhisperASR loads it (weights + generation metadata, tokenizer via
+    the recorded source) and transcribes identically to the HF-dir
+    load path."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.tools.convert_ckpt import main as convert_main
+    from llmvox_tpu.utils.config import ServeConfig
+
+    npz = str(tmp_path / "w.npz")
+    convert_main(["whisper", tiny_whisper_dir, npz])
+    audio = _speechish(6)
+    a_dir = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                      asr_backend="jax"))
+    a_npz = JAXWhisperASR(ServeConfig(asr_model=npz, asr_backend="jax"))
+    a_dir.load()
+    a_npz.load()
+    assert a_npz.suppress == a_dir.suppress
+    assert a_npz.lang_to_id == a_dir.lang_to_id
+    assert (a_npz.transcribe(audio, language="en")
+            == a_dir.transcribe(audio, language="en"))
+
+
+def test_suppress_tokens_dont_crash_and_mask(tiny_whisper_dir):
+    """Real checkpoints ship suppress_tokens; masking them must not
+    mutate a read-only device-array view (regression), and a suppressed
+    id must never be emitted."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    audio = _speechish(7)
+    base = asr.transcribe(audio, language="en")
+    # token 40 ('I') dominates this tiny model's greedy output
+    forty = asr.tokenizer.convert_tokens_to_ids("I")
+    asr.suppress = (forty,)
+    asr.begin_suppress = (forty,)
+    got = asr.transcribe(audio, language="en")
+    assert "I" not in got and got != base
+    batch = asr.transcribe_batch([audio, _speechish(8)], language="en")
+    assert all("I" not in t for t in batch)
+
+
 def test_build_asr_backend_selection():
     from llmvox_tpu.streams.asr import JAXWhisperASR, WhisperASR, build_asr
     from llmvox_tpu.utils.config import ServeConfig
