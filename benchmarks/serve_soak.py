@@ -39,6 +39,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=5003)
     ap.add_argument("--pool_capacity", type=int, default=16)
+    ap.add_argument("--pool_ladder", type=str, default="",
+                    help="comma capacities, e.g. 16,32 — occupancy-"
+                         "adaptive PoolLadder instead of one pool")
     ap.add_argument("--max_audio_length", type=int, default=600)
     args = ap.parse_args(argv)
 
@@ -70,10 +73,19 @@ def main(argv=None) -> None:
     print("warming up engines...", flush=True)
     for e in engines:
         e.warmup()
-    pool = DecodePool(params, table, engines[0].codec,
-                      capacity=scfg.pool_capacity, dcfg=dcfg, scfg=scfg,
-                      device=dev, cache_dtype=jnp.bfloat16)
-    print(f"pool: {scfg.pool_capacity} slots; warming...", flush=True)
+    if args.pool_ladder:
+        from llmvox_tpu.serve.pool import PoolLadder
+        caps = sorted(int(c) for c in args.pool_ladder.split(","))
+        pool = PoolLadder([
+            DecodePool(params, table, engines[0].codec, capacity=c,
+                       dcfg=dcfg, scfg=scfg, device=dev,
+                       cache_dtype=jnp.bfloat16) for c in caps])
+        print(f"pool ladder: {caps}; warming...", flush=True)
+    else:
+        pool = DecodePool(params, table, engines[0].codec,
+                          capacity=scfg.pool_capacity, dcfg=dcfg, scfg=scfg,
+                          device=dev, cache_dtype=jnp.bfloat16)
+        print(f"pool: {scfg.pool_capacity} slots; warming...", flush=True)
     server = build_server(scfg, engines, pool=pool)
     print(f"READY on 127.0.0.1:{args.port}", flush=True)
     server.run()

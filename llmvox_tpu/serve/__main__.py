@@ -63,7 +63,16 @@ def main(argv=None) -> None:
         e.warmup()
 
     pool = None
-    if cfg.pool_capacity > 0:
+    if cfg.pool_ladder:
+        # occupancy-adaptive capacity ladder (PoolLadder docstring)
+        from llmvox_tpu.serve.pool import DecodePool, PoolLadder
+        pool = PoolLadder([
+            DecodePool(dec_params, table, engines[0].codec, capacity=c,
+                       dcfg=dcfg, scfg=cfg, device=devs[0],
+                       cache_dtype=dtype)
+            for c in sorted(cfg.pool_ladder)])
+        print(f"continuous-batching pool ladder: {sorted(cfg.pool_ladder)}")
+    elif cfg.pool_capacity > 0:
         from llmvox_tpu.serve.pool import DecodePool
         mesh = None
         if cfg.pool_mesh_dp > 1:

@@ -189,13 +189,23 @@ class DecodePool:
         self.synth_calls = 0
 
     # -- slot lifecycle -------------------------------------------------
-    def acquire(self) -> int:
+    def try_acquire(self) -> Optional[int]:
         for i, s in enumerate(self.slots):
             if not s.active:
                 s.active = True
                 s.pending_reset = True
                 return i
-        raise RuntimeError("decode pool exhausted")
+        return None
+
+    def acquire(self) -> int:
+        idx = self.try_acquire()
+        if idx is None:
+            raise RuntimeError("decode pool exhausted")
+        return idx
+
+    @property
+    def active_count(self) -> int:
+        return sum(1 for s in self.slots if s.active)
 
     def release(self, idx: int) -> None:
         slot = self.slots[idx]
@@ -581,13 +591,101 @@ class DecodePool:
         self._inflight = None
 
 
+class PoolLadder:
+    """Occupancy-adaptive set of DecodePools (small -> large capacity).
+
+    The measured trade this solves (STATUS r3): a batched pool's step
+    cost scales with its CAPACITY, not its occupancy — inactive slots
+    ride along in every decode.  A 16-slot pool serves 8 concurrent
+    requests at 117x aggregate but queues 16 (each request holds two
+    replica slots); a 32-slot pool serves 16-way at 160x but halves
+    8-way.  The ladder keeps BOTH compiled programs and routes engines
+    to the smallest pool covering current demand; engines migrate at
+    sentence boundaries (``PooledEngine.new_state``), where the slot
+    state is reset anyway, so migration copies nothing.  In steady
+    state only one pool's program is stepping; both run only during the
+    few-second drift after a load shift.
+
+    Duck-types the DecodePool surface the server uses (``B`` for
+    admission sizing, ``warmup``, ``stop``) so ``build_server`` /
+    ``TTSServer`` take it as the ``pool`` argument unchanged.
+    """
+
+    def __init__(self, pools: Sequence[DecodePool], decay_s: float = 10.0):
+        assert pools, "ladder needs at least one pool"
+        caps = [p.B for p in pools]
+        assert caps == sorted(caps), "order pools small -> large"
+        blocks = {(p.block, p.big_block, p.issue_ahead) for p in pools}
+        assert len(blocks) == 1, \
+            "ladder pools must share block config (scheduler sees one)"
+        self.pools = list(pools)
+        # Demand = a DECAYING HIGH-WATER MARK of active slots, not the
+        # instantaneous count: closed-loop bursts of single-sentence
+        # requests otherwise split across rungs at every wave start (the
+        # first arrivals see low occupancy, route small, and — with no
+        # later sentence boundary — can never migrate out), leaving BOTH
+        # programs stepping for the whole wave.  Holding the peak for
+        # ``decay_s`` routes waves 2+ of a sustained burst straight to
+        # the big rung; after ``decay_s`` of lower demand the target
+        # drifts back down.
+        self.decay_s = float(decay_s)
+        self._peak = 0
+        self._peak_t = time.monotonic()
+
+    def _demand(self, extra: int = 0) -> int:
+        now = time.monotonic()
+        a = self.active_total + extra
+        if a >= self._peak or now - self._peak_t >= self.decay_s:
+            self._peak = a
+            self._peak_t = now
+        return self._peak
+
+    # -- DecodePool surface used by the server --------------------------
+    @property
+    def B(self) -> int:
+        return self.pools[-1].B        # admission gates on the largest
+
+    def warmup(self) -> None:
+        for p in self.pools:
+            p.warmup()
+
+    def stop(self) -> None:
+        for p in self.pools:
+            p.stop()
+
+    # -- routing --------------------------------------------------------
+    @property
+    def active_total(self) -> int:
+        return sum(p.active_count for p in self.pools)
+
+    def target(self, extra: int = 0) -> DecodePool:
+        """Smallest pool whose capacity covers current demand (+extra
+        slots about to be acquired); demand holds its recent peak for
+        ``decay_s`` (see __init__)."""
+        need = self._demand(extra)
+        for p in self.pools:
+            if need <= p.B:
+                return p
+        return self.pools[-1]
+
+    def acquire(self) -> Tuple[DecodePool, int]:
+        for p in self.pools[self.pools.index(self.target(extra=1)):]:
+            idx = p.try_acquire()
+            if idx is not None:
+                p.start()
+                return p, idx
+        raise RuntimeError("decode pool ladder exhausted")
+
+
 class PooledEngine:
     """TTSEngine-compatible facade over one DecodePool slot.
 
     The StreamingScheduler drives engines through ``new_state`` /
     ``decode_block_async`` / ``synthesize``; here decode goes through the
     shared pool (state lives in the pool, so ``new_state`` resets the
-    slot) and synthesis through the shared codec.
+    slot) and synthesis through the shared codec.  Constructed over a
+    :class:`PoolLadder`, the engine re-routes to the ladder's target
+    pool at each sentence boundary (see PoolLadder docstring).
     """
 
     class _Pending:
@@ -606,24 +704,39 @@ class PooledEngine:
             except asyncio.CancelledError:
                 return []
 
-    def __init__(self, pool: DecodePool, scfg: Optional[ServeConfig] = None):
-        self.pool = pool
-        self.dcfg = pool.dcfg
-        self.scfg = scfg or pool.scfg
-        self.codec = pool.codec
-        self.block = pool.block
+    def __init__(self, pool, scfg: Optional[ServeConfig] = None):
+        self.ladder = pool if isinstance(pool, PoolLadder) else None
+        if self.ladder is not None:
+            self.pool, self.slot = self.ladder.acquire()
+        else:
+            self.pool = pool
+            self.slot = pool.acquire()
+            pool.start()
+        self.dcfg = self.pool.dcfg
+        self.scfg = scfg or self.pool.scfg
+        self.codec = self.pool.codec
+        self.block = self.pool.block
         # deep enough that every in-flight pool step can take a merged
         # pair from this slot (scheduler reads this to size its
         # issue-ahead pipeline)
-        self.issue_ahead = pool.issue_ahead
-        self.slot = pool.acquire()
-        pool.start()
+        self.issue_ahead = self.pool.issue_ahead
 
     # the pool batches every slot into one fixed-block decode program, so
     # per-request block growth / fused first chunks don't apply here
     fixed_block = True
 
     def new_state(self):
+        if self.ladder is not None:
+            # sentence boundary: the slot state resets anyway, so moving
+            # to the ladder's current target pool copies nothing
+            tgt = self.ladder.target()
+            if tgt is not self.pool:
+                idx = tgt.try_acquire()
+                if idx is not None:
+                    self.pool.release(self.slot)
+                    self.pool, self.slot = tgt, idx
+                    self.codec = tgt.codec
+                    tgt.start()
         self.pool.reset_slot(self.slot)
         return None  # state lives in the pool
 

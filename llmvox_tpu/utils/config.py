@@ -244,6 +244,12 @@ class ServeConfig:
     spec_k_draft: int = 4
 
     pool_capacity: int = 0        # >0: continuous-batching pool slots
+    # Occupancy-adaptive capacity ladder (overrides pool_capacity when
+    # set, e.g. (16, 32)): one DecodePool per rung, engines migrate to
+    # the smallest rung covering demand at sentence boundaries
+    # (serve/pool.py::PoolLadder — step cost scales with pool CAPACITY,
+    # so a big always-on pool taxes low-concurrency traffic)
+    pool_ladder: Tuple[int, ...] = ()
     # >1: shard the pool's slot batch over a dp mesh of this many chips
     # (one shard_map'd decode program across the slice; capacity must
     # divide by it).  1 = single-device pool.

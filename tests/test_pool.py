@@ -236,3 +236,118 @@ def test_mesh_sharded_pool_matches_single_device():
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(np.frombuffer(b, dtype="<f4"),
                                       np.frombuffer(a, dtype="<f4"))
+
+
+def _tiny_ladder(eng, caps=(4, 8), decay_s=0.0):
+    # decay_s=0: instantaneous demand, so the routing assertions below
+    # don't have to wait out the production high-water hold
+    from llmvox_tpu.serve.pool import PoolLadder
+    return PoolLadder([
+        DecodePool(eng.params, np.asarray(eng.text_table), eng.codec,
+                   capacity=c, dcfg=eng.dcfg, scfg=SERVE_CFG,
+                   cache_dtype=jnp.float32, param_dtype=jnp.float32)
+        for c in caps], decay_s=decay_s)
+
+
+def test_pool_ladder_routes_and_migrates():
+    """PoolLadder slot routing: engines land in the smallest pool that
+    covers demand, overflow to the next rung, migrate UP at sentence
+    boundaries when demand grows, and drift back DOWN when it shrinks."""
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+
+    async def go():
+        ladder = _tiny_ladder(eng)
+        p4, p8 = ladder.pools
+        # two requests (2 engines each) fill the 4-slot rung
+        reqs = [[PooledEngine(ladder, SERVE_CFG) for _ in range(2)]
+                for _ in range(2)]
+        assert all(e.pool is p4 for r in reqs for e in r)
+        # a third request overflows to the 8-slot rung
+        extra = [PooledEngine(ladder, SERVE_CFG) for _ in range(2)]
+        assert all(e.pool is p8 for e in extra)
+        assert ladder.active_total == 6
+        # demand (6) now exceeds the small rung: sentence boundaries
+        # migrate the original engines up
+        for r in reqs:
+            for e in r:
+                e.new_state()
+        assert all(e.pool is p8 for r in reqs for e in r)
+        assert p4.active_count == 0 and p8.active_count == 6
+        # load drops to one request -> next sentences drift back down
+        for r in reqs:
+            for e in r:
+                e.close()
+        assert ladder.active_total == 2
+        for e in extra:
+            e.new_state()
+        assert all(e.pool is p4 for e in extra)
+        for e in extra:
+            e.close()
+        ladder.stop()
+
+    asyncio.run(asyncio.wait_for(go(), timeout=120))
+
+
+@pytest.mark.slow
+def test_pool_ladder_output_matches_single_engine():
+    """A request whose engines migrate rungs mid-dialogue produces the
+    same chunk schedule as the dedicated dual-replica scheduler."""
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+    deltas_a = ["Hello", "there.", "Another sentence", "now."]
+    deltas_b = ["Second request arriving now."]
+    want_a = _reference_chunks(deltas_a)
+    want_b = _reference_chunks(deltas_b)
+
+    async def go():
+        ladder = _tiny_ladder(eng, caps=(2, 8))
+
+        async def one(deltas, start_delay):
+            await asyncio.sleep(start_delay)
+            engines = [PooledEngine(ladder, SERVE_CFG),
+                       PooledEngine(ladder, SERVE_CFG)]
+            sched = StreamingScheduler(engines, SERVE_CFG)
+            stream = ScriptedStream(deltas, eos_token=SERVE_CFG.eos_token)
+            out = []
+            async for c in sched.run(stream.predict({})):
+                out.append(len(c))
+            for e in engines:
+                e.close()
+            return out
+
+        # request A starts alone in the 2-slot rung; B's arrival pushes
+        # demand to 4, so A's later sentences migrate to the 8-slot rung
+        got_a, got_b = await asyncio.gather(one(deltas_a, 0),
+                                            one(deltas_b, 0.2))
+        ladder.stop()
+        return got_a, got_b
+
+    got_a, got_b = asyncio.run(asyncio.wait_for(go(), timeout=600))
+    assert got_a == want_a
+    assert got_b == want_b
+
+
+def test_pool_ladder_demand_high_water_decay():
+    """Routing demand holds its recent peak for decay_s (burst waves 2+
+    go straight to the big rung) and decays back afterwards."""
+    import time as _time
+    eng = make_engines(0, SERVE_CFG, n=1)[0]
+
+    async def go():
+        ladder = _tiny_ladder(eng, decay_s=0.5)
+        p4, p8 = ladder.pools
+        burst = [PooledEngine(ladder, SERVE_CFG) for _ in range(6)]
+        assert ladder._demand() == 6
+        for e in burst:
+            e.close()
+        # demand holds the peak while the wave gap is < decay_s:
+        # a new arrival routes to the big rung even at zero occupancy
+        assert ladder.target(extra=1) is p8
+        e = PooledEngine(ladder, SERVE_CFG)
+        assert e.pool is p8
+        e.close()
+        # after decay_s of low demand the target drifts back down
+        _time.sleep(0.6)
+        assert ladder.target(extra=1) is p4
+        ladder.stop()
+
+    asyncio.run(asyncio.wait_for(go(), timeout=120))
