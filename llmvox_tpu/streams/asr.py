@@ -223,6 +223,28 @@ class JAXWhisperASR:
         return self.lang_to_id.get(f"<|{lang}|>")
 
     # -- decoding -------------------------------------------------------
+    def transcribe_long(self, audio: np.ndarray, task: str = "transcribe",
+                        language: Optional[str] = None,
+                        max_seconds: Optional[float] = None) -> str:
+        """Long-form transcription beyond the 30 s model window: split
+        into disjoint 30 s windows, run them ALL through one batched
+        program chain (``transcribe_batch``), join the texts.  The
+        reference's HF pipeline silently truncates at the window
+        (inference/asr.py caps requests at 60 s and the feature
+        extractor drops the rest) — this is beyond-reference capability
+        the batched TPU path makes nearly free."""
+        if self.params is None:
+            self.load()
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        if max_seconds:
+            audio = audio[: int(max_seconds * self.cfg.sample_rate)]
+        win = self.cfg.n_audio_frames * self.cfg.hop_length
+        if len(audio) <= win:
+            return self.transcribe(audio, task=task, language=language)
+        windows = [audio[i: i + win] for i in range(0, len(audio), win)]
+        texts = self.transcribe_batch(windows, task=task, language=language)
+        return " ".join(t.strip() for t in texts if t.strip())
+
     def transcribe(self, audio: np.ndarray, task: str = "transcribe",
                    language: Optional[str] = None) -> str:
         import jax.numpy as jnp
@@ -389,7 +411,12 @@ class JAXWhisperASR:
                              self.config.asr_default_language)
         target = request.get("target_language", source)
         task = "translate" if source != target else "transcribe"
-        return self.transcribe(audio, task=task, language=source).strip()
+        # requests cap at asr_max_audio_length like the reference (60 s
+        # default), but transcribe ALL of it in 30 s batched windows
+        # instead of silently truncating at the model window
+        return self.transcribe_long(
+            audio, task=task, language=source,
+            max_seconds=float(self.config.asr_max_audio_length)).strip()
 
 
 def build_asr(config: Optional[ServeConfig] = None):

@@ -340,6 +340,26 @@ def test_voicechat_endpoint_with_jax_asr(tiny_whisper_dir):
         loop.close()
 
 
+def test_transcribe_long_windows_beyond_30s(tiny_whisper_dir):
+    """Long-form (>30 s) audio transcribes ALL windows through one
+    batched chain and joins texts — where the reference pipeline
+    silently truncates at the 30 s model window."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    win = asr.cfg.n_audio_frames * asr.cfg.hop_length
+    audio = np.concatenate([_speechish(9, 31.0)])   # ~31 s -> 2 windows
+    want = [asr.transcribe(audio[:win], language="en"),
+            asr.transcribe(audio[win:], language="en")]
+    got = asr.transcribe_long(audio, language="en")
+    assert got == " ".join(t.strip() for t in want if t.strip())
+    # the cap truncates before windowing (run_asr semantics)
+    capped = asr.transcribe_long(audio, language="en", max_seconds=20.0)
+    assert capped == asr.transcribe(audio[: 16000 * 20], language="en")
+
+
 def test_jax_asr_serves_from_converted_npz(tiny_whisper_dir, tmp_path):
     """convert_ckpt whisper -> .npz is a first-class serving artifact:
     JAXWhisperASR loads it (weights + generation metadata, tokenizer via
