@@ -108,6 +108,26 @@ def main() -> None:
         rtfs.append(r)
         audio_s, wall = a, w
 
+    # ---- TPU-hosted Whisper ASR (voice-chat input leg) -----------------
+    # whisper-base shapes, random bf16 weights; the measurement harness is
+    # shared with benchmarks/whisper_bench.py so the two can't drift.
+    # Measured BEFORE the pools allocate their KV caches: the batch-8
+    # encoder's ~0.6 GB attention transients ran 7-10x slower with the
+    # pools' caches resident (HBM pressure), which would understate ASR.
+    from benchmarks.whisper_bench import (base_cfg, bench_wav, make_params,
+                                          run_utterance)
+    wcfg = base_cfg()
+    wparams = make_params(wcfg, dev)
+    wav1 = bench_wav(wcfg)
+    for b in (1, 8):
+        run_utterance(wparams, wcfg, wav1, b)
+        run_utterance(wparams, wcfg, wav1, b)
+    asr_ms = 1000 * statistics.median(
+        [run_utterance(wparams, wcfg, wav1, 1)[2] for _ in range(5)])
+    asr_b8_utt_s = 8 / statistics.median(
+        [run_utterance(wparams, wcfg, wav1, 8)[2] for _ in range(3)])
+    del wparams
+
     # ---- pooled concurrent serving (continuous batching) ---------------
     from llmvox_tpu.serve.pool import DecodePool, PooledEngine
     pool = DecodePool(params, text_table, engines[0].codec, capacity=16,
@@ -277,22 +297,6 @@ def main() -> None:
 
     (combined_first_1way_ms, combined_rtf_1way, combined_firsts4,
      combined_rtf_4way, llm_pool_8way_tok_s) = asyncio.run(combined_bench())
-
-    # ---- TPU-hosted Whisper ASR (voice-chat input leg) -----------------
-    # whisper-base shapes, random bf16 weights; the measurement harness is
-    # shared with benchmarks/whisper_bench.py so the two can't drift
-    from benchmarks.whisper_bench import (base_cfg, bench_wav, make_params,
-                                          run_utterance)
-    wcfg = base_cfg()
-    wparams = make_params(wcfg, dev)
-    wav1 = bench_wav(wcfg)
-    for b in (1, 8):
-        run_utterance(wparams, wcfg, wav1, b)
-        run_utterance(wparams, wcfg, wav1, b)
-    asr_ms = 1000 * statistics.median(
-        [run_utterance(wparams, wcfg, wav1, 1)[2] for _ in range(5)])
-    asr_b8_utt_s = 8 / statistics.median(
-        [run_utterance(wparams, wcfg, wav1, 8)[2] for _ in range(3)])
 
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
