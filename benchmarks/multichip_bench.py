@@ -171,6 +171,56 @@ def run(argv=None, virtual: bool = False) -> None:
                      "streams": bsrv, "block": blk,
                      "block_ms": round(serve_s * 1e3, 2),
                      "tokens_per_s": round(bsrv * blk / serve_s, 1)})
+
+        # ---- dp-sharded Whisper ASR (batched utterances over dp) ------
+        # one utterance per device through the encode -> cross-KV ->
+        # prefill -> decode-block chain (models/whisper.py); inputs and
+        # per-utterance state shard on the batch axis, weights replicate
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from llmvox_tpu.models import whisper as W
+        from llmvox_tpu.parallel.mesh import DP_AXIS
+        if s >= 1.0:
+            wcfg = W.WhisperConfig(vocab_size=51865, d_model=512,
+                                   enc_layers=6, dec_layers=6, enc_heads=8,
+                                   dec_heads=8, enc_ffn=2048, dec_ffn=2048)
+        else:
+            wd = max(64, int(512 * s) // 64 * 64)
+            wcfg = W.WhisperConfig(
+                vocab_size=256, n_mels=16, d_model=wd,
+                enc_layers=max(1, int(6 * s)), dec_layers=max(1, int(6 * s)),
+                enc_heads=4, dec_heads=4, enc_ffn=4 * wd, dec_ffn=4 * wd,
+                max_source_positions=max(64, int(1500 * s)),
+                max_target_positions=64)
+        wrep = NamedSharding(mesh, P())
+        wb = NamedSharding(mesh, P(DP_AXIS))
+        wb1 = NamedSharding(mesh, P(None, DP_AXIS))
+        wparams = jax.device_put(
+            W.init_whisper_params(jax.random.PRNGKey(5), wcfg), wrep)
+        mel = jax.device_put(
+            jnp.zeros((dp, wcfg.n_audio_frames, wcfg.n_mels)),
+            NamedSharding(mesh, P(DP_AXIS, None, None)))
+        st0 = W.init_whisper_decode_state(wcfg, dp)
+        st0 = W.WhisperDecodeState(
+            jax.device_put(st0.k, wb1), jax.device_put(st0.v, wb1),
+            st0.pos, jax.device_put(st0.done, wb))
+        forced = jax.device_put(jnp.zeros((dp, 4), jnp.int32), wb)
+
+        def asr_once():
+            enc = W.encode(wparams, mel, wcfg)
+            cross = W.make_cross_kv(wparams, enc, wcfg)
+            lg, st = W.prefill(wparams, forced, st0, cross, wcfg)
+            tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            toks, _ = W.decode_block(wparams, tok, st, cross, wcfg,
+                                     block=16)
+            jax.block_until_ready(toks)
+
+        asr_s = _timed(asr_once, args.reps)
+        rows.append({"what": "whisper_asr_dp_batch", "dp": dp,
+                     "utterances": dp,
+                     "chain_ms": round(asr_s * 1e3, 2),
+                     "utterances_per_s": round(dp / asr_s, 2)})
+        print(json.dumps(rows[-3]), flush=True)
         print(json.dumps(rows[-2]), flush=True)
         print(json.dumps(rows[-1]), flush=True)
 

@@ -22,9 +22,10 @@ def test_multichip_bench_runs_on_virtual_mesh(tmp_path, capsys):
     whats = [r["what"] for r in report["rows"]]
     assert whats.count("decoder_train_step") == 2
     assert whats.count("sharded_serve_block") == 2
+    assert whats.count("whisper_asr_dp_batch") == 2
     assert "llama_tp_decode_block" in whats
     for r in report["rows"]:
-        assert r["tokens_per_s"] > 0
+        assert r.get("tokens_per_s", r.get("utterances_per_s", 0)) > 0
     # dp=2 rows exist with doubled global batch/streams
     train2 = [r for r in report["rows"]
               if r["what"] == "decoder_train_step" and r["dp"] == 2][0]
