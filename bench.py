@@ -257,6 +257,23 @@ def main() -> None:
             for e in pengines:
                 e.close()
 
+    # ---- full speech-to-speech: ASR -> LLM -> TTS on one chip ----------
+    # The reference's voice-chat request (streaming_server.py /voicechat)
+    # runs ASR, then streams the LLM reply through TTS; this measures that
+    # whole path's first-audio latency with ALL THREE legs on the TPU and
+    # the pools' KV caches resident (deployment HBM pressure included —
+    # unlike the clean ASR-only phase above).  Random ASR weights produce
+    # garbage text, so the transcript is replaced by a fixed prompt of
+    # typical length; the COMPUTE is the full chain.
+    wparams2 = make_params(wcfg, dev)
+
+    async def s2s_request(i):
+        t0 = time.perf_counter()
+        await asyncio.to_thread(run_utterance, wparams2, wcfg, wav1, 1)
+        asr_s = time.perf_counter() - t0
+        first, audio_s, wall = await combined_request(100 + i)
+        return 1000 * asr_s + first, 1000 * asr_s
+
     async def llm_only_wave(n=8, max_tokens=128):
         """Text-only pooled generation: aggregate tok/s with n concurrent
         requests sharing one batched decode program."""
@@ -291,12 +308,60 @@ def main() -> None:
             rtf4 = max(rtf4, sum(r[1] for r in res) / wall)
         await llm_only_wave()                # warm the 8-way shape
         llm8 = max([await llm_only_wave() for _ in range(2)])
+        # speech-to-speech: one warm trial (ASR steady-state executables
+        # with the pools resident), then 3 measured
+        await s2s_request(0)
+        s2s = [await s2s_request(1 + k) for k in range(3)]
         llm_pool.stop()
         pool.stop()
-        return f1, a1 / w1, firsts4, rtf4, llm8
+        return (f1, a1 / w1, firsts4, rtf4, llm8,
+                [x[0] for x in s2s], [x[1] for x in s2s])
 
     (combined_first_1way_ms, combined_rtf_1way, combined_firsts4,
-     combined_rtf_4way, llm_pool_8way_tok_s) = asyncio.run(combined_bench())
+     combined_rtf_4way, llm_pool_8way_tok_s, s2s_firsts,
+     s2s_asr_ms) = asyncio.run(combined_bench())
+
+    # ---- int8 quantized LLM decode at 1B-class shapes -------------------
+    # (ops/quant.py; full sweep in benchmarks/quant_bench.py).  bf16 B=1
+    # decode at this size sits at the HBM speed-of-light — int8 weights
+    # break through it.  Deployed 30M shapes are dispatch-bound and
+    # excluded (measured neutral there).
+    from llmvox_tpu.ops.quant import quantize_llama_params
+    bcfg = llama.LlamaConfig(vocab_size=32768, n_layer=16, n_head=16,
+                             n_kv_head=8, n_embd=2048,
+                             intermediate_size=5632, max_seq_len=1024)
+    q_ms = {}
+    for mode in ("bf16", "w8"):
+        bparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                               llama.init_llama_params(
+                                   jax.random.PRNGKey(2), bcfg))
+        if mode != "bf16":
+            bparams = quantize_llama_params(bparams, mode)
+        bparams = jax.device_put(bparams, dev)
+        bst = llama.init_llama_decode_state(bcfg, 1, jnp.bfloat16)
+        btok = jnp.zeros((1,), jnp.int32)
+
+        def bchain(tok, st, n=8):
+            for _ in range(n):
+                toks, st = llama.decode_block(bparams, tok, st,
+                                              jax.random.PRNGKey(0), bcfg,
+                                              block=16, attn_len=256)
+                tok = toks[:, -1]
+            np.asarray(tok)
+            return tok, st
+
+        btok, bst = bchain(btok, bst)        # compile
+        btok, bst = bchain(btok, bst)        # steady state
+        times = []
+        for _ in range(4):
+            bst = llama.init_llama_decode_state(bcfg, 1, jnp.bfloat16)
+            btok = jnp.zeros((1,), jnp.int32)
+            t0 = time.perf_counter()
+            btok, bst = bchain(btok, bst)
+            times.append((time.perf_counter() - t0) / 8)
+        q_ms[mode] = 1000 * statistics.median(times)
+        del bparams, bst
+    llama1b_bf16_ms, llama1b_int8_ms = q_ms["bf16"], q_ms["w8"]
 
     # ---- multi-stream batched throughput (BASELINE config #5) ----------
     from llmvox_tpu.serve.batch import BatchTTS
@@ -347,6 +412,12 @@ def main() -> None:
         "combined_agg_rtf_4way": round(combined_rtf_4way, 2),
         "whisper_base_utterance_ms": round(asr_ms, 1),
         "whisper_base_batch8_utt_s": round(asr_b8_utt_s, 2),
+        "s2s_first_audio_ms": round(statistics.median(s2s_firsts), 1),
+        "s2s_asr_leg_ms": round(statistics.median(s2s_asr_ms), 1),
+        "llama1B_bf16_ms_per_block16": round(llama1b_bf16_ms, 1),
+        "llama1B_int8_ms_per_block16": round(llama1b_int8_ms, 1),
+        "llama1B_int8_speedup": round(llama1b_bf16_ms
+                                      / max(llama1b_int8_ms, 1e-9), 2),
     }))
 
 

@@ -293,7 +293,7 @@ def _decode_one(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     # the head matmul accumulates in f32 even under bf16 serving params so
     # the 4096-way argmax matches the reference's f32 softmax-argmax
     # (streaming_server.py:343-346)
-    logits = jnp.dot(x, params["head"].astype(x.dtype),
+    logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
     token = jnp.argmax(logits).astype(jnp.int32)
     if return_logits:
@@ -469,7 +469,10 @@ def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     h_params = params["h"]
 
     for l in range(cfg.n_layer):
-        p = {key: val[l] for key, val in h_params.items()}
+        # tree-aware layer slice: a stacked weight may be a quantized
+        # NamedTuple (ops/quant.py), where val[l] would index FIELDS
+        p = {key: jax.tree.map(lambda x: x[l], val)
+             for key, val in h_params.items()}
         hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
         qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -492,7 +495,7 @@ def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
         x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
 
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
-    logits = jnp.dot(x, params["head"].astype(x.dtype),
+    logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return tokens, new_k, new_v
@@ -620,7 +623,7 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
         layer_body, (x, state.k_cache, state.v_cache, jnp.int32(0)),
         params["h"])
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
-    logits = jnp.dot(x, params["head"].astype(x.dtype),
+    logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
 

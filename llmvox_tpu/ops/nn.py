@@ -120,11 +120,30 @@ def conv1d_transpose(x: jnp.ndarray, w: jnp.ndarray,
     return y
 
 
+def dense_weight(w, dtype) -> jnp.ndarray:
+    """Materialize a matmul weight at ``dtype``: plain arrays cast,
+    int8-quantized weights (ops/quant.py) dequantize."""
+    from llmvox_tpu.ops import quant
+    if isinstance(w, (quant.QuantizedTensor, quant.Int8Linear)):
+        return quant.dequantize(w, dtype)
+    return w.astype(dtype)
+
+
 def linear(x: jnp.ndarray, w: jnp.ndarray,
            b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Dense layer; w is (Cin, Cout) — torch Linear.weight transposed."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype,
-                precision=mm_precision(x.dtype))
+    """Dense layer; w is (Cin, Cout) — torch Linear.weight transposed.
+
+    ``w`` may be int8-quantized (ops/quant.py): a QuantizedTensor
+    dequantizes into the matmul operand (weight-only), an Int8Linear
+    runs the matmul natively in int8 with dynamically quantized
+    activations."""
+    from llmvox_tpu.ops import quant
+    if isinstance(w, quant.Int8Linear):
+        y = quant.int8_matmul(x, w)
+    else:
+        y = jnp.dot(x, dense_weight(w, x.dtype),
+                    preferred_element_type=x.dtype,
+                    precision=mm_precision(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

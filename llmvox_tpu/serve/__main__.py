@@ -38,6 +38,10 @@ def main(argv=None) -> None:
 
     # decoder
     dec_params = load_params_npz(cfg.llmvox_checkpoint_path)
+    if cfg.quantize:
+        from llmvox_tpu.ops.quant import quantize_decoder_params
+        dec_params = quantize_decoder_params(dec_params, cfg.quantize)
+        print(f"int8 quantization ({cfg.quantize}): speech decoder")
     meta = load_meta(cfg.llmvox_checkpoint_path)
     margs = meta.get("model_args", {})
     dcfg = DecoderConfig(**{k: v for k, v in margs.items()

@@ -192,6 +192,9 @@ class JAXWhisperASR:
         self.tokenizer = WhisperTokenizer.from_pretrained(tok_src)
         if self.dtype is not None:
             params = jax.tree.map(lambda x: x.astype(self.dtype), params)
+        if getattr(self.config, "quantize", ""):
+            from llmvox_tpu.ops.quant import quantize_whisper_params
+            params = quantize_whisper_params(params, self.config.quantize)
         if self.device is not None:
             params = jax.device_put(params, self.device)
         self.params = jax.tree.map(jnp.asarray, params)

@@ -304,6 +304,9 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(cfg.llm_checkpoint)
     params = jax.tree.map(lambda x: jnp.asarray(x), params)
+    if getattr(cfg, "quantize", ""):
+        from llmvox_tpu.ops.quant import quantize_llama_params
+        params = quantize_llama_params(params, cfg.quantize)
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None)
     if cfg.llm_pool_capacity > 0:
         from llmvox_tpu.serve.llm_pool import LLMPool

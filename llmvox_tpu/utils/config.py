@@ -243,6 +243,15 @@ class ServeConfig:
     spec_decode: bool = False
     spec_k_draft: int = 4
 
+    # Int8 quantization for the TPU-hosted serving models (speech
+    # decoder, Llama LLM, Whisper ASR) — beyond reference: the CUDA
+    # reference has no quantized path.  "" = off; "w8" = weight-only
+    # (weights store int8 + per-output-channel scales, dequantized into
+    # the matmul operand); "w8a8" = int8xint8 MXU compute with dynamic
+    # per-token activation quantization (lm heads stay weight-only).
+    # ops/quant.py; parity bounds in tests/test_quant.py.
+    quantize: str = ""
+
     pool_capacity: int = 0        # >0: continuous-batching pool slots
     # Occupancy-adaptive capacity ladder (overrides pool_capacity when
     # set, e.g. (16, 32)): one DecodePool per rung, engines migrate to
