@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=8,
                     help="32-token blocks per measured rollout")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--block", type=int, default=32,
+                    help="tokens per device call in the measured rollouts")
     ap.add_argument("--seq", type=int, default=256)
     args = ap.parse_args()
 
@@ -94,7 +96,7 @@ def main() -> None:
     sparams = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, state.params)
-    block, kd, nblocks = 32, args.k_draft, args.blocks
+    block, kd, nblocks = args.block, args.k_draft, args.blocks
     window = jnp.full((block,), cfg.pad_token_id, jnp.int32)
     tlen = jnp.asarray(0, jnp.int32)
     lim = jnp.asarray(block, jnp.int32)
@@ -111,14 +113,18 @@ def main() -> None:
 
     def spec_rollout():
         st = dec.init_decode_state(cfg, jnp.bfloat16)
-        outs, iters = [], 0
+        outs, its = [], []
         for _ in range(nblocks):
             toks, _, st, it = dec.decode_block_spec(
                 sparams, text_table, codebook, st, window, tlen, lim,
                 cfg, block=block, k_draft=kd)
             outs.append(toks)
-            iters += int(it)
-        return np.asarray(jnp.concatenate(outs)), iters
+            its.append(it)
+        # ONE fetch for the whole chained rollout: an int(it) per block
+        # would pay a full tunnel RTT per call and swamp the device time
+        # (the original version of this bench did exactly that)
+        toks = np.asarray(jnp.concatenate(outs))
+        return toks, int(sum(int(x) for x in jax.device_get(its)))
 
     greedy_rollout(); spec_rollout()          # compile
     greedy_rollout(); spec_rollout()          # steady-state executables

@@ -589,6 +589,52 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
         xs.dtype)
     h_, d_ = cfg.n_head, cfg.head_dim
 
+    def verify_attention(q, kc, vc, chunk=512):
+        """Chunked online-softmax attention for the ``n`` verify queries,
+        reading cache chunks only up to position ``pos + n - 1`` (the
+        full-cache einsum this replaces streamed all ``S`` rows per
+        verify — at the deployed S=8192 that alone made speculation a
+        net loss; measured in benchmarks/spec_bench.py)."""
+        s, c = kc.shape
+        chunk = min(chunk, s)
+        while s % chunk:
+            # chunk must divide S: dynamic_slice clamps an out-of-range
+            # start but the position mask (start + iota) would not follow,
+            # misaligning the causal mask on the final partial chunk.
+            chunk //= 2
+        qh = q.reshape(n, h_, d_).astype(jnp.float32)
+        scale = 1.0 / math.sqrt(d_)
+        nchunks = (pos + n - 1 + chunk) // chunk
+
+        def body(ci, carry):
+            m, l, acc = carry
+            start = ci * chunk
+            kch = lax.dynamic_slice(kc, (start, 0), (chunk, c))
+            vch = lax.dynamic_slice(vc, (start, 0), (chunk, c))
+            kch = kch.reshape(chunk, h_, d_).astype(jnp.float32)
+            vch = vch.reshape(chunk, h_, d_).astype(jnp.float32)
+            logits = jnp.einsum("nhd,shd->nhs", qh, kch,
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST) * scale
+            jpos = start + lax.broadcasted_iota(jnp.int32, (n, 1, chunk), 2)
+            ipos = lax.broadcasted_iota(jnp.int32, (n, 1, chunk), 0)
+            logits = jnp.where(jpos <= pos + ipos, logits, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.einsum(
+                "nhs,shd->nhd", p, vch,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((n, h_, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n, h_, 1), jnp.float32)
+        acc0 = jnp.zeros((n, h_, d_), jnp.float32)
+        m, l, acc = lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+        return (acc / l).reshape(n, cfg.n_embd)
+
     def layer_body(carry, p):
         x, new_k, new_v, l = carry
         hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
@@ -600,19 +646,7 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
             new_v, vv[None].astype(new_v.dtype), (l, pos, 0))
         kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
         vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
-        s = kc.shape[0]
-        qh = q.reshape(n, h_, d_).astype(jnp.float32)
-        kh = kc.reshape(s, h_, d_).astype(jnp.float32)
-        vh = vc.reshape(s, h_, d_).astype(jnp.float32)
-        scores = jnp.einsum("khd,shd->hks", qh, kh,
-                            preferred_element_type=jnp.float32
-                            ) / math.sqrt(d_)
-        jpos = lax.broadcasted_iota(jnp.int32, (n, s), 1)
-        ipos = lax.broadcasted_iota(jnp.int32, (n, s), 0)
-        scores = jnp.where((jpos <= pos + ipos)[None], scores, -jnp.inf)
-        w = jax.nn.softmax(scores, axis=-1)
-        a = jnp.einsum("hks,shd->khd", w, vh).reshape(
-            n, cfg.n_embd).astype(x.dtype)
+        a = verify_attention(q, kc, vc).astype(x.dtype)
         x = x + nn.linear(a, p["wo"], _get(p, "bo"))
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))
@@ -650,6 +684,16 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
     are overwritten before any later query can attend them (the same
     argument as the padded-prefill paths).
 
+    The outer loop is a ``lax.while_loop``, so the program executes only
+    the iterations the drafts actually need (good drafts → ~block /
+    (1 + accepted) iterations; the first version's fixed-length scan ran
+    the worst-case (block+1)//2 iterations regardless, which erased the
+    win — benchmarks/spec_bench.py documents both the before and after).
+    The while bound is intrinsic: each iteration commits at least the
+    normal step's token plus the first verify token (the verifier's row
+    0 is conditioned on ``token1``, not a draft), so count advances >= 2
+    until ``limit`` or EOA.
+
     Returns (tokens (block,), n_generated, state, iters_used).
     The per-token speech-feature dependency (input at t+1 is
     codebook[token_t], streaming_server.py:323-354) is why the reference
@@ -666,7 +710,6 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
             [jnp.maximum(jnp.asarray(draft_tokens, jnp.int32), 0),
              jnp.zeros((kd + 1,), jnp.int32)])
     out0 = jnp.full((block + kd + 1,), -1, jnp.int32)
-    n_iter = (block + 1) // 2     # worst case commits 2 tokens/iteration
 
     def build_x(tid, prev, pos):
         temb = text_table[tid]
@@ -736,7 +779,11 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
         iters = iters + active.astype(jnp.int32)
         return (st2, count, out, iters), None
 
-    (st, count, out, iters), _ = lax.scan(
-        iteration, (state, jnp.int32(0), out0, jnp.int32(0)), None,
-        length=n_iter)
+    def cond(carry):
+        st, count, _, _ = carry
+        return jnp.logical_and(count < limit, jnp.logical_not(st.done))
+
+    st, count, out, iters = lax.while_loop(
+        cond, lambda c: iteration(c, None)[0],
+        (state, jnp.int32(0), out0, jnp.int32(0)))
     return out[:block], count, st, iters

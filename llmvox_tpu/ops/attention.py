@@ -158,7 +158,11 @@ def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     """
     s, c = k_cache.shape
     chunk = min(chunk, s)
-    assert s % chunk == 0, "cache capacity must be a multiple of chunk"
+    while s % chunk:
+        # chunk must divide S: dynamic_slice clamps an out-of-range start
+        # but the causal mask (start + iota) would not follow, so a
+        # partial final chunk would be mis-masked.
+        chunk //= 2
     h, d = n_head, c // n_head
     qh = q.reshape(h, d).astype(jnp.float32)
     scale = 1.0 / math.sqrt(d)

@@ -262,3 +262,29 @@ def test_trainer_step_with_draft_heads(stack):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+def test_chunked_attention_non_multiple_cache(stack):
+    """Cache capacities that are NOT multiples of the 512 attention chunk
+    stay bit-exact past the chunk boundary: both decode_attention and the
+    spec verifier halve the chunk until it divides S (a clamped
+    dynamic_slice would silently mis-align the causal mask otherwise)."""
+    params, table, codebook, window = stack
+    cfg = dataclasses.replace(CFG, block_size=640)  # 640 % 512 != 0
+    stg = dec.init_decode_state(cfg, jnp.float32)
+    sts = dec.init_decode_state(cfg, jnp.float32)
+    g_all, s_all = [], []
+    for _ in range(9):  # 9 * 64 = 576 > 512: crosses the chunk boundary
+        tg, _, stg = dec.decode_block(params, table, codebook, stg,
+                                      window, jnp.int32(20), jnp.int32(64),
+                                      cfg, block=64)
+        ts, _, sts, _ = dec.decode_block_spec(
+            params, table, codebook, sts, window, jnp.int32(20),
+            jnp.int32(64), cfg, block=64, k_draft=4,
+            draft_tokens=jnp.zeros((64,), jnp.int32))
+        g_all.append(np.asarray(tg))
+        s_all.append(np.asarray(ts))
+    g, s = np.concatenate(g_all), np.concatenate(s_all)
+    np.testing.assert_array_equal(g, s)
+    assert int(stg.pos) == int(sts.pos) == 576
