@@ -128,6 +128,19 @@ def main() -> None:
         [run_utterance(wparams, wcfg, wav1, 8)[2] for _ in range(3)])
     del wparams
 
+    # ---- speculative decode with trained MTP draft heads ----------------
+    # (benchmarks/spec_bench.py shares the harness).  Short train on the
+    # synthetic cycle is enough for near-perfect accepts; the speedup is
+    # the while_loop + chunked-verify machinery's, and the bit-exactness
+    # count is a live regression check.  Runs BEFORE the pools allocate
+    # (HBM headroom for the train step's activations).
+    from benchmarks.spec_bench import measure_spec
+    spec = measure_spec(steps=200, k_draft=12, blocks=8, batch=16,
+                        block=128, seq=512, verbose=False)
+    spec_speedup = spec["speedup"]
+    spec_tok_s = spec["spec_tok_s"]
+    spec_mismatches = spec["greedy_vs_spec_token_mismatches"]
+
     # ---- pooled concurrent serving (continuous batching) ---------------
     from llmvox_tpu.serve.pool import DecodePool, PooledEngine
     pool = DecodePool(params, text_table, engines[0].codec, capacity=16,
@@ -414,6 +427,9 @@ def main() -> None:
         "whisper_base_batch8_utt_s": round(asr_b8_utt_s, 2),
         "s2s_first_audio_ms": round(statistics.median(s2s_firsts), 1),
         "s2s_asr_leg_ms": round(statistics.median(s2s_asr_ms), 1),
+        "spec_decode_speedup_trained_heads": spec_speedup,
+        "spec_decode_tok_s": spec_tok_s,
+        "spec_vs_greedy_token_mismatches": spec_mismatches,
         "llama1B_bf16_ms_per_block16": round(llama1b_bf16_ms, 1),
         "llama1B_int8_ms_per_block16": round(llama1b_int8_ms, 1),
         "llama1B_int8_speedup": round(llama1b_bf16_ms

@@ -15,6 +15,9 @@ This is a mechanism benchmark: the ACCEPT RATE on real speech data is a
 property of a real checkpoint, but the speedup-per-accept-rate curve and
 the verify-forward overhead measured here transfer directly.
 
+``measure_spec`` is imported by the repo-root ``bench.py`` so the
+driver-recorded artifact and this standalone harness can't drift.
+
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/spec_bench.py \
       [--steps 400] [--k_draft 4] [--blocks 8]
@@ -37,18 +40,13 @@ def make_batch(rng: np.random.Generator, bs: int, t: int, pad: int):
     return text_ids, targets
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--k_draft", type=int, default=4)
-    ap.add_argument("--blocks", type=int, default=8,
-                    help="32-token blocks per measured rollout")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--block", type=int, default=32,
-                    help="tokens per device call in the measured rollouts")
-    ap.add_argument("--seq", type=int, default=256)
-    args = ap.parse_args()
-
+def measure_spec(steps: int = 400, k_draft: int = 4, blocks: int = 8,
+                 batch: int = 16, block: int = 32, seq: int = 256,
+                 verbose: bool = True) -> dict:
+    """Train MTP draft heads on the synthetic cycle, then time greedy
+    ``decode_block`` vs ``decode_block_spec`` on the trained weights.
+    Returns the result dict (see keys below); asserts nothing — the
+    ``greedy_vs_spec_token_mismatches`` key is the bit-exactness check."""
     import dataclasses
 
     import jax
@@ -58,12 +56,10 @@ def main() -> None:
     from llmvox_tpu.models import decoder as dec
     from llmvox_tpu.train.trainer import TrainState, make_train_step
     from llmvox_tpu.utils.config import DecoderConfig
-    from llmvox_tpu.utils.runtime import enable_compilation_cache
 
-    enable_compilation_cache()
     dev = jax.devices()[0]
 
-    cfg = DecoderConfig(n_draft_heads=args.k_draft)   # deployed + heads
+    cfg = DecoderConfig(n_draft_heads=k_draft)   # deployed + heads
     cfg = dataclasses.replace(cfg, eoa_token_id=10_000)  # no EOA in cycle
     params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -81,14 +77,13 @@ def main() -> None:
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     loss = None
-    for i in range(args.steps):
-        text_ids, targets = make_batch(rng, args.batch, args.seq,
-                                       cfg.pad_token_id)
+    for i in range(steps):
+        text_ids, targets = make_batch(rng, batch, seq, cfg.pad_token_id)
         key, sub = jax.random.split(key)
         state, loss = step_fn(state, text_table, codebook,
                               jnp.asarray(text_ids), jnp.asarray(targets),
                               sub)
-        if i % 100 == 0 or i == args.steps - 1:
+        if verbose and (i % 100 == 0 or i == steps - 1):
             print(f"step {i}: loss {float(loss):.4f}", flush=True)
     train_s = time.time() - t0
 
@@ -96,7 +91,8 @@ def main() -> None:
     sparams = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, state.params)
-    block, kd, nblocks = args.block, args.k_draft, args.blocks
+    del state
+    kd, nblocks = k_draft, blocks
     window = jnp.full((block,), cfg.pad_token_id, jnp.int32)
     tlen = jnp.asarray(0, jnp.int32)
     lim = jnp.asarray(block, jnp.int32)
@@ -141,7 +137,7 @@ def main() -> None:
     n_tok = block * nblocks
     g_s, s_s = float(np.median(g_times)), float(np.median(s_times))
     mismatch = int(np.sum(g_out != s_out))
-    print(json.dumps({
+    return {
         "model": "deployed 30M decoder + trained MTP heads (synthetic cycle)",
         "final_train_loss": round(float(loss), 4),
         "train_s": round(train_s, 1),
@@ -153,7 +149,27 @@ def main() -> None:
         "spec_tok_s": round(n_tok / s_s, 1),
         "speedup": round(g_s / s_s, 2),
         "greedy_vs_spec_token_mismatches": mismatch,
-    }))
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--k_draft", type=int, default=4)
+    ap.add_argument("--blocks", type=int, default=8,
+                    help="blocks per measured rollout")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--block", type=int, default=32,
+                    help="tokens per device call in the measured rollouts")
+    ap.add_argument("--seq", type=int, default=256)
+    args = ap.parse_args()
+
+    from llmvox_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    print(json.dumps(measure_spec(
+        steps=args.steps, k_draft=args.k_draft, blocks=args.blocks,
+        batch=args.batch, block=args.block, seq=args.seq)))
 
 
 if __name__ == "__main__":
