@@ -42,9 +42,12 @@ def make_batch(rng: np.random.Generator, bs: int, t: int, pad: int):
 
 def measure_spec(steps: int = 400, k_draft: int = 4, blocks: int = 8,
                  batch: int = 16, block: int = 32, seq: int = 256,
-                 verbose: bool = True) -> dict:
+                 verbose: bool = True, pool_batch: int = 0) -> dict:
     """Train MTP draft heads on the synthetic cycle, then time greedy
     ``decode_block`` vs ``decode_block_spec`` on the trained weights.
+    ``pool_batch > 0`` additionally times the POOLED pair —
+    ``decode_block_batch`` vs ``decode_block_spec_batch`` at that many
+    concurrent rows (the serving pool's shape; ``pooled_*`` keys).
     Returns the result dict (see keys below); asserts nothing — the
     ``greedy_vs_spec_token_mismatches`` key is the bit-exactness check."""
     import dataclasses
@@ -137,7 +140,65 @@ def measure_spec(steps: int = 400, k_draft: int = 4, blocks: int = 8,
     n_tok = block * nblocks
     g_s, s_s = float(np.median(g_times)), float(np.median(s_times))
     mismatch = int(np.sum(g_out != s_out))
+
+    pooled: dict = {}
+    if pool_batch > 0:
+        pb = pool_batch
+        # match serve/pool.py: the pool force-enables the Pallas batched
+        # decode attention on real TPUs, so the greedy baseline here must
+        # use it too (the XLA batched flash loop is many times slower —
+        # see the DecodePool constructor note); spec's verify forward
+        # stays the XLA chunked path either way
+        pcfg = dataclasses.replace(
+            cfg, use_pallas_attention=(dev.platform != "cpu"))
+        pwin = jnp.full((pb, block), cfg.pad_token_id, jnp.int32)
+        ptl = jnp.zeros((pb,), jnp.int32)
+        plim = jnp.full((pb,), block, jnp.int32)
+
+        def pooled_greedy():
+            st = dec.init_decode_state_batch(cfg, pb, jnp.bfloat16)
+            outs = []
+            for _ in range(nblocks):
+                toks, _, st = dec.decode_block_batch(
+                    sparams, text_table, codebook, st, pwin, ptl, plim,
+                    pcfg, block=block)
+                outs.append(toks)
+            return np.asarray(jnp.concatenate(outs, axis=1))
+
+        def pooled_spec():
+            st = dec.init_decode_state_batch(cfg, pb, jnp.bfloat16)
+            outs, its = [], []
+            for _ in range(nblocks):
+                toks, _, st, it = dec.decode_block_spec_batch(
+                    sparams, text_table, codebook, st, pwin, ptl, plim,
+                    pcfg, block=block, k_draft=kd)
+                outs.append(toks)
+                its.append(it)
+            toks = np.asarray(jnp.concatenate(outs, axis=1))
+            return toks, int(np.max(jax.device_get(jnp.stack(its)).sum(0)))
+
+        pooled_greedy(); pooled_spec()        # compile
+        pooled_greedy(); pooled_spec()        # steady-state executables
+        pg_t, ps_t = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            pg_out = pooled_greedy()
+            pg_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ps_out, piters = pooled_spec()
+            ps_t.append(time.perf_counter() - t0)
+        pg_s, ps_s = float(np.median(pg_t)), float(np.median(ps_t))
+        pooled = {
+            "pooled_batch": pb,
+            "pooled_greedy_tok_s": round(pb * n_tok / pg_s, 1),
+            "pooled_spec_tok_s": round(pb * n_tok / ps_s, 1),
+            "pooled_speedup": round(pg_s / ps_s, 2),
+            "pooled_iters_per_block_worst_row": round(piters / nblocks, 2),
+            "pooled_mismatches": int(np.sum(pg_out != ps_out)),
+        }
+
     return {
+        **pooled,
         "model": "deployed 30M decoder + trained MTP heads (synthetic cycle)",
         "final_train_loss": round(float(loss), 4),
         "train_s": round(train_s, 1),
@@ -162,6 +223,9 @@ def main() -> None:
     ap.add_argument("--block", type=int, default=32,
                     help="tokens per device call in the measured rollouts")
     ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--pool_batch", type=int, default=0,
+                    help=">0: also time the pooled (batched) pair at "
+                         "this many concurrent rows")
     args = ap.parse_args()
 
     from llmvox_tpu.utils.runtime import enable_compilation_cache
@@ -169,7 +233,8 @@ def main() -> None:
 
     print(json.dumps(measure_spec(
         steps=args.steps, k_draft=args.k_draft, blocks=args.blocks,
-        batch=args.batch, block=args.block, seq=args.seq)))
+        batch=args.batch, block=args.block, seq=args.seq,
+        pool_batch=args.pool_batch)))
 
 
 if __name__ == "__main__":

@@ -452,7 +452,7 @@ def _batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
 
 
 def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
-                      state: DecodeState):
+                      state: DecodeState, return_hidden: bool = False):
     """Batched transformer step: x (B, C), caches (L, B, S, C), pos (B,).
 
     Layers are a static python loop so per-layer cache access is a
@@ -498,6 +498,8 @@ def _decode_one_batch(params: Dict, cfg: DecoderConfig, x: jnp.ndarray,
     logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if return_hidden:
+        return tokens, new_k, new_v, x
     return tokens, new_k, new_v
 
 
@@ -787,3 +789,227 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
         cond, lambda c: iteration(c, None)[0],
         (state, jnp.int32(0), out0, jnp.int32(0)))
     return out[:block], count, st, iters
+
+
+# ---------------------------------------------------------------------------
+# batched speculative decode (the pooled-serving counterpart)
+# ---------------------------------------------------------------------------
+
+def _batched_verify_attention(q: jnp.ndarray, kc: jnp.ndarray,
+                              vc: jnp.ndarray, pos: jnp.ndarray, *,
+                              n_head: int, chunk: int = 512) -> jnp.ndarray:
+    """Verify attention for B rows x n new positions at per-row offsets.
+
+    q: (B, n, C); caches: (B, S, C); pos: (B,) — row b's query i sits at
+    absolute position ``pos[b] + i`` and attends cache rows ``<= pos[b]+i``.
+    Chunked online softmax like ``_batched_decode_attention``; the trip
+    count covers the deepest row."""
+    b, n, c = q.shape
+    s = kc.shape[1]
+    chunk = min(chunk, s)
+    while s % chunk:
+        chunk //= 2     # see decode_attention: chunk must divide S
+    h, d = n_head, c // n_head
+    qh = q.reshape(b, n, h, d).astype(jnp.float32)
+    scale = 1.0 / math.sqrt(d)
+    nchunks = (jnp.max(pos) + n - 1 + chunk) // chunk
+
+    def body(ci, carry):
+        m, l, acc = carry
+        start = ci * chunk
+        kch = lax.dynamic_slice(kc, (0, start, 0), (b, chunk, c))
+        vch = lax.dynamic_slice(vc, (0, start, 0), (b, chunk, c))
+        kch = kch.reshape(b, chunk, h, d).astype(jnp.float32)
+        vch = vch.reshape(b, chunk, h, d).astype(jnp.float32)
+        logits = jnp.einsum("bnhd,bshd->bnhs", qh, kch,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST) * scale
+        jpos = start + lax.broadcasted_iota(jnp.int32, (1, 1, 1, chunk), 3)
+        ipos = lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1)
+        logits = jnp.where(jpos <= pos[:, None, None, None] + ipos,
+                           logits, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.einsum(
+            "bnhs,bshd->bnhd", p, vch,
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((b, n, h, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, n, h, 1), jnp.float32)
+    acc0 = jnp.zeros((b, n, h, d), jnp.float32)
+    m, l, acc = lax.fori_loop(0, nchunks, body, (m0, l0, acc0))
+    return (acc / l).reshape(b, n, c).astype(q.dtype)
+
+
+def _decode_many_batch(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
+                       state: DecodeState, n: int):
+    """Batched teacher-forced verify: B rows x ``n`` new positions each
+    (row b at ``pos[b]..pos[b]+n-1``) in ONE pass.  xs: (B, n, C); caches
+    (L, B, S, C).  Returns (argmax tokens (B, n), new_k, new_v)."""
+    b = xs.shape[0]
+    pos = state.pos                                             # (B,)
+    posn = pos[:, None] + jnp.arange(n, dtype=jnp.int32)[None]  # (B, n)
+    x = xs + params["wpe"][posn].astype(xs.dtype)
+    new_k, new_v = state.k_cache, state.v_cache
+    barange = jnp.arange(b)
+
+    for l in range(cfg.n_layer):
+        p = {key: jax.tree.map(lambda v: v[l], val)
+             for key, val in params["h"].items()}
+        hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
+        qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))      # (B, n, 3C)
+        q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        new_k = new_k.at[l, barange[:, None], posn].set(
+            kk.astype(new_k.dtype))
+        new_v = new_v.at[l, barange[:, None], posn].set(
+            vv.astype(new_v.dtype))
+        a = _batched_verify_attention(q, new_k[l], new_v[l], pos,
+                                      n_head=cfg.n_head)
+        x = x + nn.linear(a, p["wo"], _get(p, "bo"))
+        hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
+        m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))
+        x = x + nn.linear(m, p["wproj"], _get(p, "bproj"))
+
+    x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
+    logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
+                     preferred_element_type=jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
+
+
+@partial(jax.jit, static_argnames=("cfg", "block", "k_draft"))
+def decode_block_spec_batch(params: Dict, text_table: jnp.ndarray,
+                            codebook: jnp.ndarray, states: DecodeState,
+                            text_windows: jnp.ndarray,
+                            text_lens: jnp.ndarray, limits: jnp.ndarray,
+                            cfg: DecoderConfig, block: int = 32,
+                            k_draft: int = 4,
+                            draft_tokens: Optional[jnp.ndarray] = None):
+    """Speculative ``decode_block_batch``: B pooled streams advance
+    together, each committing its own accepted prefix per iteration —
+    output BIT-IDENTICAL to ``decode_block_batch`` for any draft quality
+    (the pooled serving path's speculation; no reference counterpart).
+
+    Per iteration: one batched normal step at each row's own relative
+    index, per-row drafts (``params["draft_heads"]`` on the step's hidden
+    states, or the explicit ``draft_tokens`` (B, block)), ONE batched
+    teacher-forced verify forward for all rows' drafts, then each row
+    commits its matching prefix + first correction.  Rows that exhaust
+    their ``limits`` or hit EOA freeze (their cache writes land above
+    ``pos`` and are overwritten before anything attends them); the
+    ``lax.while_loop`` runs until every row is done, so a batch's cost is
+    its slowest row's iterations — the same worst case as the fixed
+    ``block``-step greedy scan, reached only when drafts never accept.
+
+    Returns (tokens (B, block) with -1 at inactive slots, n (B,), states,
+    iters (B,) — per-row iterations actually spent, for measurement).
+    """
+    compute_dtype = states.k_cache.dtype
+    bsz = states.pos.shape[0]
+    kd = k_draft
+    pad_cols = jnp.full((bsz, kd + 1), cfg.pad_token_id, jnp.int32)
+    wpad = jnp.concatenate(
+        [jnp.asarray(text_windows, jnp.int32), pad_cols], axis=1)
+    dpad = None
+    if draft_tokens is not None:
+        dpad = jnp.concatenate(
+            [jnp.maximum(jnp.asarray(draft_tokens, jnp.int32), 0),
+             jnp.zeros((bsz, kd + 1), jnp.int32)], axis=1)
+    out0 = jnp.full((bsz, block + kd + 1), -1, jnp.int32)
+    barange = jnp.arange(bsz)
+    offs = jnp.arange(kd, dtype=jnp.int32)
+
+    def iteration(carry):
+        st, count, out, iters = carry       # count/iters (B,)
+        active = jnp.logical_and(count < limits, jnp.logical_not(st.done))
+
+        # ---- one batched normal step at per-row relative index ---------
+        tid_w = jnp.take_along_axis(wpad, count[:, None], axis=1)[:, 0]
+        tid = jnp.where(st.pos < text_lens, tid_w, cfg.pad_token_id)
+        temb = text_table[tid]
+        sfeat = jnp.where((st.pos == 0)[:, None],
+                          jnp.zeros((1, cfg.speech_embed_dim)),
+                          codebook[st.prev_token])
+        x = nn.l2_normalize(jnp.concatenate([temb, sfeat], axis=-1))
+        token1, nk, nv, hidden = _decode_one_batch(
+            params, cfg, x.astype(compute_dtype), st, return_hidden=True)
+        pos1 = jnp.where(active, st.pos + 1, st.pos)
+        done1 = jnp.logical_or(
+            st.done, jnp.logical_and(active, token1 == cfg.eoa_token_id))
+        prev1 = jnp.where(active, token1, st.prev_token)
+        st1 = DecodeState(nk, nv, pos1, prev1, done1)
+
+        # ---- per-row drafts for the next k_draft positions --------------
+        if dpad is not None:
+            d = jnp.take_along_axis(
+                dpad, count[:, None] + 1 + offs[None], axis=1)
+        else:
+            d = jnp.argmax(
+                jnp.einsum("bc,kcv->bkv", hidden.astype(jnp.float32),
+                           params["draft_heads"].astype(jnp.float32)),
+                axis=-1).astype(jnp.int32)                       # (B, kd)
+
+        # ---- ONE batched verify forward for every row's drafts ----------
+        prevs = jnp.concatenate([token1[:, None], d[:, :-1]], axis=1)
+        tseg = jnp.take_along_axis(
+            wpad, count[:, None] + 1 + offs[None], axis=1)
+        post = pos1[:, None] + offs[None]                        # (B, kd)
+        tids = jnp.where(post < text_lens[:, None], tseg,
+                         cfg.pad_token_id)
+        tembs = text_table[tids]                                 # (B,kd,Ct)
+        sfeats = jnp.where((post == 0)[..., None],
+                           jnp.zeros((1, 1, cfg.speech_embed_dim)),
+                           codebook[prevs])
+        xs = nn.l2_normalize(jnp.concatenate([tembs, sfeats], axis=-1))
+        a, nk2, nv2 = _decode_many_batch(params, cfg,
+                                         xs.astype(compute_dtype), st1, kd)
+
+        # ---- each row accepts its matching prefix + first correction ----
+        match = d == a
+        prefix_ok = jnp.concatenate(
+            [jnp.ones((bsz, 1), bool),
+             jnp.cumprod(match[:, :-1].astype(jnp.int32),
+                         axis=1).astype(bool)], axis=1)
+        eoa_before = jnp.concatenate(
+            [jnp.zeros((bsz, 1), bool),
+             jnp.cumsum((a == cfg.eoa_token_id).astype(jnp.int32),
+                        axis=1)[:, :-1] > 0], axis=1)
+        commit = (active[:, None] & jnp.logical_not(done1)[:, None]
+                  & prefix_ok
+                  & (count[:, None] + 1 + offs[None] < limits[:, None])
+                  & jnp.logical_not(eoa_before))
+        n_commit = jnp.sum(commit.astype(jnp.int32), axis=1)    # (B,)
+
+        pos2 = pos1 + n_commit
+        last_a = jnp.take_along_axis(
+            a, jnp.maximum(n_commit - 1, 0)[:, None], axis=1)[:, 0]
+        last = jnp.where(n_commit > 0, last_a, st1.prev_token)
+        done2 = jnp.logical_or(
+            done1, jnp.any(commit & (a == cfg.eoa_token_id), axis=1))
+        st2 = DecodeState(nk2, nv2, pos2, last, done2)
+
+        emitted = jnp.where(
+            jnp.concatenate([active[:, None], commit], axis=1),
+            jnp.concatenate([token1[:, None], a], axis=1), jnp.int32(-1))
+        # frozen rows re-write -1 at [count..count+kd] — always >= their
+        # final count, where out is still -1 (commits are prefix-shaped,
+        # so nothing real was ever written at or above count)
+        out = out.at[barange[:, None],
+                     count[:, None] + jnp.arange(kd + 1)[None]].set(emitted)
+        count = count + active.astype(jnp.int32) + n_commit
+        iters = iters + active.astype(jnp.int32)
+        return st2, count, out, iters
+
+    def cond(carry):
+        st, count, _, _ = carry
+        return jnp.any(jnp.logical_and(count < limits,
+                                       jnp.logical_not(st.done)))
+
+    st, count, out, iters = lax.while_loop(
+        cond, iteration,
+        (states, jnp.zeros((bsz,), jnp.int32), out0,
+         jnp.zeros((bsz,), jnp.int32)))
+    return out[:, :block], count, st, iters

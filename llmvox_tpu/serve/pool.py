@@ -136,10 +136,39 @@ class DecodePool:
                                                   cache_dtype)
         self._widths = ((self.block, self.big_block) if self.merge
                        else (self.block,))
+        # speculative batched decode: engages like the dedicated engines
+        # (serve/engine.py) — only when the checkpoint carries trained
+        # draft heads.  Single-device pools only for now: the sharded
+        # step's while_loop trip count would sync across the mesh every
+        # iteration, a frontier for real multi-chip measurement.
+        # Gated off under the Pallas attention (i.e. on real TPUs, which
+        # force-enable it above): the Pallas batched greedy step is fast
+        # enough that the XLA verify forward makes speculation a NET LOSS
+        # there — measured at B=8/k=12 with near-perfect accepts:
+        # 36.5k tok/s greedy vs 24.3k spec (benchmarks/spec_bench.py
+        # --pool_batch).  Against the XLA batched step (CPU tests) the
+        # same config is 5.3x FASTER.  A Pallas verify kernel is what
+        # flips this; the dedicated engines keep spec on TPU (2.7x —
+        # their XLA chunked single-stream attention is the baseline).
+        self._spec = bool(self.scfg.spec_decode and mesh is None
+                          and not self.dcfg.use_pallas_attention
+                          and isinstance(self.params, dict)
+                          and "draft_heads" in self.params)
         if mesh is None:
-            self._decode_w = {w: partial(dec.decode_block_batch,
-                                         cfg=self.dcfg, block=w)
-                              for w in self._widths}
+            if self._spec:
+                def _make_spec(w):
+                    def f(params, tt, cb, st, win, tl, lim):
+                        toks, n, st2, _ = dec.decode_block_spec_batch(
+                            params, tt, cb, st, win, tl, lim,
+                            cfg=self.dcfg, block=w,
+                            k_draft=self.scfg.spec_k_draft)
+                        return toks, n, st2
+                    return f
+                self._decode_w = {w: _make_spec(w) for w in self._widths}
+            else:
+                self._decode_w = {w: partial(dec.decode_block_batch,
+                                             cfg=self.dcfg, block=w)
+                                  for w in self._widths}
         else:
             # Multi-chip pooled serving: the slot batch shards over the
             # mesh's dp axis and every pool step runs ONE shard_map'd

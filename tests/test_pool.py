@@ -351,3 +351,68 @@ def test_pool_ladder_demand_high_water_decay():
         ladder.stop()
 
     asyncio.run(asyncio.wait_for(go(), timeout=120))
+
+
+@pytest.mark.slow
+def test_spec_pool_matches_greedy_pool():
+    """ServeConfig.spec_decode through the POOL: a pool speculating with
+    (untrained, random) draft heads streams byte-identical audio to the
+    greedy pool — decode_block_spec_batch's per-row accept logic under
+    the real scheduler/merge/fused-first-chunk traffic pattern."""
+    import dataclasses
+
+    import jax
+
+    from llmvox_tpu.models import decoder as dec
+    from tests.tiny_stack import CODEC_CFG, DEC_CFG
+    from llmvox_tpu.codec.codec import WavCodec, init_codec_params
+
+    cfg = dataclasses.replace(DEC_CFG, n_draft_heads=3)
+    params = jax.device_get(
+        dec.init_decoder_params(jax.random.PRNGKey(5), cfg))
+    rng = np.random.default_rng(5)
+    params = jax.tree.map(
+        lambda x: x + 0.05 * rng.standard_normal(x.shape).astype(np.float32),
+        params)
+    text_table = rng.standard_normal(
+        (cfg.text_vocab_size, cfg.text_embed_dim)).astype(np.float32)
+    codec_params = init_codec_params(jax.random.PRNGKey(6), CODEC_CFG)
+
+    requests = [
+        ["Speculative request one", "with two deltas."],
+        ["Second concurrent request."],
+        ["And a third one", "arriving too."],
+    ]
+
+    def run_with(scfg):
+        codec = WavCodec(codec_params, CODEC_CFG,
+                         buckets=scfg.chunk_buckets)
+        pool = DecodePool(params, text_table, codec, capacity=8,
+                          dcfg=cfg, scfg=scfg,
+                          cache_dtype=jnp.float32,
+                          param_dtype=jnp.float32)
+
+        async def one(deltas):
+            engines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
+            sched = StreamingScheduler(engines, scfg)
+            stream = ScriptedStream(deltas, eos_token=scfg.eos_token)
+            out = []
+            async for c in sched.run(stream.predict({}), trace=None):
+                out.append(c)
+            for e in engines:
+                e.close()
+            return b"".join(out)
+
+        async def go():
+            res = await asyncio.gather(*[one(d) for d in requests])
+            pool.stop()
+            return res, pool._spec
+
+        return asyncio.run(asyncio.wait_for(go(), timeout=600))
+
+    greedy, spec_off = run_with(SERVE_CFG)
+    spec, spec_on = run_with(dataclasses.replace(
+        SERVE_CFG, spec_decode=True, spec_k_draft=3))
+    assert not spec_off and spec_on
+    for i, (g, s) in enumerate(zip(greedy, spec)):
+        assert g == s, f"request {i}: {len(g)} vs {len(s)} bytes"
