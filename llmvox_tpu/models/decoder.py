@@ -867,8 +867,16 @@ def _decode_many_batch(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
             kk.astype(new_k.dtype))
         new_v = new_v.at[l, barange[:, None], posn].set(
             vv.astype(new_v.dtype))
-        a = _batched_verify_attention(q, new_k[l], new_v[l], pos,
-                                      n_head=cfg.n_head)
+        if cfg.use_pallas_attention:
+            from llmvox_tpu.ops.pallas_attn import pallas_verify_attention
+            # full caches + layer scalar (slicing cache[l] as an operand
+            # materializes a full-layer copy per launch)
+            a = pallas_verify_attention(q, new_k, new_v, pos,
+                                        n_head=cfg.n_head,
+                                        layer=jnp.int32(l))
+        else:
+            a = _batched_verify_attention(q, new_k[l], new_v[l], pos,
+                                          n_head=cfg.n_head)
         x = x + nn.linear(a, p["wo"], _get(p, "bo"))
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))

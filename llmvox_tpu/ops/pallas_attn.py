@@ -351,6 +351,181 @@ def pallas_batched_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     return out
 
 
+def _verify_kernel(scal_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
+                   chunk: int, nb: int, nq: int):
+    """Batched VERIFY attention: nq teacher-forced queries per row (the
+    speculative decoder's verify forward, models/decoder.py::
+    _decode_many_batch).  Row b's query j sits at absolute position
+    ``pos_b + j`` and attends cache rows ``<= pos_b + j``.
+
+    Iteration space is the flat (row, chunk) index with double-buffered
+    DMA across it, like ``_batched_kernel_v2``; every chunk feeds ALL nq
+    queries (one DMA read amortized over the whole draft window — the
+    reason speculation beats per-token decode on cache bandwidth).
+    q_ref is the flattened (nb*nq, C) query block; out the same."""
+    c = q_ref.shape[-1]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    layer = scal_ref[0]
+
+    pmax = scal_ref[1]
+    for i in range(1, nb):
+        pmax = jnp.maximum(pmax, scal_ref[1 + i])
+    ncmax = (pmax + nq - 1 + chunk) // chunk
+    total = nb * ncmax
+
+    ci_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 0)
+    hi_idx = lax.broadcasted_iota(jnp.int32, (c, n_head), 1)
+    sel = (ci_idx // d == hi_idx).astype(jnp.float32)    # (C, H)
+    row_iota = lax.broadcasted_iota(jnp.int32, (nb * nq, 1), 0)
+
+    def body(kbuf, vbuf, sems, mrows, lrows, accrows):
+        def dma(slot, f, which):
+            b = f // ncmax
+            ci_ = f % ncmax
+            src = k_hbm if which == 0 else v_hbm
+            buf = kbuf if which == 0 else vbuf
+            return pltpu.make_async_copy(
+                src.at[layer, b, pl.ds(ci_ * chunk, chunk), :],
+                buf.at[slot], sems.at[which, slot])
+
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+        def loop(f, _):
+            b = f // ncmax
+            ci_ = f % ncmax
+            slot = f % 2
+            nxt = (f + 1) % 2
+
+            @pl.when(f + 1 < total)
+            def _():
+                dma(nxt, f + 1, 0).start()
+                dma(nxt, f + 1, 1).start()
+
+            dma(slot, f, 0).wait()
+            dma(slot, f, 1).wait()
+
+            pos_b = scal_ref[1 + b]
+
+            @pl.when(ci_ == 0)
+            def _():
+                mrows[:] = jnp.full((nq, n_head), NEG_INF, jnp.float32)
+                lrows[:] = jnp.zeros((nq, n_head), jnp.float32)
+                accrows[:] = jnp.zeros((nq, c), jnp.float32)
+
+            @pl.when(ci_ * chunk <= pos_b + nq - 1)
+            def _():
+                # row b's query block via one-hot matmul (dynamic sublane
+                # slices are not provably aligned for Mosaic)
+                qi = lax.broadcasted_iota(jnp.int32, (nq, nb * nq), 0)
+                qj = lax.broadcasted_iota(jnp.int32, (nq, nb * nq), 1)
+                pick = (qj == b * nq + qi).astype(jnp.float32)
+                qb = jnp.dot(pick, q_ref[:].astype(jnp.float32),
+                             preferred_element_type=jnp.float32)  # (nq, C)
+                kc = kbuf[slot].astype(jnp.float32)     # (chunk, C)
+                vc = vbuf[slot].astype(jnp.float32)
+                sidx = ci_ * chunk + lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1), 0)
+                for j in range(nq):
+                    t = kc * qb[j: j + 1]               # (chunk, C)
+                    logits = jnp.dot(
+                        t, sel, preferred_element_type=jnp.float32) * scale
+                    logits = jnp.where(sidx <= pos_b + j, logits, NEG_INF)
+                    m = mrows[j: j + 1]                 # (1, H)
+                    m_new = jnp.maximum(
+                        m, jnp.max(logits, axis=0, keepdims=True))
+                    p = jnp.exp(logits - m_new)         # (chunk, H)
+                    corr = jnp.exp(m - m_new)
+                    lrows[j: j + 1] = (lrows[j: j + 1] * corr
+                                       + jnp.sum(p, axis=0, keepdims=True))
+                    p_full = jnp.dot(p, sel.T,
+                                     preferred_element_type=jnp.float32)
+                    corr_full = jnp.dot(corr, sel.T,
+                                        preferred_element_type=jnp.float32)
+                    accrows[j: j + 1] = (accrows[j: j + 1] * corr_full
+                                         + jnp.sum(vc * p_full, axis=0,
+                                                   keepdims=True))
+                    mrows[j: j + 1] = m_new
+
+            @pl.when(ci_ == ncmax - 1)
+            def _():
+                l_full = jnp.dot(lrows[:], sel.T,
+                                 preferred_element_type=jnp.float32)
+                res = (accrows[:] / l_full)             # (nq, C)
+                # place row b's block into the flat output
+                pi = lax.broadcasted_iota(jnp.int32, (nb * nq, nq), 0)
+                pj = lax.broadcasted_iota(jnp.int32, (nb * nq, nq), 1)
+                place = (pi == b * nq + pj).astype(jnp.float32)
+                full = jnp.dot(place, res,
+                               preferred_element_type=jnp.float32)
+                keep = jnp.logical_and(row_iota >= b * nq,
+                                       row_iota < (b + 1) * nq)
+                out_ref[:] = jnp.where(keep, full.astype(out_ref.dtype),
+                                       out_ref[:])
+
+            return _
+
+        lax.fori_loop(0, total, lambda f, carry: (loop(f, carry), None)[1],
+                      None)
+
+    pl.run_scoped(
+        body,
+        kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        mrows=pltpu.VMEM((nq, n_head), jnp.float32),
+        lrows=pltpu.VMEM((nq, n_head), jnp.float32),
+        accrows=pltpu.VMEM((nq, c), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
+def pallas_verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
+                            v_cache: jnp.ndarray, pos: jnp.ndarray, *,
+                            n_head: int, chunk: int = 512,
+                            interpret: bool = False,
+                            layer=None) -> jnp.ndarray:
+    """Batched verify attention for the speculative decoder.
+
+    Args:
+      q: (B, n, C) — n teacher-forced queries per row, row b's query j at
+        absolute position ``pos[b] + j`` (attends cache ``<= pos[b]+j``).
+      k_cache, v_cache: (B, S, C) — or FULL (L, B, S, C) caches plus a
+        ``layer`` scalar (pass the full caches from the decode loop:
+        slicing ``cache[l]`` materializes a full-layer copy per launch).
+      pos: (B,) int32.
+    Returns: (B, n, C) attention outputs.
+
+    Numerics match models.decoder._batched_verify_attention (interpret
+    mode on CPU; compiled on TPU)."""
+    if k_cache.ndim == 3:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = jnp.int32(0)
+    _, b, s, c = k_cache.shape
+    nq = q.shape[1]
+    chunk = min(chunk, s)
+    assert s % chunk == 0
+    assert layer is not None, "4-D caches need the layer index"
+    scalars = jnp.concatenate([
+        jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+        jnp.asarray(pos, jnp.int32)])
+    out = pl.pallas_call(
+        partial(_verify_kernel, n_head=n_head, chunk=chunk, nb=b, nq=nq),
+        out_shape=jax.ShapeDtypeStruct((b * nq, c), q.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scalars, q.reshape(b * nq, c), k_cache, v_cache)
+    return out.reshape(b, nq, c)
+
+
 @partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
 def pallas_decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                             v_cache: jnp.ndarray, pos: jnp.ndarray, *,

@@ -141,17 +141,14 @@ class DecodePool:
         # draft heads.  Single-device pools only for now: the sharded
         # step's while_loop trip count would sync across the mesh every
         # iteration, a frontier for real multi-chip measurement.
-        # Gated off under the Pallas attention (i.e. on real TPUs, which
-        # force-enable it above): the Pallas batched greedy step is fast
-        # enough that the XLA verify forward makes speculation a NET LOSS
-        # there — measured at B=8/k=12 with near-perfect accepts:
-        # 36.5k tok/s greedy vs 24.3k spec (benchmarks/spec_bench.py
-        # --pool_batch).  Against the XLA batched step (CPU tests) the
-        # same config is 5.3x FASTER.  A Pallas verify kernel is what
-        # flips this; the dedicated engines keep spec on TPU (2.7x —
-        # their XLA chunked single-stream attention is the baseline).
+        # Measured at B=8/k=12 with near-perfect accepts
+        # (benchmarks/spec_bench.py --pool_batch): against the XLA
+        # batched step (CPU tests) spec is 5.3x; against the Pallas
+        # greedy baseline (real TPUs force-enable it above) the XLA
+        # verify forward made speculation a NET LOSS (0.67x) until the
+        # Pallas verify kernel (ops/pallas_attn.py::
+        # pallas_verify_attention) — with it, spec wins under Pallas too.
         self._spec = bool(self.scfg.spec_decode and mesh is None
-                          and not self.dcfg.use_pallas_attention
                           and isinstance(self.params, dict)
                           and "draft_heads" in self.params)
         if mesh is None:

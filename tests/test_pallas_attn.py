@@ -51,3 +51,43 @@ def test_pallas_batched_matches_lax(  ):
                                           chunk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("pos", [[0, 3, 100, 250], [5, 5, 5, 5]])
+def test_pallas_verify_matches_lax(pos):
+    """Verify kernel (n teacher-forced queries per row at per-row
+    offsets) vs the decoder's XLA chunked reference."""
+    from llmvox_tpu.models.decoder import _batched_verify_attention
+    from llmvox_tpu.ops.pallas_attn import pallas_verify_attention
+
+    b, n, s, c, h = 4, 5, 512, 256, 4
+    q = jnp.asarray(RNG.standard_normal((b, n, c)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((b, s, c)), jnp.float32)
+    p = jnp.asarray(pos, jnp.int32)
+    ref = _batched_verify_attention(q, k, v, p, n_head=h, chunk=128)
+    got = pallas_verify_attention(q, k, v, p, n_head=h, chunk=128,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_verify_full_cache_layer():
+    """Full (L, B, S, C) caches + layer scalar select the right layer."""
+    from llmvox_tpu.models.decoder import _batched_verify_attention
+    from llmvox_tpu.ops.pallas_attn import pallas_verify_attention
+
+    l_, b, n, s, c, h = 3, 2, 4, 256, 128, 2
+    q = jnp.asarray(RNG.standard_normal((b, n, c)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((l_, b, s, c)), jnp.bfloat16)
+    v = jnp.asarray(RNG.standard_normal((l_, b, s, c)), jnp.bfloat16)
+    p = jnp.asarray([60, 200], jnp.int32)
+    for layer in range(l_):
+        ref = _batched_verify_attention(q, k[layer], v[layer], p,
+                                        n_head=h, chunk=128)
+        got = pallas_verify_attention(q, k, v, p, n_head=h, chunk=128,
+                                      interpret=True,
+                                      layer=jnp.int32(layer))
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
