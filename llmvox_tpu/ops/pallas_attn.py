@@ -480,11 +480,152 @@ def _verify_kernel(scal_ref, q_ref, k_hbm, v_hbm, out_ref, *, n_head: int,
     )
 
 
-@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret"))
+def _verify_kernel_mxu(scal_ref, qT_ref, k_hbm, v_hbm, outT_ref, *,
+                       n_head: int, chunk: int, nb: int, nq: int):
+    """MXU formulation of the verify kernel: all nq queries' logits in ONE
+    (chunk, C) @ (C, nq*H) matmul against a per-row expanded query matrix
+    Qp[c, j*H+h] = q_j[c] * [c//D == h], and the value accumulation as a
+    contract-first-axis matmul into (C, nq*H) "transposed space" — no
+    per-query loop, no in-kernel transposes (q arrives and the output
+    leaves transposed; XLA handles both outside).  The per-query-loop
+    variant measured 1.17x pooled-spec speedup at B=8/k=12 because each
+    chunk paid ~4 VPU passes per query; this one is two MXU matmuls +
+    one exp per chunk."""
+    c = qT_ref.shape[0]
+    d = c // n_head
+    scale = 1.0 / math.sqrt(d)
+    nh = nq * n_head
+    layer = scal_ref[0]
+
+    pmax = scal_ref[1]
+    for i in range(1, nb):
+        pmax = jnp.maximum(pmax, scal_ref[1 + i])
+    ncmax = (pmax + nq - 1 + chunk) // chunk
+    total = nb * ncmax
+
+    # static selector masks (iota-only, no reshapes):
+    #   selK (C, nq*H):  [c // D == k % H]   — expands queries to columns
+    #   Bexp (nq, nq*H): [k // H == j]       — tiles q columns per head
+    cK = lax.broadcasted_iota(jnp.int32, (c, nh), 0)
+    kK = lax.broadcasted_iota(jnp.int32, (c, nh), 1)
+    selK = (cK // d == kK % n_head).astype(jnp.float32)
+    jB = lax.broadcasted_iota(jnp.int32, (nq, nh), 0)
+    kB = lax.broadcasted_iota(jnp.int32, (nq, nh), 1)
+    Bexp = (kB // n_head == jB).astype(jnp.float32)
+    kB2 = lax.broadcasted_iota(jnp.int32, (nh, nq), 0)
+    jB2 = lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
+    BsumT = (kB2 // n_head == jB2).astype(jnp.float32)   # (nq*H, nq)
+    colk = lax.broadcasted_iota(jnp.int32, (1, nh), 1)
+    out_col = lax.broadcasted_iota(jnp.int32, (1, nb * nq), 1)
+
+    def body(kbuf, vbuf, sems, qprime, accR, mrow, lrow):
+        def dma(slot, f, which):
+            b = f // ncmax
+            ci_ = f % ncmax
+            src = k_hbm if which == 0 else v_hbm
+            buf = kbuf if which == 0 else vbuf
+            return pltpu.make_async_copy(
+                src.at[layer, b, pl.ds(ci_ * chunk, chunk), :],
+                buf.at[slot], sems.at[which, slot])
+
+        dma(0, 0, 0).start()
+        dma(0, 0, 1).start()
+
+        def loop(f, _):
+            b = f // ncmax
+            ci_ = f % ncmax
+            slot = f % 2
+            nxt = (f + 1) % 2
+
+            @pl.when(f + 1 < total)
+            def _():
+                dma(nxt, f + 1, 0).start()
+                dma(nxt, f + 1, 1).start()
+
+            dma(slot, f, 0).wait()
+            dma(slot, f, 1).wait()
+
+            pos_b = scal_ref[1 + b]
+
+            @pl.when(ci_ == 0)
+            def _():
+                # row b's query block, already transposed: pick nq columns
+                pi = lax.broadcasted_iota(jnp.int32, (nb * nq, nq), 0)
+                pj = lax.broadcasted_iota(jnp.int32, (nb * nq, nq), 1)
+                pickT = (pi == b * nq + pj).astype(jnp.float32)
+                q_t = jnp.dot(qT_ref[:].astype(jnp.float32), pickT,
+                              preferred_element_type=jnp.float32)  # (C,nq)
+                qprime[:] = jnp.dot(
+                    q_t, Bexp, preferred_element_type=jnp.float32) * selK
+                mrow[:] = jnp.full((1, nh), NEG_INF, jnp.float32)
+                lrow[:] = jnp.zeros((1, nh), jnp.float32)
+                accR[:] = jnp.zeros((c, nh), jnp.float32)
+
+            @pl.when(ci_ * chunk <= pos_b + nq - 1)
+            def _():
+                kc = kbuf[slot].astype(jnp.float32)      # (chunk, C)
+                vc = vbuf[slot].astype(jnp.float32)
+                logits = jnp.dot(kc, qprime[:],
+                                 preferred_element_type=jnp.float32) * scale
+                sidx = ci_ * chunk + lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1), 0)
+                logits = jnp.where(sidx <= pos_b + colk // n_head,
+                                   logits, NEG_INF)      # (chunk, nq*H)
+                m = mrow[:]
+                m_new = jnp.maximum(m, jnp.max(logits, axis=0,
+                                               keepdims=True))
+                p = jnp.exp(logits - m_new)              # (chunk, nq*H)
+                corr = jnp.exp(m - m_new)                # (1, nq*H)
+                lrow[:] = lrow[:] * corr + jnp.sum(p, axis=0, keepdims=True)
+                # value accumulation in transposed space: (C, nq*H)
+                a_chunk = lax.dot_general(
+                    vc, p, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                accR[:] = accR[:] * corr + a_chunk
+                mrow[:] = m_new
+
+            @pl.when(ci_ == ncmax - 1)
+            def _():
+                # collapse the per-head columns back to per-query outputs:
+                # outT[c, j] = accR[c, jH + c//D] / l[0, jH + c//D]
+                outT_b = jnp.dot(accR[:] * selK, BsumT,
+                                 preferred_element_type=jnp.float32)
+                lT_b = jnp.dot(lrow[:] * selK, BsumT,
+                               preferred_element_type=jnp.float32)
+                resT = outT_b / lT_b                      # (C, nq)
+                pi = lax.broadcasted_iota(jnp.int32, (nq, nb * nq), 0)
+                pj = lax.broadcasted_iota(jnp.int32, (nq, nb * nq), 1)
+                place = (pj == b * nq + pi).astype(jnp.float32)
+                placed = jnp.dot(resT, place,
+                                 preferred_element_type=jnp.float32)
+                keep = jnp.logical_and(out_col >= b * nq,
+                                       out_col < (b + 1) * nq)
+                outT_ref[:] = jnp.where(keep,
+                                        placed.astype(outT_ref.dtype),
+                                        outT_ref[:])
+
+            return _
+
+        lax.fori_loop(0, total, lambda f, carry: (loop(f, carry), None)[1],
+                      None)
+
+    pl.run_scoped(
+        body,
+        kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
+        vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
+        qprime=pltpu.VMEM((c, nh), jnp.float32),
+        accR=pltpu.VMEM((c, nh), jnp.float32),
+        mrow=pltpu.VMEM((1, nh), jnp.float32),
+        lrow=pltpu.VMEM((1, nh), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_head", "chunk", "interpret", "mxu"))
 def pallas_verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                             v_cache: jnp.ndarray, pos: jnp.ndarray, *,
                             n_head: int, chunk: int = 512,
-                            interpret: bool = False,
+                            interpret: bool = False, mxu: bool = True,
                             layer=None) -> jnp.ndarray:
     """Batched verify attention for the speculative decoder.
 
@@ -511,9 +652,7 @@ def pallas_verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     scalars = jnp.concatenate([
         jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
         jnp.asarray(pos, jnp.int32)])
-    out = pl.pallas_call(
-        partial(_verify_kernel, n_head=n_head, chunk=chunk, nb=b, nq=nq),
-        out_shape=jax.ShapeDtypeStruct((b * nq, c), q.dtype),
+    specs = dict(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -522,6 +661,21 @@ def pallas_verify_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+    )
+    if mxu:
+        # queries in and outputs out TRANSPOSED (C-major) so the kernel
+        # needs no in-kernel transposes; XLA does both conversions
+        outT = pl.pallas_call(
+            partial(_verify_kernel_mxu, n_head=n_head, chunk=chunk,
+                    nb=b, nq=nq),
+            out_shape=jax.ShapeDtypeStruct((c, b * nq), q.dtype),
+            **specs,
+        )(scalars, q.reshape(b * nq, c).T, k_cache, v_cache)
+        return outT.T.reshape(b, nq, c)
+    out = pl.pallas_call(
+        partial(_verify_kernel, n_head=n_head, chunk=chunk, nb=b, nq=nq),
+        out_shape=jax.ShapeDtypeStruct((b * nq, c), q.dtype),
+        **specs,
     )(scalars, q.reshape(b * nq, c), k_cache, v_cache)
     return out.reshape(b, nq, c)
 

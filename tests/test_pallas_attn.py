@@ -53,8 +53,9 @@ def test_pallas_batched_matches_lax(  ):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mxu", [False, True])
 @pytest.mark.parametrize("pos", [[0, 3, 100, 250], [5, 5, 5, 5]])
-def test_pallas_verify_matches_lax(pos):
+def test_pallas_verify_matches_lax(pos, mxu):
     """Verify kernel (n teacher-forced queries per row at per-row
     offsets) vs the decoder's XLA chunked reference."""
     from llmvox_tpu.models.decoder import _batched_verify_attention
@@ -67,12 +68,13 @@ def test_pallas_verify_matches_lax(pos):
     p = jnp.asarray(pos, jnp.int32)
     ref = _batched_verify_attention(q, k, v, p, n_head=h, chunk=128)
     got = pallas_verify_attention(q, k, v, p, n_head=h, chunk=128,
-                                  interpret=True)
+                                  interpret=True, mxu=mxu)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
 
-def test_pallas_verify_full_cache_layer():
+@pytest.mark.parametrize("mxu", [False, True])
+def test_pallas_verify_full_cache_layer(mxu):
     """Full (L, B, S, C) caches + layer scalar select the right layer."""
     from llmvox_tpu.models.decoder import _batched_verify_attention
     from llmvox_tpu.ops.pallas_attn import pallas_verify_attention
@@ -86,7 +88,7 @@ def test_pallas_verify_full_cache_layer():
         ref = _batched_verify_attention(q, k[layer], v[layer], p,
                                         n_head=h, chunk=128)
         got = pallas_verify_attention(q, k, v, p, n_head=h, chunk=128,
-                                      interpret=True,
+                                      interpret=True, mxu=mxu,
                                       layer=jnp.int32(layer))
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
