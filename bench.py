@@ -136,10 +136,13 @@ def main() -> None:
     # (HBM headroom for the train step's activations).
     from benchmarks.spec_bench import measure_spec
     spec = measure_spec(steps=200, k_draft=12, blocks=8, batch=16,
-                        block=128, seq=512, verbose=False)
+                        block=128, seq=512, verbose=False, pool_batch=8)
     spec_speedup = spec["speedup"]
     spec_tok_s = spec["spec_tok_s"]
-    spec_mismatches = spec["greedy_vs_spec_token_mismatches"]
+    spec_mismatches = (spec["greedy_vs_spec_token_mismatches"]
+                       + spec["pooled_mismatches"])
+    spec_pooled_speedup = spec["pooled_speedup"]
+    spec_pooled_tok_s = spec["pooled_spec_tok_s"]
 
     # ---- pooled concurrent serving (continuous batching) ---------------
     from llmvox_tpu.serve.pool import DecodePool, PooledEngine
@@ -429,6 +432,8 @@ def main() -> None:
         "s2s_asr_leg_ms": round(statistics.median(s2s_asr_ms), 1),
         "spec_decode_speedup_trained_heads": spec_speedup,
         "spec_decode_tok_s": spec_tok_s,
+        "spec_pooled_speedup_b8": spec_pooled_speedup,
+        "spec_pooled_agg_tok_s_b8": spec_pooled_tok_s,
         "spec_vs_greedy_token_mismatches": spec_mismatches,
         "llama1B_bf16_ms_per_block16": round(llama1b_bf16_ms, 1),
         "llama1B_int8_ms_per_block16": round(llama1b_int8_ms, 1),
