@@ -87,8 +87,11 @@ def main() -> None:
             v_cache = v_cache.at[l, barange[:, None], posn].set(rows)
         return k_cache, v_cache
     scatters = jax.jit(scatters, donate_argnums=(0, 1))
-    # CHAIN + DONATE: same-buffer timing would force a 100 MB copy/call
-    k, v = scatters(st.k_cache, st.v_cache, rows)
+    # CHAIN + DONATE: same-buffer timing would force a 100 MB copy/call.
+    # Fresh buffers — donating st's caches would invalidate st for the
+    # measurements below.
+    st_sc = dec.init_decode_state_batch(cfg, B, jnp.bfloat16)
+    k, v = scatters(st_sc.k_cache, st_sc.v_cache, rows)
     k, v = scatters(k, v, rows)
     t0 = time.perf_counter()
     for _ in range(100):
