@@ -58,6 +58,12 @@ class LlamaConfig:
     rope_original_max_position: int = 8192
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
+    # speculative decoding: Medusa/MTP-style draft heads — head j predicts
+    # the token at t+2+j from position t's final (post-norm) hidden state.
+    # Each head is a full (n_embd, vocab) projection, so its weight
+    # traffic per step equals one extra lm_head read; keep n_draft_heads
+    # modest (4-8) on large-vocab checkpoints.
+    n_draft_heads: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -102,6 +108,9 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
     }
     if not cfg.tie_embeddings:
         params["head"] = norm(next(ks), (cfg.n_embd, cfg.vocab_size))
+    if cfg.n_draft_heads > 0:
+        params["draft_heads"] = norm(
+            next(ks), (cfg.n_draft_heads, cfg.n_embd, cfg.vocab_size))
     return params
 
 
@@ -214,8 +223,11 @@ def _gqa_cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
 
 
 def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
-                positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Teacher-forced forward: (B, T) int32 -> (B, T, V) logits."""
+                positions: Optional[jnp.ndarray] = None,
+                return_hidden: bool = False):
+    """Teacher-forced forward: (B, T) int32 -> (B, T, V) logits.
+    ``return_hidden=True`` also returns the post-final-norm hidden states
+    (the draft heads' input)."""
     b, t = tokens.shape
     hd = cfg.head_dim
     if positions is None:
@@ -244,7 +256,42 @@ def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
     head = params.get("head")
     if head is None:
         head = params["tok_emb"].T
-    return ops.linear(x, head)
+    logits = ops.linear(x, head)
+    if return_hidden:
+        return logits, x
+    return logits
+
+
+def _ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def llama_loss(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
+               mtp_weight: float = 0.2) -> jnp.ndarray:
+    """Next-token cross-entropy over ``tokens`` (B, T); position t's
+    hidden predicts tokens[t+1].  With ``cfg.n_draft_heads > 0`` adds the
+    multi-token-prediction aux losses: draft head j predicts tokens[t+2+j]
+    from the same hidden state — the shift convention
+    ``decode_block_spec_pooled`` consumes (mirrors
+    models/decoder.py::decoder_loss for the speech decoder)."""
+    if "draft_heads" not in params:
+        logits = apply_llama(params, tokens[:, :-1], cfg)
+        return _ce(logits, tokens[:, 1:])
+    logits, hidden = apply_llama(params, tokens[:, :-1], cfg,
+                                 return_hidden=True)
+    loss = _ce(logits, tokens[:, 1:])
+    n_heads = params["draft_heads"].shape[0]
+    aux = 0.0
+    for j in range(n_heads):
+        shift = j + 2                     # hidden t -> tokens[t + shift]
+        t_use = tokens.shape[1] - shift   # positions with a valid target
+        if t_use <= 0:
+            continue
+        lj = ops.linear(hidden[:, :t_use], params["draft_heads"][j])
+        aux = aux + _ce(lj, tokens[:, shift:])
+    return loss + mtp_weight * aux / n_heads
 
 
 class LlamaDecodeState(NamedTuple):
@@ -639,3 +686,141 @@ def decode_block_pooled(params: Dict, state: LlamaPoolState,
         step, (state.tok, state.k, state.v, state.pos, rng), None,
         length=block)
     return toks.swapaxes(0, 1), LlamaPoolState(k, v, pos, tok)
+
+
+# ---------------------------------------------------------------------------
+# Pooled speculative decode (greedy) — the LLM counterpart of
+# models/decoder.py::decode_block_spec_batch.  No reference counterpart:
+# the reference's LLM serving is one torch generate() thread per request
+# (inference/llm_streaming.py:44-106) with per-token sequential decode.
+# ---------------------------------------------------------------------------
+
+
+def _hidden_logits(params: Dict, x: jnp.ndarray, cfg: LlamaConfig):
+    """Final norm + lm head on (B, [T,] C) hidden states."""
+    h = rms_norm(x, params["lnf_s"], cfg.rms_eps)
+    return h, ops.linear(h, _head(params))
+
+
+@partial(jax.jit, static_argnames=("block", "k_draft", "attn_len"),
+         donate_argnames=("state",))
+def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
+                             active: jnp.ndarray, cfg: LlamaConfig,
+                             block: int = 16, k_draft: int = 4,
+                             attn_len: Optional[int] = None,
+                             draft_tokens: Optional[jnp.ndarray] = None
+                             ) -> Tuple[jnp.ndarray, LlamaPoolState,
+                                        jnp.ndarray]:
+    """Speculative :func:`decode_block_pooled` (greedy): B pooled rows
+    advance ``block`` tokens each in fewer sequential forwards when the
+    drafts accept — output tokens equal the greedy pooled path's for any
+    draft quality (acceptance commits only the verifier's own argmax
+    chain; proven token-exact in tests/test_llama_spec.py and counted
+    live by bench.py).
+
+    Per iteration: ONE batched step from each row's device-carried
+    ``state.tok`` (also yielding the post-norm hidden the draft heads
+    read), per-row drafts for the next ``k_draft`` positions
+    (``params["draft_heads"]`` — head j guesses position +2+j — or the
+    explicit ``draft_tokens`` (B, block) stream for tests), then ONE
+    batched teacher-forced verify forward over all rows' drafts
+    (``_scan_layers_rows`` at T=k_draft: per-row positions, per-row
+    causal masks — the same kernel the mixed-length prefill uses).  Each
+    row commits its matching draft prefix plus the verifier's first
+    correction, so every iteration advances a row by 1..1+k_draft
+    tokens.  Rows stop at ``block``; inactive rows ride along frozen.
+    Mis-speculated cache rows sit above ``pos`` and are overwritten
+    before any later query attends them (the padded-prefill argument).
+
+    Why this wins: the decode loop is HBM-bandwidth-bound on weight +
+    KV-cache reads, which the verify forward amortizes over k_draft+1
+    positions; iterations shrink by the accept rate while each iteration
+    costs ~2 memory sweeps instead of 1 — net ~(1+accepts)/2 fewer
+    sweeps per token.  EOS stays host-side like the greedy path;
+    temperature>0 needs rejection sampling (not implemented — the pool
+    falls back to :func:`decode_block_pooled`).
+
+    ``attn_len`` (static): every active row must satisfy
+    pos + block + k_draft + 1 <= attn_len (the verifier probes up to
+    k_draft rows past the last committed token).
+
+    Returns (tokens (B, block), state, iters (B,) — sequential forwards
+    each row actually paid, for measurement).
+    """
+    kd = int(k_draft)
+    bsz = state.pos.shape[0]
+    active = active.astype(jnp.bool_)
+    limits = jnp.where(active, jnp.int32(block), jnp.int32(0))
+    dpad = None
+    if draft_tokens is not None:
+        dpad = jnp.concatenate(
+            [jnp.maximum(jnp.asarray(draft_tokens, jnp.int32), 0),
+             jnp.zeros((bsz, kd + 1), jnp.int32)], axis=1)
+    out0 = jnp.full((bsz, block + kd + 1), -1, jnp.int32)
+    barange = jnp.arange(bsz)
+    offs = jnp.arange(kd, dtype=jnp.int32)
+
+    def iteration(carry):
+        k, v, pos, tok, count, out, iters = carry
+        active_it = count < limits
+
+        # ---- one batched greedy step from each row's last token --------
+        x, (k1, v1) = _scan_layers_rows(params, tok[:, None], k, v, pos,
+                                        cfg, attn_len)
+        hidden, logits = _hidden_logits(params, x[:, -1], cfg)
+        token1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos1 = pos + active_it.astype(jnp.int32)
+        tok1 = jnp.where(active_it, token1, tok)
+
+        # ---- per-row drafts for the next k_draft positions --------------
+        if dpad is not None:
+            d = jnp.take_along_axis(
+                dpad, count[:, None] + 1 + offs[None], axis=1)
+        else:
+            d = jnp.argmax(
+                jnp.einsum("bc,kcv->bkv", hidden.astype(jnp.float32),
+                           params["draft_heads"].astype(jnp.float32)),
+                axis=-1).astype(jnp.int32)                       # (B, kd)
+
+        # ---- ONE batched verify forward for every row's drafts ----------
+        prevs = jnp.concatenate([token1[:, None], d[:, :-1]], axis=1)
+        xs, (k2, v2) = _scan_layers_rows(params, prevs, k1, v1, pos1, cfg,
+                                         attn_len)
+        _, vlogits = _hidden_logits(params, xs, cfg)             # (B,kd,V)
+        a = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)       # (B, kd)
+
+        # ---- each row accepts its matching prefix + first correction ----
+        match = d == a
+        prefix_ok = jnp.concatenate(
+            [jnp.ones((bsz, 1), bool),
+             jnp.cumprod(match[:, :-1].astype(jnp.int32),
+                         axis=1).astype(bool)], axis=1)
+        commit = (active_it[:, None] & prefix_ok
+                  & (count[:, None] + 1 + offs[None] < limits[:, None]))
+        n_commit = jnp.sum(commit.astype(jnp.int32), axis=1)     # (B,)
+
+        pos2 = pos1 + n_commit
+        last_a = jnp.take_along_axis(
+            a, jnp.maximum(n_commit - 1, 0)[:, None], axis=1)[:, 0]
+        tok2 = jnp.where(n_commit > 0, last_a, tok1)
+
+        emitted = jnp.where(
+            jnp.concatenate([active_it[:, None], commit], axis=1),
+            jnp.concatenate([token1[:, None], a], axis=1), jnp.int32(-1))
+        # frozen rows re-write -1 at [count..count+kd] — always >= their
+        # final count, where out is still -1 (commits are prefix-shaped)
+        out = out.at[barange[:, None],
+                     count[:, None] + jnp.arange(kd + 1)[None]].set(emitted)
+        count = count + active_it.astype(jnp.int32) + n_commit
+        iters = iters + active_it.astype(jnp.int32)
+        return k2, v2, pos2, tok2, count, out, iters
+
+    def cond(carry):
+        count = carry[4]
+        return jnp.any(count < limits)
+
+    k, v, pos, tok, count, out, iters = lax.while_loop(
+        cond, iteration,
+        (state.k, state.v, state.pos, state.tok,
+         jnp.zeros((bsz,), jnp.int32), out0, jnp.zeros((bsz,), jnp.int32)))
+    return out[:, :block], LlamaPoolState(k, v, pos, tok), iters

@@ -67,7 +67,8 @@ class LLMPool:
                  top_p: float = 1.0, dtype=None,
                  device: Optional[jax.Device] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
-                 seed: int = 0, pipeline_depth: int = 2):
+                 seed: int = 0, pipeline_depth: int = 2,
+                 spec_k: int = 0):
         self.cfg = cfg
         self.B = capacity
         self.block = block
@@ -75,6 +76,16 @@ class LLMPool:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        # speculative decode (models/llama.py::decode_block_spec_pooled):
+        # greedy-only and needs trained draft heads in the checkpoint —
+        # silently fall back to the normal pooled block otherwise (the
+        # output tokens are identical either way; spec only changes speed)
+        self.spec_k = int(spec_k)
+        self.use_spec = (self.spec_k > 0 and temperature == 0.0
+                         and "draft_heads" in params)
+        # the verifier writes up to spec_k+1 cache rows past the last
+        # committed token; reserve that headroom in every capacity check
+        self._spec_margin = self.spec_k + 1 if self.use_spec else 0
         if dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(dtype)
@@ -85,7 +96,7 @@ class LLMPool:
         self.params = params
         # prompts longer than the largest bucket keep their tail; buckets
         # must leave room for at least one decode block
-        cap = cfg.max_seq_len - block - 1
+        cap = cfg.max_seq_len - block - 1 - self._spec_margin
         self.buckets = tuple(sorted(b for b in prefill_buckets if b <= cap))
         if not self.buckets:
             self.buckets = (min(16, cap),)
@@ -242,14 +253,21 @@ class LLMPool:
                 for i in heads:
                     blocks.append((i, self.slots[i].queue.popleft()))
                 attn = self._attn_bucket(
-                    max(self._ub[i] for i in heads) + self.block)
+                    max(self._ub[i] for i in heads) + self.block
+                    + self._spec_margin)
                 for i in heads:
                     self._ub[i] += self.block
-                toks, self.state = llama.decode_block_pooled(
-                    self.params, self.state, jnp.asarray(active),
-                    self._next_key(), self.cfg, block=self.block,
-                    temperature=self.temperature, top_k=self.top_k,
-                    top_p=self.top_p, attn_len=attn)
+                if self.use_spec:
+                    toks, self.state, _ = llama.decode_block_spec_pooled(
+                        self.params, self.state, jnp.asarray(active),
+                        self.cfg, block=self.block, k_draft=self.spec_k,
+                        attn_len=attn)
+                else:
+                    toks, self.state = llama.decode_block_pooled(
+                        self.params, self.state, jnp.asarray(active),
+                        self._next_key(), self.cfg, block=self.block,
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p, attn_len=attn)
                 self.steps += 1
         except BaseException as exc:
             # futures already popped here would otherwise hang their
@@ -414,11 +432,17 @@ class LLMPool:
                         top_k=self.top_k, top_p=self.top_p)
                     np.asarray(first)
             for attn in self.attn_buckets:
-                toks, self.state = llama.decode_block_pooled(
-                    self.params, self.state, inactive, self._next_key(),
-                    self.cfg, block=self.block,
-                    temperature=self.temperature,
-                    top_k=self.top_k, top_p=self.top_p, attn_len=attn)
+                if self.use_spec:
+                    toks, self.state, _ = llama.decode_block_spec_pooled(
+                        self.params, self.state, inactive, self.cfg,
+                        block=self.block, k_draft=self.spec_k,
+                        attn_len=attn)
+                else:
+                    toks, self.state = llama.decode_block_pooled(
+                        self.params, self.state, inactive, self._next_key(),
+                        self.cfg, block=self.block,
+                        temperature=self.temperature,
+                        top_k=self.top_k, top_p=self.top_p, attn_len=attn)
                 np.asarray(toks)
 
     # -- streaming generation -------------------------------------------
@@ -434,11 +458,12 @@ class LLMPool:
             cached = min(max(len(ids), 1), self.buckets[-1])
             first_fut = self.submit_prefill(idx, ids)
             n_sub = 0
-            # block n+1 writes cache indices up to cached+(n+1)*block-1,
-            # so it fits iff cached + (n+1)*block <= max_seq_len
+            # block n+1 writes cache indices up to cached+(n+1)*block-1
+            # (+ the verifier's probe rows under speculation), so it fits
+            # iff cached + (n+1)*block + spec_margin <= max_seq_len
             def room() -> bool:
                 return (cached + (n_sub + 1) * self.block
-                        <= self.cfg.max_seq_len)
+                        + self._spec_margin <= self.cfg.max_seq_len)
             # first block chains on the device-carried token: submit
             # before the prefill result is known
             if room():

@@ -316,7 +316,8 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
                        top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,
                        dtype=dtype,
                        prefill_buckets=tuple(cfg.llm_prefill_buckets),
-                       pipeline_depth=cfg.pool_pipeline_depth)
+                       pipeline_depth=cfg.pool_pipeline_depth,
+                       spec_k=cfg.llm_spec_k)
         return PooledJAXStreamModel(pool, tokenizer,
                                     max_tokens=cfg.llm_max_tokens,
                                     eos_text=cfg.eos_token)

@@ -180,6 +180,13 @@ class ServeConfig:
     # prompt-prefill bucket ladder for the pooled path (right-padded;
     # longer prompts keep their tail)
     llm_prefill_buckets: tuple = (32, 64, 128, 256, 512)
+    # > 0: speculative decode in the LLM pool with this many draft
+    # positions per step (models/llama.py::decode_block_spec_pooled).
+    # Greedy-only (llm_temperature must be 0) and requires draft heads in
+    # the converted checkpoint (cfg.n_draft_heads > 0); falls back to the
+    # normal pooled block otherwise.  Output tokens are unchanged — this
+    # only reduces sequential forwards per block.
+    llm_spec_k: int = 0
 
     # TTS replica placement: indices into jax.devices()
     tts_device_1: int = 0
