@@ -386,13 +386,12 @@ def _head(params: Dict) -> jnp.ndarray:
     return params["tok_emb"].T if head is None else head
 
 
-def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
-            top_k: int, top_p: float = 1.0) -> jnp.ndarray:
-    """Greedy when temperature == 0, else temperature sampling with
-    optional top-k and nucleus (top-p) filtering — the reference's
-    GenerationConfig knobs (hf_llm.py / llm_streaming.py)."""
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def _filtered_logits(logits: jnp.ndarray, temperature: float,
+                     top_k: int, top_p: float = 1.0) -> jnp.ndarray:
+    """Temperature-scaled logits with top-k / nucleus filtering applied
+    (filtered entries -inf) — the distribution :func:`_sample` draws from,
+    exposed so the speculative sampler can evaluate the SAME target and
+    draft distributions its acceptance test needs.  temperature > 0."""
     logits = logits.astype(jnp.float32) / temperature
     if top_k > 0 and top_k < logits.shape[-1]:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
@@ -408,6 +407,17 @@ def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
                          axis=-1, keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
+            top_k: int, top_p: float = 1.0) -> jnp.ndarray:
+    """Greedy when temperature == 0, else temperature sampling with
+    optional top-k and nucleus (top-p) filtering — the reference's
+    GenerationConfig knobs (hf_llm.py / llm_streaming.py)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = _filtered_logits(logits, temperature, top_k, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
@@ -702,21 +712,45 @@ def _hidden_logits(params: Dict, x: jnp.ndarray, cfg: LlamaConfig):
     return h, ops.linear(h, _head(params))
 
 
-@partial(jax.jit, static_argnames=("block", "k_draft", "attn_len"),
+@partial(jax.jit, static_argnames=("block", "k_draft", "attn_len",
+                                   "temperature", "top_k", "top_p"),
          donate_argnames=("state",))
 def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
                              active: jnp.ndarray, cfg: LlamaConfig,
                              block: int = 16, k_draft: int = 4,
                              attn_len: Optional[int] = None,
-                             draft_tokens: Optional[jnp.ndarray] = None
+                             draft_tokens: Optional[jnp.ndarray] = None,
+                             rng: Optional[jax.Array] = None,
+                             temperature: float = 0.0, top_k: int = 0,
+                             top_p: float = 1.0
                              ) -> Tuple[jnp.ndarray, LlamaPoolState,
                                         jnp.ndarray]:
-    """Speculative :func:`decode_block_pooled` (greedy): B pooled rows
-    advance ``block`` tokens each in fewer sequential forwards when the
-    drafts accept — output tokens equal the greedy pooled path's for any
-    draft quality (acceptance commits only the verifier's own argmax
-    chain; proven token-exact in tests/test_llama_spec.py and counted
-    live by bench.py).
+    """Speculative :func:`decode_block_pooled`: B pooled rows advance
+    ``block`` tokens each in fewer sequential forwards when the drafts
+    accept.
+
+    Greedy mode (``temperature == 0``): output tokens equal the greedy
+    pooled path's for any draft quality (acceptance commits only the
+    verifier's own argmax chain; proven token-exact in
+    tests/test_llama_spec.py and counted live by bench.py).
+
+    Sampled mode (``temperature > 0``, requires ``rng``): standard
+    speculative REJECTION sampling (Leviathan et al. 2023 / Chen et al.
+    2023), so each emitted token is distributed EXACTLY as the plain
+    sampled path's conditional — not approximately.  Per position j the
+    draft d_j ~ q_j (draft head j's distribution under the same
+    temperature/top-k/top-p filtering as the target) is accepted iff
+    u_j < p_j(d_j)/q_j(d_j) with p_j the verifier's filtered
+    distribution given the ACTUAL draft prefix; the first rejection
+    emits a correction from norm(max(p_j - q_j, 0)) and stops the
+    commit.  The Medusa-style heads propose each position independently
+    of the draft tokens before it, which keeps the proof valid: d_j is
+    independent of the acceptance outcomes, and the test uses the exact
+    conditional p_j.  Distribution-exactness is tested statistically in
+    tests/test_llama_spec.py (empirical marginals vs enumerated model
+    conditionals).  With explicit ``draft_tokens`` the proposal is the
+    one-hot at the given token (q_j = 1 at d_j), which is the same
+    algorithm with a deterministic proposal.
 
     Per iteration: ONE batched step from each row's device-carried
     ``state.tok`` (also yielding the post-norm hidden the draft heads
@@ -751,6 +785,11 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
     bsz = state.pos.shape[0]
     active = active.astype(jnp.bool_)
     limits = jnp.where(active, jnp.int32(block), jnp.int32(0))
+    sampling = temperature > 0.0
+    if sampling and rng is None:
+        raise ValueError("sampled speculative decode needs rng")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)      # greedy: carried but never used
     dpad = None
     if draft_tokens is not None:
         dpad = jnp.concatenate(
@@ -761,66 +800,102 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
     offs = jnp.arange(kd, dtype=jnp.int32)
 
     def iteration(carry):
-        k, v, pos, tok, count, out, iters = carry
+        k, v, pos, tok, count, out, iters, key = carry
         active_it = count < limits
+        key, k_tok1, k_d, k_u, k_corr = jax.random.split(key, 5)
 
-        # ---- one batched greedy step from each row's last token --------
+        # ---- one batched step from each row's last token ----------------
         x, (k1, v1) = _scan_layers_rows(params, tok[:, None], k, v, pos,
                                         cfg, attn_len)
         hidden, logits = _hidden_logits(params, x[:, -1], cfg)
-        token1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sampling:
+            token1 = _sample(logits, k_tok1, temperature, top_k, top_p)
+        else:
+            token1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos1 = pos + active_it.astype(jnp.int32)
         tok1 = jnp.where(active_it, token1, tok)
 
         # ---- per-row drafts for the next k_draft positions --------------
+        qf = None
         if dpad is not None:
             d = jnp.take_along_axis(
                 dpad, count[:, None] + 1 + offs[None], axis=1)
         else:
-            d = jnp.argmax(
-                jnp.einsum("bc,kcv->bkv", hidden.astype(jnp.float32),
-                           params["draft_heads"].astype(jnp.float32)),
-                axis=-1).astype(jnp.int32)                       # (B, kd)
+            dlogits = jnp.einsum(
+                "bc,kcv->bkv", hidden.astype(jnp.float32),
+                params["draft_heads"].astype(jnp.float32))       # (B,kd,V)
+            if sampling:
+                qf = _filtered_logits(dlogits, temperature, top_k, top_p)
+                d = jax.random.categorical(k_d, qf,
+                                           axis=-1).astype(jnp.int32)
+            else:
+                d = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
 
         # ---- ONE batched verify forward for every row's drafts ----------
         prevs = jnp.concatenate([token1[:, None], d[:, :-1]], axis=1)
         xs, (k2, v2) = _scan_layers_rows(params, prevs, k1, v1, pos1, cfg,
                                          attn_len)
         _, vlogits = _hidden_logits(params, xs, cfg)             # (B,kd,V)
-        a = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)       # (B, kd)
 
-        # ---- each row accepts its matching prefix + first correction ----
-        match = d == a
+        if sampling:
+            # ---- rejection-sampling acceptance (distribution-exact) -----
+            pf = _filtered_logits(vlogits, temperature, top_k, top_p)
+            pp = jax.nn.softmax(pf, axis=-1)                     # target
+            if qf is None:
+                qp = jax.nn.one_hot(d, pp.shape[-1],
+                                    dtype=jnp.float32)           # det. prop.
+            else:
+                qp = jax.nn.softmax(qf, axis=-1)                 # proposal
+            p_d = jnp.take_along_axis(pp, d[..., None], axis=-1)[..., 0]
+            q_d = jnp.take_along_axis(qp, d[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(k_u, d.shape)
+            accept = u * q_d < p_d                               # (B, kd)
+            resid = jnp.maximum(pp - qp, 0.0)
+            rsum = jnp.sum(resid, axis=-1, keepdims=True)
+            # p == q => rejection has probability 0; guard the all-zero
+            # residual so the (never-committed) correction sample is valid
+            resid = jnp.where(rsum > 0, resid, pp)
+            corr = jax.random.categorical(
+                k_corr, jnp.log(jnp.maximum(resid, 1e-30)),
+                axis=-1).astype(jnp.int32)
+            vals = jnp.where(accept, d, corr)                    # (B, kd)
+        else:
+            a = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)   # (B, kd)
+            accept = d == a
+            vals = a
+
+        # ---- each row commits its accepted prefix + first correction ----
         prefix_ok = jnp.concatenate(
             [jnp.ones((bsz, 1), bool),
-             jnp.cumprod(match[:, :-1].astype(jnp.int32),
+             jnp.cumprod(accept[:, :-1].astype(jnp.int32),
                          axis=1).astype(bool)], axis=1)
         commit = (active_it[:, None] & prefix_ok
                   & (count[:, None] + 1 + offs[None] < limits[:, None]))
         n_commit = jnp.sum(commit.astype(jnp.int32), axis=1)     # (B,)
 
         pos2 = pos1 + n_commit
-        last_a = jnp.take_along_axis(
-            a, jnp.maximum(n_commit - 1, 0)[:, None], axis=1)[:, 0]
-        tok2 = jnp.where(n_commit > 0, last_a, tok1)
+        last_v = jnp.take_along_axis(
+            vals, jnp.maximum(n_commit - 1, 0)[:, None], axis=1)[:, 0]
+        tok2 = jnp.where(n_commit > 0, last_v, tok1)
 
         emitted = jnp.where(
             jnp.concatenate([active_it[:, None], commit], axis=1),
-            jnp.concatenate([token1[:, None], a], axis=1), jnp.int32(-1))
+            jnp.concatenate([token1[:, None], vals], axis=1), jnp.int32(-1))
         # frozen rows re-write -1 at [count..count+kd] — always >= their
         # final count, where out is still -1 (commits are prefix-shaped)
         out = out.at[barange[:, None],
                      count[:, None] + jnp.arange(kd + 1)[None]].set(emitted)
         count = count + active_it.astype(jnp.int32) + n_commit
         iters = iters + active_it.astype(jnp.int32)
-        return k2, v2, pos2, tok2, count, out, iters
+        return k2, v2, pos2, tok2, count, out, iters, key
 
     def cond(carry):
         count = carry[4]
         return jnp.any(count < limits)
 
-    k, v, pos, tok, count, out, iters = lax.while_loop(
+    k, v, pos, tok, count, out, iters, _ = lax.while_loop(
         cond, iteration,
         (state.k, state.v, state.pos, state.tok,
-         jnp.zeros((bsz,), jnp.int32), out0, jnp.zeros((bsz,), jnp.int32)))
+         jnp.zeros((bsz,), jnp.int32), out0, jnp.zeros((bsz,), jnp.int32),
+         rng))
     return out[:, :block], LlamaPoolState(k, v, pos, tok), iters

@@ -77,12 +77,14 @@ class LLMPool:
         self.top_k = top_k
         self.top_p = top_p
         # speculative decode (models/llama.py::decode_block_spec_pooled):
-        # greedy-only and needs trained draft heads in the checkpoint —
-        # silently fall back to the normal pooled block otherwise (the
-        # output tokens are identical either way; spec only changes speed)
+        # needs trained draft heads in the checkpoint — silently fall back
+        # to the normal pooled block otherwise.  Greedy mode commits the
+        # verifier's argmax chain (token-identical to the plain block);
+        # sampled mode uses rejection sampling (distribution-exact, same
+        # temperature/top-k/top-p filtering).  Either way spec only
+        # changes speed, never the output law.
         self.spec_k = int(spec_k)
-        self.use_spec = (self.spec_k > 0 and temperature == 0.0
-                         and "draft_heads" in params)
+        self.use_spec = self.spec_k > 0 and "draft_heads" in params
         # the verifier writes up to spec_k+1 cache rows past the last
         # committed token; reserve that headroom in every capacity check
         self._spec_margin = self.spec_k + 1 if self.use_spec else 0
@@ -261,7 +263,9 @@ class LLMPool:
                     toks, self.state, _ = llama.decode_block_spec_pooled(
                         self.params, self.state, jnp.asarray(active),
                         self.cfg, block=self.block, k_draft=self.spec_k,
-                        attn_len=attn)
+                        attn_len=attn, rng=self._next_key(),
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p)
                 else:
                     toks, self.state = llama.decode_block_pooled(
                         self.params, self.state, jnp.asarray(active),
@@ -436,7 +440,9 @@ class LLMPool:
                     toks, self.state, _ = llama.decode_block_spec_pooled(
                         self.params, self.state, inactive, self.cfg,
                         block=self.block, k_draft=self.spec_k,
-                        attn_len=attn)
+                        attn_len=attn, rng=self._next_key(),
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p)
                 else:
                     toks, self.state = llama.decode_block_pooled(
                         self.params, self.state, inactive, self._next_key(),

@@ -192,16 +192,193 @@ def test_llm_pool_spec_e2e_matches_plain_pool(params):
     assert got == want
 
 
-def test_llm_pool_spec_requires_greedy_and_heads(params):
-    """spec_k with sampling or without draft heads silently falls back."""
+def test_llm_pool_spec_requires_heads(params):
+    """spec_k without draft heads silently falls back; WITH heads both
+    greedy and sampled modes speculate (sampled = rejection sampling)."""
     from llmvox_tpu.serve.llm_pool import LLMPool
 
     sampled = LLMPool(params, CFG, capacity=2, block=4, temperature=0.8,
                       spec_k=3)
-    assert not sampled.use_spec
+    assert sampled.use_spec
     no_heads = {k: v for k, v in params.items() if k != "draft_heads"}
     plain = LLMPool(no_heads, CFG, capacity=2, block=4, spec_k=3)
     assert not plain.use_spec
+
+
+# ---------------------------------------------------------------------------
+# sampled speculation (rejection sampling) — distribution-exactness
+# ---------------------------------------------------------------------------
+
+SCFG = llama.LlamaConfig(vocab_size=32, n_layer=2, n_head=4, n_kv_head=2,
+                         n_embd=32, intermediate_size=64, max_seq_len=64,
+                         n_draft_heads=2)
+SPROMPT = [5, 9, 2, 17, 3, 11]
+
+
+@pytest.fixture(scope="module")
+def sparams():
+    return llama.init_llama_params(jax.random.PRNGKey(2), SCFG)
+
+
+def _sprefill(sparams, batch):
+    """All ``batch`` rows prefilled with the SAME prompt, first token
+    taken greedily so every row starts from one deterministic state."""
+    tokens = np.tile(np.asarray(SPROMPT, np.int32), (batch, 1))
+    state = llama.init_llama_pool_state(SCFG, batch=batch)
+    first, state = llama.prefill_slots(
+        sparams, jnp.asarray(tokens),
+        jnp.full((batch,), len(SPROMPT), jnp.int32), state,
+        jnp.arange(batch, dtype=jnp.int32), jnp.ones((batch,), bool),
+        jax.random.PRNGKey(0), SCFG, temperature=0.0)
+    return int(np.asarray(first)[0]), state
+
+
+def _exact_marginals(sparams, t0, temperature, top_k=0, top_p=1.0):
+    """Enumerated model conditionals: p1 = P(e1 | prompt, t0) and the
+    marginal p2 = sum_v p1(v) P(e2 | prompt, t0, v) — the law the sampled
+    spec path must reproduce (same filtering as _sample)."""
+    v_sz = SCFG.vocab_size
+    seq = jnp.asarray([SPROMPT + [t0]], jnp.int32)
+    logits = llama.apply_llama(sparams, seq, SCFG)[0, -1]
+    p1 = jax.nn.softmax(
+        llama._filtered_logits(logits, temperature, top_k, top_p))
+    seqs = jnp.asarray([SPROMPT + [t0, v] for v in range(v_sz)], jnp.int32)
+    logits2 = llama.apply_llama(sparams, seqs, SCFG)[:, -1]
+    p2c = jax.nn.softmax(
+        llama._filtered_logits(logits2, temperature, top_k, top_p), axis=-1)
+    return np.asarray(p1), np.asarray(p1 @ p2c)
+
+
+def _tv(samples, exact):
+    emp = np.bincount(samples, minlength=len(exact)) / len(samples)
+    return 0.5 * float(np.abs(emp - exact).sum())
+
+
+def _spec_samples(sparams, trials, temperature, top_k=0, top_p=1.0,
+                  batch=32, block=3, kd=2, draft_tokens=None):
+    active = jnp.ones((batch,), bool)
+    outs, its = [], []
+    for t in range(trials):
+        _, state = _sprefill(sparams, batch)
+        toks, _, iters = llama.decode_block_spec_pooled(
+            sparams, state, active, SCFG, block=block, k_draft=kd,
+            draft_tokens=draft_tokens, rng=jax.random.PRNGKey(1000 + t),
+            temperature=temperature, top_k=top_k, top_p=top_p)
+        outs.append(np.asarray(toks))
+        its.append(np.asarray(iters))
+    return np.concatenate(outs, axis=0), np.concatenate(its)
+
+
+def test_spec_sampled_distribution_exact(sparams):
+    """Rejection-sampling speculation must reproduce the model's exact
+    conditional law: empirical marginals of the first two emitted tokens
+    (2560 samples) match the enumerated model marginals."""
+    t0, _ = _sprefill(sparams, 1)
+    p1, p2 = _exact_marginals(sparams, t0, temperature=1.0)
+    toks, iters = _spec_samples(sparams, trials=80, temperature=1.0)
+    assert toks.shape == (2560, 3) and np.all(toks >= 0)
+    assert _tv(toks[:, 0], p1) < 0.08
+    assert _tv(toks[:, 1], p2) < 0.08
+    # both the accept and the reject/correction paths must be exercised:
+    # mean iterations strictly between the all-accept and no-accept bounds
+    mean_it = iters.mean()
+    assert 1.0 < mean_it < 3.0, mean_it
+
+
+def test_spec_sampled_adversarial_proposal_exact(sparams):
+    """Deterministic one-hot proposal (explicit draft_tokens, all the
+    same token): an always-accept bug would emit that token with
+    probability ~1; exact rejection sampling must still reproduce the
+    model marginal."""
+    t0, _ = _sprefill(sparams, 1)
+    p1, p2 = _exact_marginals(sparams, t0, temperature=1.0)
+    y = int(np.argmin(p2))          # least likely token as the draft
+    drafts = jnp.full((32, 3), y, jnp.int32)
+    toks, _ = _spec_samples(sparams, trials=80, temperature=1.0,
+                            draft_tokens=drafts)
+    assert _tv(toks[:, 1], p2) < 0.08
+    # the test has power: the broken (always-accept) law is far away
+    assert abs(1.0 - p2[y]) > 0.5
+
+
+def test_spec_sampled_filtering_invariant(sparams):
+    """With top-k/top-p active, every emitted token must lie in the
+    filtered support of the exact conditional at its position (teacher-
+    forced recheck), and the e1 marginal matches the filtered law."""
+    t0, _ = _sprefill(sparams, 1)
+    temperature, top_k, top_p = 0.8, 6, 0.9
+    p1, _ = _exact_marginals(sparams, t0, temperature, top_k, top_p)
+    toks, _ = _spec_samples(sparams, trials=40, temperature=temperature,
+                            top_k=top_k, top_p=top_p, block=4)
+    assert _tv(toks[:, 0], p1) < 0.08
+    # teacher-forced support check over full emitted sequences
+    seqs = np.concatenate(
+        [np.tile(SPROMPT + [t0], (len(toks), 1)), toks[:, :-1]], axis=1)
+    logits = llama.apply_llama(sparams, jnp.asarray(seqs), SCFG)
+    start = len(SPROMPT)            # logits[start + j] predicts toks[:, j]
+    for j in range(toks.shape[1]):
+        f = llama._filtered_logits(logits[:, start + j], temperature,
+                                   top_k, top_p)
+        ok = np.take_along_axis(np.asarray(f), toks[:, j: j + 1],
+                                axis=1)[:, 0]
+        assert np.all(np.isfinite(ok)), f"token outside filtered support @ {j}"
+
+
+def test_spec_sampled_cache_consistency(sparams):
+    """After a sampled spec block the pool state must equal the teacher-
+    forced rebuild of the emitted sequence: same pos, same last token,
+    same KV rows below pos (mis-speculated probe rows live above pos)."""
+    batch, block, kd = 4, 6, 2
+    t0, state = _sprefill(sparams, batch)
+    toks, state, _ = llama.decode_block_spec_pooled(
+        sparams, state, jnp.ones((batch,), bool), SCFG, block=block,
+        k_draft=kd, rng=jax.random.PRNGKey(5), temperature=1.0)
+    toks = np.asarray(toks)
+    want_pos = len(SPROMPT) + 1 + (block - 1)
+    assert np.all(np.asarray(state.pos) == want_pos)
+    np.testing.assert_array_equal(np.asarray(state.tok), toks[:, -1])
+
+    seqs = np.concatenate(
+        [np.tile(SPROMPT + [t0], (batch, 1)), toks[:, :-1]], axis=1)
+    ref = llama.init_llama_pool_state(SCFG, batch=batch)
+    _, ref = llama.prefill_slots(
+        sparams, jnp.asarray(seqs),
+        jnp.full((batch,), seqs.shape[1], jnp.int32), ref,
+        jnp.arange(batch, dtype=jnp.int32), jnp.ones((batch,), bool),
+        jax.random.PRNGKey(0), SCFG, temperature=0.0)
+    np.testing.assert_allclose(
+        np.asarray(state.k[:, :, :want_pos]),
+        np.asarray(ref.k[:, :, :want_pos]), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(state.v[:, :, :want_pos]),
+        np.asarray(ref.v[:, :, :want_pos]), atol=2e-4, rtol=2e-4)
+
+
+def test_llm_pool_sampled_spec_e2e(params):
+    """LLMPool with temperature>0 and spec_k streams complete, in-vocab
+    token sequences through the rejection-sampling block."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=4, block=4, temperature=0.9,
+                   top_p=0.95, prefill_buckets=(16,), spec_k=3)
+    assert pool.use_spec
+
+    async def collect():
+        async def one(ids):
+            toks = []
+            async for chunk in pool.generate(ids, max_tokens=9):
+                toks.extend(chunk)
+            return toks
+
+        try:
+            return await asyncio.gather(*(one(p) for p in PROMPTS))
+        finally:
+            pool.stop()
+
+    outs = _run(collect())
+    for seq in outs:
+        assert len(seq) == 9
+        assert all(0 <= t < CFG.vocab_size for t in seq)
 
 
 def test_llama_mtp_loss_trains_draft_heads(params):
