@@ -144,6 +144,16 @@ def main() -> None:
     spec_pooled_speedup = spec["pooled_speedup"]
     spec_pooled_tok_s = spec["pooled_spec_tok_s"]
 
+    # ---- pooled LLM speculation (trained MTP heads, greedy + sampled) --
+    # benchmarks/llama_spec_bench.py shares the harness.  The sampled row
+    # is rejection sampling at the served temperature (0.8/top_p 0.95) —
+    # distribution-exact, so it is pure speed.  Greedy bit-exactness is
+    # the live regression counter (mismatches folded into the spec one).
+    from benchmarks.llama_spec_bench import measure_llama_spec
+    lspec = measure_llama_spec(steps=200, k_draft=8, blocks=6, batch=8,
+                               block=32, verbose=False)
+    spec_mismatches += lspec["mismatches"]
+
     # ---- pooled concurrent serving (continuous batching) ---------------
     from llmvox_tpu.serve.pool import DecodePool, PooledEngine
     pool = DecodePool(params, text_table, engines[0].codec, capacity=16,
@@ -434,6 +444,11 @@ def main() -> None:
         "spec_decode_tok_s": spec_tok_s,
         "spec_pooled_speedup_b8": spec_pooled_speedup,
         "spec_pooled_agg_tok_s_b8": spec_pooled_tok_s,
+        "llm_spec_pooled_speedup_b8": lspec["speedup"],
+        "llm_spec_pooled_agg_tok_s_b8": lspec["spec_agg_tok_s"],
+        "llm_spec_sampled_t08_speedup_b8": lspec["sampled_t08_speedup"],
+        "llm_spec_sampled_t08_agg_tok_s_b8":
+            lspec["sampled_t08_spec_agg_tok_s"],
         "spec_vs_greedy_token_mismatches": spec_mismatches,
         "llama1B_bf16_ms_per_block16": round(llama1b_bf16_ms, 1),
         "llama1B_int8_ms_per_block16": round(llama1b_int8_ms, 1),

@@ -130,10 +130,38 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
         toks = np.asarray(jnp.concatenate(outs, axis=1))
         return toks, int(np.max(jax.device_get(jnp.stack(its)).sum(0)))
 
+    # sampled pair: the served voice-chat path runs temperature 0.8 —
+    # rejection-sampling speculation must win THERE to matter (tokens are
+    # not comparable across the two samplers; throughput is)
+    def greedy_rollout_sampled():
+        st = fresh_state()
+        outs = []
+        for i in range(blocks):
+            toks, st = llama.decode_block_pooled(
+                sparams, st, active, jax.random.PRNGKey(50 + i), cfg,
+                block=block, temperature=0.8, top_p=0.95, attn_len=attn)
+            outs.append(toks)
+        return np.asarray(jnp.concatenate(outs, axis=1))
+
+    def spec_rollout_sampled():
+        st = fresh_state()
+        outs, its = [], []
+        for i in range(blocks):
+            toks, st, it = llama.decode_block_spec_pooled(
+                sparams, st, active, cfg, block=block, k_draft=k_draft,
+                rng=jax.random.PRNGKey(70 + i), temperature=0.8,
+                top_p=0.95, attn_len=attn)
+            outs.append(toks)
+            its.append(it)
+        toks = np.asarray(jnp.concatenate(outs, axis=1))
+        return toks, int(np.max(jax.device_get(jnp.stack(its)).sum(0)))
+
     greedy_rollout(); spec_rollout()          # compile
     greedy_rollout(); spec_rollout()          # steady-state executables
+    greedy_rollout_sampled(); spec_rollout_sampled()
+    greedy_rollout_sampled(); spec_rollout_sampled()
 
-    g_t, s_t = [], []
+    g_t, s_t, gs_t, ss_t = [], [], [], []
     for _ in range(5):
         t0 = time.perf_counter()
         g_out = greedy_rollout()
@@ -141,10 +169,21 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
         t0 = time.perf_counter()
         s_out, iters = spec_rollout()
         s_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        greedy_rollout_sampled()
+        gs_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _, s_iters = spec_rollout_sampled()
+        ss_t.append(time.perf_counter() - t0)
 
     n_tok = blocks * block
     g_s, s_s = float(np.median(g_t)), float(np.median(s_t))
+    gs_s, ss_s = float(np.median(gs_t)), float(np.median(ss_t))
     return {
+        "sampled_t08_greedy_agg_tok_s": round(batch * n_tok / gs_s, 1),
+        "sampled_t08_spec_agg_tok_s": round(batch * n_tok / ss_s, 1),
+        "sampled_t08_speedup": round(gs_s / ss_s, 2),
+        "sampled_t08_iters_per_block_worst_row": round(s_iters / blocks, 2),
         "model": "bench 30M-class byte-llama + trained MTP heads (cycle)",
         "final_train_loss": round(float(loss), 4),
         "train_s": round(train_s, 1),

@@ -182,9 +182,12 @@ class ServeConfig:
     llm_prefill_buckets: tuple = (32, 64, 128, 256, 512)
     # > 0: speculative decode in the LLM pool with this many draft
     # positions per step (models/llama.py::decode_block_spec_pooled).
-    # Greedy-only (llm_temperature must be 0) and requires draft heads in
-    # the converted checkpoint (cfg.n_draft_heads > 0); falls back to the
-    # normal pooled block otherwise.  Output tokens are unchanged — this
+    # Requires draft heads in the converted checkpoint
+    # (cfg.n_draft_heads > 0); falls back to the normal pooled block
+    # otherwise.  Greedy (llm_temperature 0) commits the verifier's
+    # argmax chain (token-identical); sampled mode uses rejection
+    # sampling (distribution-exact under the same temperature/top-k/
+    # top-p filtering).  Either way the output law is unchanged — this
     # only reduces sequential forwards per block.
     llm_spec_k: int = 0
 
