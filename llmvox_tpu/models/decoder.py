@@ -863,6 +863,16 @@ def _decode_many_batch(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
         hnorm = nn.layer_norm(x, p["ln1_s"], _get(p, "ln1_b"), cfg.ln_eps)
         qkv = nn.linear(hnorm, p["wqkv"], _get(p, "bqkv"))      # (B, n, 3C)
         q, kk, vv = jnp.split(qkv, 3, axis=-1)
+        # NOTE(r3): writing these rows inside the verify kernel (DMA +
+        # input_output_aliasing) was built and measured at 0.26x — a 4x
+        # LOSS.  Mosaic requires DMA slice shapes AND offsets 8-row-
+        # aligned even on HBM memrefs, so arbitrary-pos row writes need
+        # an aligned-base restage (per-layer vmapped cache gathers + DUS
+        # into a padded staging buffer) plus 2B serialized HBM->HBM DMAs
+        # per layer before any chunk read can start — all of which costs
+        # far more than the ~0.1-0.4 ms/iteration these two donated
+        # scatters measure at (benchmarks/verify_probe.py).  The
+        # scatters stay.
         new_k = new_k.at[l, barange[:, None], posn].set(
             kk.astype(new_k.dtype))
         new_v = new_v.at[l, barange[:, None], posn].set(

@@ -603,13 +603,34 @@ def _scan_layers_rows(params: Dict, tokens: jnp.ndarray, k, v,
     return lax.scan(body, x, (params["h"], k, v))
 
 
+@jax.jit
+def prefix_kv(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced KV rows for a SHARED prompt prefix: ``tokens``
+    (1, P) -> (k, v) each (L, P, KV, hd).  Voice-chat requests all carry
+    the same system preamble (the reference rebuilds it per request,
+    inference/llm_streaming.py:57-66); computing its KV once lets
+    :func:`prefill_slots` seed every slot with it and prefill only the
+    per-request suffix."""
+    p = tokens.shape[1]
+    dtype = params["tok_emb"].dtype
+    tmp_k = jnp.zeros((cfg.n_layer, 1, p, cfg.n_kv_head, cfg.head_dim),
+                      dtype)
+    tmp_v = jnp.zeros_like(tmp_k)
+    _, (k, v) = _scan_layers_rows(params, tokens, tmp_k, tmp_v,
+                                  jnp.zeros((1,), jnp.int32), cfg)
+    return k[:, 0], v[:, 0]
+
+
 @partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"),
          donate_argnames=("state",))
 def prefill_slots(params: Dict, tokens: jnp.ndarray,
                   valid_lens: jnp.ndarray, state: LlamaPoolState,
                   slots: jnp.ndarray, active: jnp.ndarray, rng: jax.Array,
                   cfg: LlamaConfig, temperature: float = 0.0,
-                  top_k: int = 0, top_p: float = 1.0
+                  top_k: int = 0, top_p: float = 1.0,
+                  prefix_k: Optional[jnp.ndarray] = None,
+                  prefix_v: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, LlamaPoolState]:
     """Prefill N mixed-length prompts into pool slots in ONE program.
 
@@ -623,6 +644,13 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
     index is redirected out of bounds and the scatter drops them
     (``mode="drop"``), so they cannot disturb live slots.
 
+    With ``prefix_k``/``prefix_v`` ((L, P, KV, hd), from
+    :func:`prefix_kv`), ``tokens`` are the SUFFIX after a shared P-token
+    prefix: rows start at absolute position P (RoPE offsets included),
+    attend the prefix rows, and the scatter writes prefix + suffix into
+    the slot; ``pos`` becomes ``P + valid_lens``.  The prefix forward is
+    never recomputed per request.
+
     Padding correctness is the same argument as :func:`prefill_padded`:
     pad positions write stale cache entries at j >= valid_lens[n], and the
     per-row decode mask ``j <= pos[b] + i`` with ``pos[b] = valid_lens[n]``
@@ -631,11 +659,15 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
     n, tpad = tokens.shape
     cap = state.k.shape[1]
     dtype = state.k.dtype
-    tmp_k = jnp.zeros((cfg.n_layer, n, tpad, cfg.n_kv_head, cfg.head_dim),
-                      dtype)
+    p = 0 if prefix_k is None else prefix_k.shape[1]
+    tmp_k = jnp.zeros((cfg.n_layer, n, p + tpad, cfg.n_kv_head,
+                       cfg.head_dim), dtype)
     tmp_v = jnp.zeros_like(tmp_k)
+    if p:
+        tmp_k = tmp_k.at[:, :, :p].set(prefix_k[:, None].astype(dtype))
+        tmp_v = tmp_v.at[:, :, :p].set(prefix_v[:, None].astype(dtype))
     x, (new_k, new_v) = _scan_layers_rows(params, tokens, tmp_k, tmp_v,
-                                          jnp.zeros((n,), jnp.int32), cfg)
+                                          jnp.full((n,), p, jnp.int32), cfg)
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
     logits_all = ops.linear(x, _head(params))                  # (N, Tpad, V)
     valid_lens = jnp.asarray(valid_lens, jnp.int32)
@@ -645,12 +677,12 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
 
     # scatter the prefilled rows into the pool state; OOB slot => dropped
     slot_ids = jnp.where(active, slots.astype(jnp.int32), cap)
-    tpad_w = min(tpad, state.k.shape[2])
+    tpad_w = min(p + tpad, state.k.shape[2])
     k = state.k.at[:, slot_ids, :tpad_w].set(
         new_k[:, :, :tpad_w], mode="drop", unique_indices=False)
     v = state.v.at[:, slot_ids, :tpad_w].set(
         new_v[:, :, :tpad_w], mode="drop", unique_indices=False)
-    pos = state.pos.at[slot_ids].set(valid_lens, mode="drop")
+    pos = state.pos.at[slot_ids].set(p + valid_lens, mode="drop")
     tok = state.tok.at[slot_ids].set(first, mode="drop")
     return first, LlamaPoolState(k, v, pos, tok)
 

@@ -490,7 +490,16 @@ def _verify_kernel_mxu(scal_ref, qT_ref, k_hbm, v_hbm, outT_ref, *,
     leaves transposed; XLA handles both outside).  The per-query-loop
     variant measured 1.17x pooled-spec speedup at B=8/k=12 because each
     chunk paid ~4 VPU passes per query; this one is two MXU matmuls +
-    one exp per chunk."""
+    one exp per chunk.
+
+    NOTE(r3): a write_kv variant (the verify step's own new KV rows
+    DMA'd into the aliased caches here, replacing the spec decode's two
+    XLA scatters per layer) was built and measured 0.26x — Mosaic
+    requires DMA slice shapes AND offsets 8-row-aligned even on HBM
+    memrefs, so arbitrary-pos writes need an aligned-base restage whose
+    XLA-side gathers/DUS plus 2B serialized in-kernel HBM->HBM DMAs per
+    layer cost far more than the ~0.1-0.4 ms the donated scatters
+    measure at (benchmarks/verify_probe.py).  Deleted; scatters stay."""
     c = qT_ref.shape[0]
     d = c // n_head
     scale = 1.0 / math.sqrt(d)
@@ -609,8 +618,7 @@ def _verify_kernel_mxu(scal_ref, qT_ref, k_hbm, v_hbm, outT_ref, *,
         lax.fori_loop(0, total, lambda f, carry: (loop(f, carry), None)[1],
                       None)
 
-    pl.run_scoped(
-        body,
+    scope = dict(
         kbuf=pltpu.VMEM((2, chunk, c), k_hbm.dtype),
         vbuf=pltpu.VMEM((2, chunk, c), v_hbm.dtype),
         sems=pltpu.SemaphoreType.DMA((2, 2)),
@@ -619,6 +627,7 @@ def _verify_kernel_mxu(scal_ref, qT_ref, k_hbm, v_hbm, outT_ref, *,
         mrow=pltpu.VMEM((1, nh), jnp.float32),
         lrow=pltpu.VMEM((1, nh), jnp.float32),
     )
+    pl.run_scoped(body, **scope)
 
 
 @partial(jax.jit, static_argnames=("n_head", "chunk", "interpret", "mxu"))

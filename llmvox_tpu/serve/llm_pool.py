@@ -31,12 +31,14 @@ from llmvox_tpu.models import llama
 
 
 class _PrefillReq:
-    __slots__ = ("slot", "ids", "future")
+    __slots__ = ("slot", "ids", "future", "prefix")
 
-    def __init__(self, slot: int, ids: List[int], future: asyncio.Future):
+    def __init__(self, slot: int, ids: List[int], future: asyncio.Future,
+                 prefix: bool = False):
         self.slot = slot
-        self.ids = ids
+        self.ids = ids              # suffix ids when prefix=True
         self.future = future
+        self.prefix = prefix        # reuse the pool's shared-prefix KV
 
 
 class _LSlot:
@@ -115,6 +117,12 @@ class LLMPool:
             b for b in llama.attn_window_ladder(cfg.max_seq_len)
             if b >= self.block + 1 or b == cfg.max_seq_len)
         self._rng = jax.random.PRNGKey(seed)
+        # shared-prefix KV cache (set_prefix): system preambles are
+        # identical across voice-chat requests, so their prefill is
+        # computed once and scattered into each slot
+        self._prefix_ids: Optional[List[int]] = None
+        self._prefix_k = self._prefix_v = None
+        self._prefix_buckets: Tuple[int, ...] = ()
         self.slots = [_LSlot() for _ in range(self.B)]
         self._prefills: Deque[_PrefillReq] = deque()
         self._free: Optional[asyncio.Queue] = None
@@ -160,16 +168,52 @@ class LLMPool:
                 return b
         return self.buckets[-1]
 
+    def set_prefix(self, ids: Sequence[int], min_len: int = 8) -> None:
+        """Pin the KV rows of a shared prompt prefix (one
+        ``models.llama.prefix_kv`` forward, computed HERE, once); later
+        prefills whose prompt starts with these ids prefill only the
+        suffix — per request, the prefix forward is never paid again.
+        Requests that don't match fall back to the plain path silently.
+        Call before :meth:`warmup` so the prefix programs compile with
+        the rest.  A too-short or too-long prefix disables the cache."""
+        ids = list(int(t) for t in ids)
+        cap = (self.cfg.max_seq_len - self.block - 1 - self._spec_margin)
+        pbuckets = tuple(b for b in self.buckets if len(ids) + b <= cap)
+        if len(ids) < min_len or not pbuckets:
+            self._prefix_ids = None
+            self._prefix_k = self._prefix_v = None
+            self._prefix_buckets = ()
+            return
+        k, v = llama.prefix_kv(self.params,
+                               jnp.asarray([ids], jnp.int32), self.cfg)
+        self._prefix_ids = ids
+        self._prefix_k = k.astype(self.cache_dtype)
+        self._prefix_v = v.astype(self.cache_dtype)
+        self._prefix_buckets = pbuckets
+
+    def _plan(self, ids: List[int]) -> Tuple[bool, List[int], int]:
+        """(use_prefix, prefill_ids, cached_len) for a prompt.  The
+        prefix path needs a strictly longer prompt (the suffix samples
+        the first token) whose suffix fits a prefix-compatible bucket;
+        otherwise plain left-truncated prefill, like the B=1 path."""
+        pids = self._prefix_ids
+        if pids is not None and len(ids) > len(pids) \
+                and list(ids[: len(pids)]) == pids:
+            sfx = list(ids[len(pids):])
+            if len(sfx) <= self._prefix_buckets[-1]:
+                return True, sfx, len(pids) + len(sfx)
+        ids2 = list(ids)[-self.buckets[-1]:] or [0]
+        return False, ids2, len(ids2)
+
     def submit_prefill(self, idx: int, ids: List[int]) -> asyncio.Future:
         """Enqueue a prompt prefill into slot ``idx``; resolves with the
         first sampled token (int).  Prompts longer than the largest bucket
-        are left-truncated (keep the tail, like the B=1 path)."""
+        are left-truncated (keep the tail, like the B=1 path); prompts
+        starting with the pinned prefix prefill only their suffix."""
         loop = asyncio.get_running_loop()
         fut = loop.create_future()
-        ids = list(ids)[-self.buckets[-1]:]
-        if not ids:
-            ids = [0]
-        self._prefills.append(_PrefillReq(idx, ids, fut))
+        use_pfx, ids, _ = self._plan(list(ids))
+        self._prefills.append(_PrefillReq(idx, ids, fut, use_pfx))
         if self._wake is not None:
             self._wake.set()
         return fut
@@ -196,11 +240,17 @@ class LLMPool:
         PREFILL_BATCH, run one program per group.  Returns (first_tokens
         device array, group requests) pairs; tokens are fetched with the
         iteration's single device_get."""
-        groups: Dict[int, List[_PrefillReq]] = {}
+        groups: Dict[Tuple[int, bool], List[_PrefillReq]] = {}
         for r in reqs:
-            groups.setdefault(self.bucket_for(len(r.ids)), []).append(r)
+            buckets = self._prefix_buckets if r.prefix else None
+            if buckets is not None:
+                bucket = next(b for b in buckets if len(r.ids) <= b)
+            else:
+                bucket = self.bucket_for(len(r.ids))
+            groups.setdefault((bucket, r.prefix), []).append(r)
         out = []
-        for bucket, rs in groups.items():
+        for (bucket, pfx), rs in groups.items():
+            plen = len(self._prefix_ids) if pfx else 0
             for c0 in range(0, len(rs), self.PREFILL_BATCH):
                 part = rs[c0: c0 + self.PREFILL_BATCH]
                 npad = 1 if len(part) == 1 else self.PREFILL_BATCH
@@ -218,10 +268,12 @@ class LLMPool:
                     self.state, jnp.asarray(slot_ids), jnp.asarray(active),
                     self._next_key(), self.cfg,
                     temperature=self.temperature, top_k=self.top_k,
-                    top_p=self.top_p)
+                    top_p=self.top_p,
+                    prefix_k=self._prefix_k if pfx else None,
+                    prefix_v=self._prefix_v if pfx else None)
                 self.prefill_calls += 1
                 for r in part:
-                    self._ub[r.slot] = len(r.ids)
+                    self._ub[r.slot] = plen + len(r.ids)
                 out.append((first, part))
         return out
 
@@ -422,7 +474,11 @@ class LLMPool:
         buckets = tuple(buckets) if buckets is not None else self.buckets
         inactive = jnp.zeros((self.B,), jnp.bool_)
         for _ in range(2):
-            for bucket in buckets:
+            variants = [(b, False) for b in buckets]
+            if self._prefix_ids is not None:
+                variants += [(b, True) for b in self._prefix_buckets
+                             if buckets is self.buckets or b in buckets]
+            for bucket, pfx in variants:
                 for npad in (1, self.PREFILL_BATCH):
                     tokens = jnp.zeros((npad, bucket), jnp.int32)
                     valid = jnp.ones((npad,), jnp.int32)
@@ -433,7 +489,9 @@ class LLMPool:
                         self.params, tokens, valid, self.state, slot_ids,
                         jnp.zeros((npad,), jnp.bool_), self._next_key(),
                         self.cfg, temperature=self.temperature,
-                        top_k=self.top_k, top_p=self.top_p)
+                        top_k=self.top_k, top_p=self.top_p,
+                        prefix_k=self._prefix_k if pfx else None,
+                        prefix_v=self._prefix_v if pfx else None)
                     np.asarray(first)
             for attn in self.attn_buckets:
                 if self.use_spec:
@@ -461,7 +519,7 @@ class LLMPool:
         self.start()
         idx = await self.acquire()
         try:
-            cached = min(max(len(ids), 1), self.buckets[-1])
+            _, _, cached = self._plan(list(ids))
             first_fut = self.submit_prefill(idx, ids)
             n_sub = 0
             # block n+1 writes cache indices up to cached+(n+1)*block-1

@@ -227,6 +227,25 @@ class PooledJAXStreamModel:
     def warmup(self, buckets=None) -> None:
         self.pool.warmup(buckets)
 
+    def enable_prefix_cache(self, system: str) -> None:
+        """Pin the system preamble's KV in the pool: tokenize two probe
+        prompts and cache the longest common id prefix — template-
+        agnostic (chat templates put generation-prompt tokens AFTER the
+        user content, so the shared prefix is exactly the part every
+        request repeats).  Requests with a different system prompt
+        simply don't match and take the plain prefill path."""
+        a = build_prompt_ids(self.tokenizer, {"system": system,
+                                              "prompt": "a"})
+        b = build_prompt_ids(self.tokenizer,
+                             {"system": system,
+                              "prompt": "entirely different probe?"})
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        self.pool.set_prefix(a[:n])
+
     def predict(self, request: Dict) -> AsyncIterator[str]:
         async def agen():
             ids = build_prompt_ids(self.tokenizer, request)
@@ -318,9 +337,12 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
                        prefill_buckets=tuple(cfg.llm_prefill_buckets),
                        pipeline_depth=cfg.pool_pipeline_depth,
                        spec_k=cfg.llm_spec_k)
-        return PooledJAXStreamModel(pool, tokenizer,
-                                    max_tokens=cfg.llm_max_tokens,
-                                    eos_text=cfg.eos_token)
+        model = PooledJAXStreamModel(pool, tokenizer,
+                                     max_tokens=cfg.llm_max_tokens,
+                                     eos_text=cfg.eos_token)
+        if getattr(cfg, "llm_prefix_cache", True) and cfg.system_prompt:
+            model.enable_prefix_cache(cfg.system_prompt)
+        return model
     return JAXStreamModel(params, lcfg, tokenizer, block=cfg.llm_block,
                           temperature=cfg.llm_temperature,
                           top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,

@@ -190,6 +190,11 @@ class ServeConfig:
     # top-p filtering).  Either way the output law is unchanged — this
     # only reduces sequential forwards per block.
     llm_spec_k: int = 0
+    # Pin the system prompt's KV in the LLM pool (LLMPool.set_prefix):
+    # every voice-chat request repeats the same preamble, so its prefill
+    # is computed once and scattered into each slot; requests that don't
+    # start with it fall back to the plain prefill path silently.
+    llm_prefix_cache: bool = True
 
     # TTS replica placement: indices into jax.devices()
     tts_device_1: int = 0

@@ -575,3 +575,158 @@ def test_llm_pool_picks_attn_bucket(params):
     # greedy path must be unchanged by the window (ub stays < 128 here)
     assert len(got) >= 9
     assert max(pool._ub) <= 128
+
+
+# ---------------------------------------------------------------------------
+# shared-prefix KV cache (LLMPool.set_prefix / models.llama.prefix_kv)
+# ---------------------------------------------------------------------------
+
+PREFIX = [9, 4, 7, 1, 8, 3, 6, 2, 11, 5, 13, 10]    # 12-token "system" part
+
+
+def test_prefix_prefill_matches_full_prefill(params):
+    """prefix_kv + suffix prefill_slots == plain prefill_slots on the
+    concatenated prompt: same first token, pos, caches, and the slot's
+    greedy continuation."""
+    sfx = [21, 22, 23, 24, 25]
+    full = PREFIX + sfx
+
+    def plain():
+        st = llama.init_llama_pool_state(CFG, batch=2)
+        tokens = np.zeros((1, 32), np.int32)
+        tokens[0, : len(full)] = full
+        return llama.prefill_slots(
+            params, jnp.asarray(tokens), jnp.asarray([len(full)], np.int32),
+            st, jnp.asarray([1], np.int32), jnp.ones((1,), bool),
+            jax.random.PRNGKey(1), CFG)
+
+    first_w, st_w = plain()
+
+    pk, pv = llama.prefix_kv(params, jnp.asarray([PREFIX], jnp.int32), CFG)
+    st = llama.init_llama_pool_state(CFG, batch=2)
+    tokens = np.zeros((1, 8), np.int32)
+    tokens[0, : len(sfx)] = sfx
+    first, st = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray([len(sfx)], np.int32),
+        st, jnp.asarray([1], np.int32), jnp.ones((1,), bool),
+        jax.random.PRNGKey(1), CFG, prefix_k=pk, prefix_v=pv)
+
+    assert int(np.asarray(first)[0]) == int(np.asarray(first_w)[0])
+    assert int(np.asarray(st.pos)[1]) == len(full)
+    n = len(full)
+    np.testing.assert_allclose(np.asarray(st.k[:, 1, :n]),
+                               np.asarray(st_w.k[:, 1, :n]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.v[:, 1, :n]),
+                               np.asarray(st_w.v[:, 1, :n]),
+                               atol=2e-5, rtol=2e-5)
+
+    active = jnp.asarray([False, True])
+    toks_w, _ = llama.decode_block_pooled(
+        params, st_w, active, jax.random.PRNGKey(2), CFG, block=8)
+    toks, _ = llama.decode_block_pooled(
+        params, st, active, jax.random.PRNGKey(2), CFG, block=8)
+    np.testing.assert_array_equal(np.asarray(toks)[1], np.asarray(toks_w)[1])
+
+
+def test_pool_prefix_cache_matches_plain_pool(params):
+    """Pool with set_prefix streams the same greedy tokens as the plain
+    pool, for concurrent matching AND non-matching prompts."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    prompts = [PREFIX + [30 + i] for i in range(3)] + [[55, 56]]
+
+    async def collect(pool):
+        async def one(ids):
+            out = []
+            async for toks in pool.generate(ids, max_tokens=9):
+                out.extend(toks)
+            return out
+
+        try:
+            return await asyncio.gather(*(one(p) for p in prompts))
+        finally:
+            pool.stop()
+
+    plain = LLMPool(params, CFG, capacity=4, block=4, prefill_buckets=(32,))
+    want = _run_pool(collect(plain))
+
+    pooled = LLMPool(params, CFG, capacity=4, block=4, prefill_buckets=(32,))
+    pooled.set_prefix(PREFIX)
+    assert pooled._prefix_ids == PREFIX
+    got = _run_pool(collect(pooled))
+    assert got == want
+
+    # the non-matching prompt took the plain path, the matchers didn't
+    plans = [pooled._plan(list(p))[0] for p in prompts]
+    assert plans == [True, True, True, False]
+
+
+def test_pool_prefix_edge_cases(params):
+    """Prompt == prefix exactly, too-short prefixes, and prefixes that
+    leave no room all fall back to the plain path."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=2, block=4, prefill_buckets=(32,))
+    pool.set_prefix(PREFIX)
+    use, ids, cached = pool._plan(list(PREFIX))       # no suffix -> plain
+    assert not use and ids == PREFIX and cached == len(PREFIX)
+
+    pool.set_prefix([1, 2, 3])                        # below min_len
+    assert pool._prefix_ids is None
+    assert not pool._plan([1, 2, 3, 4])[0]
+
+    pool.set_prefix(list(range(1, 90)))               # no bucket fits after
+    assert pool._prefix_ids is None
+
+    # warmup with a prefix compiles and doesn't disturb generation
+    pool.set_prefix(PREFIX)
+    pool.warmup()
+
+    async def go():
+        out = []
+        async for toks in pool.generate(PREFIX + [33], max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert got[:9] == _b1_greedy(params, PREFIX + [33], 9)
+
+
+def test_pooled_stream_model_prefix_autodetect(params):
+    """PooledJAXStreamModel.enable_prefix_cache finds the shared prompt
+    prefix from the tokenizer itself and pins it in the pool; streamed
+    text is unchanged."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import (ByteTokenizer,
+                                            PooledJAXStreamModel,
+                                            build_prompt_ids)
+
+    # vocab must cover bytes; reuse CFG shapes with a byte vocab
+    bcfg = llama.LlamaConfig(vocab_size=384, n_layer=2, n_head=4,
+                             n_kv_head=2, n_embd=32, intermediate_size=64,
+                             max_seq_len=256)
+    bparams = llama.init_llama_params(jax.random.PRNGKey(0), bcfg)
+    tok = ByteTokenizer()
+    system = "You are a concise voice assistant."
+
+    async def run_model(use_prefix):
+        pool = LLMPool(bparams, bcfg, capacity=2, block=8,
+                       prefill_buckets=(64,))
+        model = PooledJAXStreamModel(pool, tok, max_tokens=24,
+                                     eos_text="")
+        if use_prefix:
+            model.enable_prefix_cache(system)
+            want = tok.encode(system + "\n\n")
+            assert pool._prefix_ids == want
+        out = []
+        async for delta in model.predict({"system": system,
+                                          "prompt": "hello there"}):
+            out.append(delta)
+        pool.stop()
+        return "".join(out)
+
+    want = _run_pool(run_model(False))
+    got = _run_pool(run_model(True))
+    assert got == want

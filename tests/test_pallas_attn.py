@@ -93,3 +93,4 @@ def test_pallas_verify_full_cache_layer(mxu):
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=2e-2, rtol=2e-2)
+
