@@ -741,7 +741,7 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
         else:
             d = jnp.argmax(
                 jnp.einsum("c,kcv->kv", hidden.astype(jnp.float32),
-                           params["draft_heads"].astype(jnp.float32)),
+                           params["draft_heads"][:kd].astype(jnp.float32)),
                 axis=-1).astype(jnp.int32)
 
         # ---- verify all drafts in one parallel forward ----------------
@@ -967,7 +967,7 @@ def decode_block_spec_batch(params: Dict, text_table: jnp.ndarray,
         else:
             d = jnp.argmax(
                 jnp.einsum("bc,kcv->bkv", hidden.astype(jnp.float32),
-                           params["draft_heads"].astype(jnp.float32)),
+                           params["draft_heads"][:kd].astype(jnp.float32)),
                 axis=-1).astype(jnp.int32)                       # (B, kd)
 
         # ---- ONE batched verify forward for every row's drafts ----------

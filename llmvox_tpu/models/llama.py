@@ -802,9 +802,7 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
     KV-cache reads, which the verify forward amortizes over k_draft+1
     positions; iterations shrink by the accept rate while each iteration
     costs ~2 memory sweeps instead of 1 — net ~(1+accepts)/2 fewer
-    sweeps per token.  EOS stays host-side like the greedy path;
-    temperature>0 needs rejection sampling (not implemented — the pool
-    falls back to :func:`decode_block_pooled`).
+    sweeps per token.  EOS stays host-side like the greedy path.
 
     ``attn_len`` (static): every active row must satisfy
     pos + block + k_draft + 1 <= attn_len (the verifier probes up to
@@ -855,7 +853,7 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
         else:
             dlogits = jnp.einsum(
                 "bc,kcv->bkv", hidden.astype(jnp.float32),
-                params["draft_heads"].astype(jnp.float32))       # (B,kd,V)
+                params["draft_heads"][:kd].astype(jnp.float32))  # (B,kd,V)
             if sampling:
                 qf = _filtered_logits(dlogits, temperature, top_k, top_p)
                 d = jax.random.categorical(k_d, qf,

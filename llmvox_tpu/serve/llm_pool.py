@@ -70,7 +70,7 @@ class LLMPool:
                  device: Optional[jax.Device] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  seed: int = 0, pipeline_depth: int = 2,
-                 spec_k: int = 0):
+                 spec_k: int = 0, prefill_merge: bool = True):
         self.cfg = cfg
         self.B = capacity
         self.block = block
@@ -86,6 +86,10 @@ class LLMPool:
         # temperature/top-k/top-p filtering).  Either way spec only
         # changes speed, never the output law.
         self.spec_k = int(spec_k)
+        # Burst arrivals: merge pending prefills ACROSS buckets into
+        # full PREFILL_BATCH chunks (see _run_prefills) instead of one
+        # program per bucket group.
+        self.prefill_merge = bool(prefill_merge)
         self.use_spec = self.spec_k > 0 and "draft_heads" in params
         # the verifier writes up to spec_k+1 cache rows past the last
         # committed token; reserve that headroom in every capacity check
@@ -236,23 +240,50 @@ class LLMPool:
     # -- device programs ------------------------------------------------
     def _run_prefills(self, reqs: List[_PrefillReq]
                       ) -> List[Tuple[jnp.ndarray, List[_PrefillReq]]]:
-        """Group pending prefills by bucket, pad arrival count to 1 or
-        PREFILL_BATCH, run one program per group.  Returns (first_tokens
-        device array, group requests) pairs; tokens are fetched with the
-        iteration's single device_get."""
-        groups: Dict[Tuple[int, bool], List[_PrefillReq]] = {}
-        for r in reqs:
-            buckets = self._prefix_buckets if r.prefix else None
-            if buckets is not None:
-                bucket = next(b for b in buckets if len(r.ids) <= b)
-            else:
-                bucket = self.bucket_for(len(r.ids))
-            groups.setdefault((bucket, r.prefix), []).append(r)
+        """Run pending prefills in as few device programs as possible.
+        Returns (first_tokens device array, group requests) pairs; tokens
+        are fetched with the iteration's single device_get.
+
+        With ``prefill_merge`` (default): within a prefix class, sort by
+        prompt length (descending) and cut full PREFILL_BATCH chunks
+        ACROSS buckets; each chunk runs at the bucket covering its
+        longest member.  A burst of N mixed-length arrivals costs
+        ceil(N/PREFILL_BATCH) programs instead of one per bucket group,
+        and — because the padding rows of a nearly-full bucket group are
+        filled with REAL rows from the next bucket down — usually fewer
+        padded token-rows too (e.g. lengths [500,500,130,130,60,60,30,30]:
+        4 programs / 2560 rows unmerged vs 2 programs / 2304 rows
+        merged).  Sorting keeps chunks bucket-tight, so a short prompt
+        only pays a large bucket when there aren't enough same-size
+        peers to fill a chunk; per-row ``valid_lens`` keep the math
+        exact either way.  Off: one group per (bucket, prefix) — tighter
+        compute per row, more programs per burst (the pre-r3.5
+        behavior, for FLOPs-bound big-model shapes).
+
+        Arrival counts still pad to 1 (the steady-state single arrival)
+        or PREFILL_BATCH, so the compiled-program set is unchanged."""
         out = []
-        for (bucket, pfx), rs in groups.items():
+        for pfx in (False, True):
+            rs = [r for r in reqs if r.prefix == pfx]
+            if not rs:
+                continue
+            buckets = self._prefix_buckets if pfx else self.buckets
             plen = len(self._prefix_ids) if pfx else 0
-            for c0 in range(0, len(rs), self.PREFILL_BATCH):
-                part = rs[c0: c0 + self.PREFILL_BATCH]
+            if self.prefill_merge:
+                rs.sort(key=lambda r: len(r.ids), reverse=True)
+                chunks = [rs[c0: c0 + self.PREFILL_BATCH]
+                          for c0 in range(0, len(rs), self.PREFILL_BATCH)]
+            else:
+                grouped: Dict[int, List[_PrefillReq]] = {}
+                for r in rs:
+                    b = next(b for b in buckets if len(r.ids) <= b)
+                    grouped.setdefault(b, []).append(r)
+                chunks = [g[c0: c0 + self.PREFILL_BATCH]
+                          for g in grouped.values()
+                          for c0 in range(0, len(g), self.PREFILL_BATCH)]
+            for part in chunks:
+                need = max(len(r.ids) for r in part)
+                bucket = next(b for b in buckets if need <= b)
                 npad = 1 if len(part) == 1 else self.PREFILL_BATCH
                 tokens = np.zeros((npad, bucket), np.int32)
                 valid = np.ones((npad,), np.int32)
@@ -462,6 +493,18 @@ class LLMPool:
                     if not fut.done():
                         fut.cancel()
         self._inflight = None
+
+    def stats(self) -> Dict:
+        """Operational counters for GET /stats (serve/server.py)."""
+        return {
+            "capacity": self.B,
+            "active": sum(1 for s in self.slots if s.active),
+            "steps": self.steps,
+            "prefill_calls": self.prefill_calls,
+            "block": self.block,
+            "spec_k": self.spec_k if self.use_spec else 0,
+            "prefix_cached": self._prefix_ids is not None,
+        }
 
     # -- warmup ---------------------------------------------------------
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:

@@ -151,21 +151,49 @@ class DecodePool:
         self._spec = bool(self.scfg.spec_decode and mesh is None
                           and isinstance(self.params, dict)
                           and "draft_heads" in self.params)
+        # Adaptive speculation depth (serve/spec_control.py): compile a
+        # LADDER of k_draft rungs — always including rung 0, the plain
+        # greedy block — and let the controller move between them from
+        # the live accept statistics.  Every rung is bit-identical to
+        # greedy, so the controller can only cost speed, never output.
+        ladder = tuple(int(k) for k in
+                       (getattr(self.scfg, "spec_k_ladder", ()) or ()))
+        self._adaptive = bool(self._spec and any(k > 0 for k in ladder))
+        self._spec_ctl = None
+        self._fixed_k = self.scfg.spec_k_draft if self._spec else 0
         if mesh is None:
-            if self._spec:
-                def _make_spec(w):
-                    def f(params, tt, cb, st, win, tl, lim):
-                        toks, n, st2, _ = dec.decode_block_spec_batch(
-                            params, tt, cb, st, win, tl, lim,
-                            cfg=self.dcfg, block=w,
-                            k_draft=self.scfg.spec_k_draft)
-                        return toks, n, st2
-                    return f
-                self._decode_w = {w: _make_spec(w) for w in self._widths}
+            def _wrap_greedy(w):
+                def f(params, tt, cb, st, win, tl, lim):
+                    toks, n, st2 = dec.decode_block_batch(
+                        params, tt, cb, st, win, tl, lim,
+                        cfg=self.dcfg, block=w)
+                    return toks, n, st2, None
+                return f
+
+            def _wrap_spec(w, k):
+                def f(params, tt, cb, st, win, tl, lim):
+                    return dec.decode_block_spec_batch(
+                        params, tt, cb, st, win, tl, lim,
+                        cfg=self.dcfg, block=w, k_draft=k)
+                return f
+
+            if self._adaptive:
+                from llmvox_tpu.serve.spec_control import SpecController
+                rungs = sorted({k for k in ladder if k >= 0} | {0})
+                self._spec_ctl = SpecController(
+                    rungs,
+                    k0=(self.scfg.spec_k_draft
+                        if self.scfg.spec_k_draft in rungs else None))
+                self._decode_fns = {
+                    (w, k): (_wrap_greedy(w) if k == 0 else _wrap_spec(w, k))
+                    for w in self._widths for k in rungs}
+            elif self._spec:
+                k = self._fixed_k
+                self._decode_fns = {(w, k): _wrap_spec(w, k)
+                                    for w in self._widths}
             else:
-                self._decode_w = {w: partial(dec.decode_block_batch,
-                                             cfg=self.dcfg, block=w)
-                                  for w in self._widths}
+                self._decode_fns = {(w, 0): _wrap_greedy(w)
+                                    for w in self._widths}
         else:
             # Multi-chip pooled serving: the slot batch shards over the
             # mesh's dp axis and every pool step runs ONE shard_map'd
@@ -194,8 +222,16 @@ class DecodePool:
                 prev_token=NamedSharding(mesh, P(DP_AXIS)),
                 done=NamedSharding(mesh, P(DP_AXIS)))
             self.states = jax.device_put(self.states, sh)
-            self._decode_w = {w: make_sharded_decode(self.dcfg, w, mesh)
-                              for w in self._widths}
+
+            def _wrap_mesh(fn):
+                def f(*a):
+                    toks, n, st2 = fn(*a)
+                    return toks, n, st2, None
+                return f
+
+            self._decode_fns = {
+                (w, 0): _wrap_mesh(make_sharded_decode(self.dcfg, w, mesh))
+                for w in self._widths}
         # fused first chunks vocode at the bucket of the step's largest
         # fused DUMP, not the decode block: dumps are the dump-ladder's
         # small first rungs (10 tokens -> bucket 16), and a block-sized
@@ -327,7 +363,10 @@ class DecodePool:
                     limits[i] += req.limit
                     heads.append((i, req, off))
                     off += self.block
-            tokens, _, self.states = self._decode_w[width](
+            rung = (self._spec_ctl.next_k() if self._spec_ctl is not None
+                    else self._fixed_k)
+            tokens, nprod, self.states, iters = self._decode_fns[
+                (width, rung)](
                 self.params, self.text_table, self.codebook, self.states,
                 jnp.asarray(windows), jnp.asarray(text_lens),
                 jnp.asarray(limits))
@@ -366,13 +405,25 @@ class DecodePool:
                     req.future.set_exception(exc)
             raise
         self.steps += 1
-        return heads, fused, tokens, wavs
+        if self._spec_ctl is None or iters is None:
+            feedback = None
+        else:
+            # accept statistics for the adaptive controller, fetched with
+            # the step's single device_get (active slots only — merged
+            # picks appear once; padding rows aren't in picks at all)
+            feedback = (rung, [i for i, _ in picks], nprod, iters)
+        return heads, fused, tokens, wavs, feedback
 
     async def _resolve_step(self, inflight: Tuple) -> None:
         """Fetch one in-flight step's results and resolve its futures."""
-        heads, fused, tokens, wavs = inflight
-        toks, wavs_h = await asyncio.to_thread(
-            jax.device_get, (tokens, wavs))
+        heads, fused, tokens, wavs, feedback = inflight
+        toks, wavs_h, fb_h = await asyncio.to_thread(
+            jax.device_get, (tokens, wavs, feedback))
+        if fb_h is not None:
+            rung, act, nprod, iters = fb_h
+            self._spec_ctl.observe(
+                rung, float(sum(nprod[i] for i in act)),
+                float(sum(iters[i] for i in act)))
         # slot -> (flat synth row, dump): rows follow the FUSED list
         # order, not the heads order (a staggered step mixes fused and
         # non-fused slots)
@@ -526,9 +577,9 @@ class DecodePool:
         # interleaves widths on the same chained state, so both widths
         # warm in the chain.
         for _ in range(2):
-            for w in self._widths:
+            for (w, _k) in sorted(self._decode_fns):
                 windows = np.full((self.B, w), pad, np.int32)
-                tokens, _, self.states = self._decode_w[w](
+                tokens, _, self.states, _it = self._decode_fns[(w, _k)](
                     self.params, self.text_table, self.codebook,
                     self.states, jnp.asarray(windows),
                     np.ones((self.B,), np.int32),
@@ -548,9 +599,9 @@ class DecodePool:
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
-        for w in self._widths:
+        for (w, _k) in sorted(self._decode_fns):
             windows = np.full((self.B, w), pad, np.int32)
-            tokens, _, self.states = self._decode_w[w](
+            tokens, _, self.states, _it = self._decode_fns[(w, _k)](
                 self.params, self.text_table, self.codebook, self.states,
                 jnp.asarray(windows), np.ones((self.B,), np.int32),
                 np.ones((self.B,), np.int32))
@@ -558,6 +609,8 @@ class DecodePool:
         for i, s in enumerate(self.slots):
             s.pending_reset = True
         self._apply_resets()
+        if self._spec_ctl is not None and not self._spec_ctl.cost_ms:
+            self._spec_ctl.cost_ms = self._calibrate_spec_costs()
         for bucket in self.codec.buckets:
             codes = np.zeros((self.SYNTH_BATCH, bucket), np.int32)
             # lengths must REACH the bucket: decode_codes_ragged re-pads
@@ -567,6 +620,74 @@ class DecodePool:
             # in-request (measured 55 s of synth on a cold cache)
             lengths = np.full((self.SYNTH_BATCH,), bucket, np.int32)
             self.codec.decode_codes_ragged(codes, lengths)
+
+    def _calibrate_spec_costs(self, repeats: int = 3) -> Dict[int, float]:
+        """Measure each compiled rung's cost on a throwaway state chain:
+        ms per ITERATION for speculative rungs (the spec kernels return
+        per-row iteration counts), ms per TOKEN for rung 0 (a greedy
+        "iteration" commits exactly one token).  Runs after warmup, so
+        every executable — including the steady-state layouts — is
+        already compiled; one untimed reset+step cycle per rung covers
+        the reset program's own layout before the clock starts.  The
+        chained dispatches amortize the tunnel RTT the same way the
+        pipelined step loop does."""
+        pad = self.dcfg.pad_token_id
+        rungs = sorted({k for (_w, k) in self._decode_fns})
+        windows = jnp.asarray(np.full((self.B, self.block), pad, np.int32))
+        tl = jnp.asarray(np.zeros((self.B,), np.int32))
+        lim = jnp.asarray(np.full((self.B,), self.block, np.int32))
+        all_live = jnp.ones((self.B,), jnp.bool_)
+        costs: Dict[int, float] = {}
+        for k in rungs:
+            fn = self._decode_fns[(self.block, k)]
+            st = dec.init_decode_state_batch(self.dcfg, self.B,
+                                             self.cache_dtype)
+            if self.device is not None:
+                st = jax.device_put(st, self.device)
+            # untimed: constructor-layout step, reset, steady-state step
+            toks, _, st, _it = fn(self.params, self.text_table,
+                                  self.codebook, st, windows, tl, lim)
+            st = _masked_reset(st, all_live)
+            toks, _, st, _it = fn(self.params, self.text_table,
+                                  self.codebook, st, windows, tl, lim)
+            jax.block_until_ready((toks, st))
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(repeats):
+                st = _masked_reset(st, all_live)
+                toks, _, st, iters = fn(self.params, self.text_table,
+                                        self.codebook, st, windows, tl, lim)
+                last = (toks, iters)
+            jax.block_until_ready(last)
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / repeats
+            if k == 0:
+                costs[0] = dt_ms / self.block
+            else:
+                costs[k] = dt_ms / max(int(np.max(np.asarray(last[1]))), 1)
+        return costs
+
+    def spec_stats(self) -> Optional[Dict]:
+        """Speculation state for /stats: None when spec is off."""
+        if self._spec_ctl is not None:
+            return self._spec_ctl.stats()
+        if self._spec:
+            return {"k": self._fixed_k, "ladder": [self._fixed_k]}
+        return None
+
+    def stats(self) -> Dict:
+        """Operational counters for GET /stats (serve/server.py)."""
+        out = {
+            "capacity": self.B,
+            "active": self.active_count,
+            "steps": self.steps,
+            "merged_steps": self.merged_steps,
+            "synth_calls": self.synth_calls,
+            "block": self.block,
+        }
+        spec = self.spec_stats()
+        if spec is not None:
+            out["spec"] = spec
+        return out
 
     def start(self) -> None:
         if self._synth_task is None:
@@ -678,6 +799,10 @@ class PoolLadder:
     def stop(self) -> None:
         for p in self.pools:
             p.stop()
+
+    def stats(self) -> Dict:
+        return {"ladder": [p.stats() for p in self.pools],
+                "demand": self._peak}
 
     # -- routing --------------------------------------------------------
     @property

@@ -118,7 +118,13 @@ class TTSServer:
                 from llmvox_tpu.serve.demo_page import DEMO_HTML
                 await self._html(writer, DEMO_HTML)
             elif method == "GET" and path == "/stats":
-                await self._plain(writer, 200, {"requests": list(self.traces)})
+                obj = {"requests": list(self.traces)}
+                if self.pool is not None and hasattr(self.pool, "stats"):
+                    obj["pool"] = self.pool.stats()
+                llm_pool = getattr(self.stream_model, "pool", None)
+                if llm_pool is not None and hasattr(llm_pool, "stats"):
+                    obj["llm_pool"] = llm_pool.stats()
+                await self._plain(writer, 200, obj)
             elif method == "POST" and path in (
                     "/tts", "/voicechat", "/multimodalchat", "/vlmschat"):
                 await self._stream_response(writer, path,

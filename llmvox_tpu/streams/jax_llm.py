@@ -336,7 +336,9 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
                        dtype=dtype,
                        prefill_buckets=tuple(cfg.llm_prefill_buckets),
                        pipeline_depth=cfg.pool_pipeline_depth,
-                       spec_k=cfg.llm_spec_k)
+                       spec_k=cfg.llm_spec_k,
+                       prefill_merge=getattr(cfg, 'llm_prefill_merge',
+                                             True))
         model = PooledJAXStreamModel(pool, tokenizer,
                                      max_tokens=cfg.llm_max_tokens,
                                      eos_text=cfg.eos_token)

@@ -180,6 +180,11 @@ class ServeConfig:
     # prompt-prefill bucket ladder for the pooled path (right-padded;
     # longer prompts keep their tail)
     llm_prefill_buckets: tuple = (32, 64, 128, 256, 512)
+    # Merge burst arrivals' prefills across buckets into full
+    # PREFILL_BATCH chunks (fewer programs per burst; see
+    # serve/llm_pool.py::_run_prefills).  Disable for FLOPs-bound
+    # big-model shapes where per-bucket grouping's tighter padding wins.
+    llm_prefill_merge: bool = True
     # > 0: speculative decode in the LLM pool with this many draft
     # positions per step (models/llama.py::decode_block_spec_pooled).
     # Requires draft heads in the converted checkpoint
@@ -257,6 +262,13 @@ class ServeConfig:
     # steps per block up to (1 + spec_k_draft)x
     spec_decode: bool = False
     spec_k_draft: int = 4
+    # Adaptive speculation depth for the POOL (serve/spec_control.py):
+    # a ladder of k_draft rungs the pool compiles and switches between
+    # at step boundaries from the live accept rate — rung 0 (plain
+    # greedy) is always included, so a checkpoint whose draft heads
+    # never accept degrades to greedy speed instead of a 2x loss.
+    # Empty = fixed spec_k_draft.  Needs spec_decode=True.
+    spec_k_ladder: Tuple[int, ...] = ()
 
     # Int8 quantization for the TPU-hosted serving models (speech
     # decoder, Llama LLM, Whisper ASR) — beyond reference: the CUDA

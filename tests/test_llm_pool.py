@@ -577,6 +577,82 @@ def test_llm_pool_picks_attn_bucket(params):
     assert max(pool._ub) <= 128
 
 
+def _burst(pool, prompts, block_after=True):
+    """Drive a simultaneous arrival burst: all prefills queued before the
+    step loop's first dispatch, then one decode block per slot."""
+    async def go():
+        pool.start()
+        slots = [await pool.acquire() for _ in prompts]
+        futs = [pool.submit_prefill(s, list(p))
+                for s, p in zip(slots, prompts)]
+        firsts = await asyncio.gather(*futs)
+        blocks = [[] for _ in prompts]
+        if block_after:
+            bfuts = [pool.submit_block(s) for s in slots]
+            blocks = await asyncio.gather(*bfuts)
+        for s in slots:
+            pool.release(s)
+        pool.stop()
+        return list(firsts), [list(b) for b in blocks]
+    return _run_pool(go())
+
+
+def test_prefill_merge_burst_fewer_programs_same_tokens(params):
+    """A mixed-length burst merged across buckets must cost fewer prefill
+    programs (ceil(N/PREFILL_BATCH) instead of one per bucket group) and
+    stream exactly the same greedy tokens as the unmerged per-bucket
+    path and the B=1 reference."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    prompts = [PROMPTS[0], PROMPTS[1], PROMPTS[2], [8] * 20]
+    buckets = (8, 16, 32)
+
+    merged = LLMPool(params, CFG, capacity=4, block=4,
+                     prefill_buckets=buckets, prefill_merge=True)
+    f_m, b_m = _burst(merged, prompts)
+    assert merged.prefill_calls == 1       # one program for the burst
+
+    plain = LLMPool(params, CFG, capacity=4, block=4,
+                    prefill_buckets=buckets, prefill_merge=False)
+    f_p, b_p = _burst(plain, prompts)
+    # lengths 3, 7 -> bucket 8; 12 -> 16; 20 -> 32: three bucket groups
+    assert plain.prefill_calls == 3
+
+    assert f_m == f_p and b_m == b_p
+    for p, first, blk in zip(prompts, f_m, b_m):
+        assert [first] + blk == _b1_greedy(params, p, 5)
+
+
+def test_prefill_merge_chunks_stay_bucket_tight(params):
+    """Sorting by length means same-size peers share a chunk: a burst of
+    2xPREFILL_BATCH prompts in two length classes must run as one chunk
+    per class (the short chunk at the SMALL bucket), not pay the big
+    bucket for everything."""
+    from llmvox_tpu.serve import llm_pool as lp
+
+    pool = lp.LLMPool(params, CFG, capacity=8, block=4,
+                      prefill_buckets=(8, 32), prefill_merge=True)
+    short = [[3 + i] * 4 for i in range(4)]
+    long = [[5 + i] * 25 for i in range(4)]
+    seen_buckets = []
+    orig = lp.llama.prefill_slots
+
+    def spy(p, tokens, *a, **k):
+        seen_buckets.append(tokens.shape)
+        return orig(p, tokens, *a, **k)
+
+    lp.llama.prefill_slots = spy
+    try:
+        # interleave so sorting, not arrival order, forms the chunks
+        _burst(pool, [short[0], long[0], short[1], long[1], short[2],
+                      long[2], short[3], long[3]], block_after=False)
+    finally:
+        lp.llama.prefill_slots = orig
+    assert pool.prefill_calls == 2
+    assert sorted(s[1] for s in seen_buckets) == [8, 32]
+    assert all(s[0] == lp.LLMPool.PREFILL_BATCH for s in seen_buckets)
+
+
 # ---------------------------------------------------------------------------
 # shared-prefix KV cache (LLMPool.set_prefix / models.llama.prefix_kv)
 # ---------------------------------------------------------------------------
