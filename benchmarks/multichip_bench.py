@@ -65,6 +65,10 @@ def run(argv=None, virtual: bool = False) -> None:
                         help="comma-separated dp sizes to sweep")
     parser.add_argument("--tp_size", type=int, default=2,
                         help="tp width for the llama row")
+    parser.add_argument("--sp_sizes", default="2,4",
+                        help="comma-separated sp (ring attention) sizes "
+                             "for the sequence-parallel train row; '' "
+                             "skips it")
     parser.add_argument("--scale", type=float, default=1.0,
                         help="model-size scale (1.0 = deployed shapes; "
                              "use 0.1 on the virtual CPU mesh)")
@@ -78,7 +82,8 @@ def run(argv=None, virtual: bool = False) -> None:
     import numpy as np
 
     dp_sizes = [int(s) for s in args.dp_sizes.split(",") if s]
-    need = max(max(dp_sizes), args.tp_size)
+    sp_sizes = [int(s) for s in args.sp_sizes.split(",") if s]
+    need = max(max(dp_sizes), args.tp_size, max(sp_sizes, default=1))
     if len(jax.devices()) < need:
         _bootstrap_virtual(need, list(argv) if argv is not None else
                            __import__("sys").argv[1:])
@@ -222,6 +227,54 @@ def run(argv=None, virtual: bool = False) -> None:
                      "utterances_per_s": round(dp / asr_s, 2)})
         print(json.dumps(rows[-3]), flush=True)
         print(json.dumps(rows[-2]), flush=True)
+        print(json.dumps(rows[-1]), flush=True)
+
+    # ---- sequence-parallel (ring attention) train step -----------------
+    # the long-context scaling row: same global (batch=1, T) work, the T
+    # axis sharded over the sp ring (ops/ring_attention.py) — on a real
+    # slice the step time should drop toward 1/sp of the dp=1 row's at
+    # attention-bound shapes
+    from llmvox_tpu.ops.ring_attention import make_ring_attention
+    from llmvox_tpu.parallel.sharding import batch_seq_sharding
+    for sp in sp_sizes:
+        if sp > len(jax.devices()) or args.seq_len % sp:
+            continue
+        mesh = create_mesh(dp_size=1, sp_size=sp)
+        rng = np.random.default_rng(0)
+        tcfg = TrainConfig(batch_size=1, gradient_accumulation_steps=1,
+                           warmup_iters=1, lr_decay_iters=10)
+        params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+        params = jax.device_put(params, replicated(mesh))
+        tx = make_optimizer(tcfg, params)
+        state = TrainState(params, jax.jit(tx.init)(params), jnp.int32(0))
+        rep, bsh = replicated(mesh), batch_seq_sharding(mesh)
+        table = jax.device_put(
+            jnp.zeros((cfg.text_vocab_size, cfg.text_embed_dim)), rep)
+        codebook = jax.device_put(
+            jnp.zeros((max(cfg.vocab_size, cfg.eoa_token_id + 1),
+                       cfg.speech_embed_dim)), rep)
+        t = args.seq_len
+        text_ids = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, (1, t)), jnp.int32), bsh)
+        targets = jax.device_put(
+            jnp.asarray(rng.integers(0, cfg.vocab_size, (1, t)),
+                        jnp.int32), bsh)
+        step = jax.jit(make_train_step(cfg, tx, jnp.float32,
+                                       attn_fn=make_ring_attention(mesh)),
+                       donate_argnums=(0,))
+        sp_holder = {"state": state}
+
+        def sp_once():
+            sp_holder["state"], loss = step(sp_holder["state"], table,
+                                            codebook, text_ids, targets,
+                                            jax.random.PRNGKey(1))
+            jax.block_until_ready(loss)
+
+        sp_s = _timed(sp_once, args.reps)
+        rows.append({"what": "decoder_train_step_sp", "sp": sp,
+                     "batch": 1, "seq": t,
+                     "step_ms": round(sp_s * 1e3, 2),
+                     "tokens_per_s": round(t / sp_s, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
     # ---- llama TP decode ---------------------------------------------

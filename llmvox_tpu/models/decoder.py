@@ -99,10 +99,14 @@ def _get(p: Dict, key: str):
 
 def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
                   *, dropout_rng: Optional[jax.Array] = None,
-                  train: bool = False, return_hidden: bool = False):
+                  train: bool = False, return_hidden: bool = False,
+                  attn_fn=None):
     """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal.
     ``return_hidden=True`` also returns the final pre-head hidden states
-    (the draft heads' input)."""
+    (the draft heads' input).  ``attn_fn`` overrides the attention op
+    (same (B, T, H, D) q/k/v -> (B, T, H, D) contract) — used by the
+    sequence-parallel trainer to swap in ring attention
+    (ops/ring_attention.py) with the T axis sharded over the mesh."""
     b, t, c = emb.shape
     use_dropout = train and cfg.dropout > 0.0 and dropout_rng is not None
 
@@ -133,7 +137,7 @@ def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
         q = q.reshape(b, t, cfg.n_head, hd)
         k = k.reshape(b, t, cfg.n_head, hd)
         v = v.reshape(b, t, cfg.n_head, hd)
-        a = causal_attention_auto(q, k, v).reshape(b, t, c)
+        a = (attn_fn or causal_attention_auto)(q, k, v).reshape(b, t, c)
         a = nn.linear(a, p["wo"], _get(p, "bo"))
         if use_dropout:
             a = drop(a, rngs[0])
@@ -175,7 +179,7 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
                  cfg: DecoderConfig, *,
                  dropout_rng: Optional[jax.Array] = None,
                  train: bool = True,
-                 mtp_weight: float = 0.2) -> jnp.ndarray:
+                 mtp_weight: float = 0.2, attn_fn=None) -> jnp.ndarray:
     """Cross-entropy with ignore_index (src/model.py:229-230).
 
     With ``cfg.n_draft_heads > 0`` (params carry ``draft_heads``), adds
@@ -186,11 +190,11 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
     correctness regardless)."""
     if "draft_heads" not in params:
         logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
-                               train=train)
+                               train=train, attn_fn=attn_fn)
         return _masked_ce(logits, targets, cfg.ignore_index)
     logits, hidden = apply_decoder(params, emb, cfg,
                                    dropout_rng=dropout_rng, train=train,
-                                   return_hidden=True)
+                                   return_hidden=True, attn_fn=attn_fn)
     loss = _masked_ce(logits, targets, cfg.ignore_index)
     n_heads = params["draft_heads"].shape[0]
     aux = 0.0

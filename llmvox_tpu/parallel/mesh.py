@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 DP_AXIS = "dp"
+SP_AXIS = "sp"
 TP_AXIS = "tp"
 
 
@@ -39,22 +40,26 @@ def initialize_distributed(coordinator: Optional[str] = None,
         )
 
 
-def create_mesh(dp_size: int = -1, tp_size: int = 1,
+def create_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, tp) mesh. ``dp_size=-1`` means all remaining devices.
+    """Build a (dp, sp, tp) mesh. ``dp_size=-1`` means all remaining
+    devices.  Axes are NAMED, so shardings written against any subset
+    (P("dp"), P(None, "tp"), ...) are untouched by the extra size-1 axes.
 
-    Mesh-axis order puts ``tp`` innermost so tensor-parallel collectives
-    ride the fastest ICI links.
+    Mesh-axis order puts ``tp`` innermost (its per-matmul all-reduces are
+    the chattiest) with ``sp`` next (one K/V ppermute per layer per ring
+    step — neighbor traffic that wants adjacent ICI links too).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp_size == -1:
-        assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
-        dp_size = n // tp_size
-    assert dp_size * tp_size <= n, (
-        f"need {dp_size * tp_size} devices, have {n}")
-    grid = np.asarray(devices[: dp_size * tp_size]).reshape(dp_size, tp_size)
-    return Mesh(grid, (DP_AXIS, TP_AXIS))
+        assert n % (tp_size * sp_size) == 0, (
+            f"{n} devices not divisible by tp*sp={tp_size * sp_size}")
+        dp_size = n // (tp_size * sp_size)
+    need = dp_size * sp_size * tp_size
+    assert need <= n, f"need {need} devices, have {n}"
+    grid = np.asarray(devices[:need]).reshape(dp_size, sp_size, tp_size)
+    return Mesh(grid, (DP_AXIS, SP_AXIS, TP_AXIS))
 
 
 def is_master() -> bool:

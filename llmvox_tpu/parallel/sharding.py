@@ -26,6 +26,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DP_AXIS))
 
 
+def batch_seq_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, T, ...) inputs over (dp, sp) — the sequence-parallel
+    trainer's input layout (ops/ring_attention.py)."""
+    from llmvox_tpu.parallel.mesh import SP_AXIS
+    return NamedSharding(mesh, P(DP_AXIS, SP_AXIS))
+
+
 def decoder_param_shardings(mesh: Mesh, params: Dict) -> Dict:
     """PartitionSpecs per decoder parameter (stacked-layer layout).
 

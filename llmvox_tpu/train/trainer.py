@@ -20,7 +20,8 @@ import optax
 
 from llmvox_tpu.models import decoder as dec
 from llmvox_tpu.parallel import mesh as pmesh
-from llmvox_tpu.parallel.sharding import batch_sharding, replicated
+from llmvox_tpu.parallel.sharding import (batch_seq_sharding,
+                                          batch_sharding, replicated)
 from llmvox_tpu.train import checkpoint as ckpt
 from llmvox_tpu.train.data import build_decoder_inputs
 from llmvox_tpu.train.optim import make_optimizer
@@ -36,14 +37,21 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16):
-    """Returns train_step(state, text_table, codebook, text_ids, targets, rng)."""
+def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16,
+                    attn_fn=None):
+    """Returns train_step(state, text_table, codebook, text_ids, targets, rng).
+
+    ``attn_fn`` (optional) replaces the attention op — the
+    sequence-parallel trainer passes ``make_ring_attention(mesh)`` so the
+    T axis shards over the mesh's sp ring (ops/ring_attention.py); the
+    shard_map inside doubles as the sharding constraint that keeps the
+    surrounding activations T-sharded under GSPMD."""
 
     def loss_fn(params, text_table, codebook, text_ids, targets, rng):
         emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
         emb = emb.astype(compute_dtype)
         return dec.decoder_loss(params, emb, targets, cfg,
-                                dropout_rng=rng, train=True)
+                                dropout_rng=rng, train=True, attn_fn=attn_fn)
 
     def train_step(state: TrainState, text_table, codebook,
                    text_ids, targets, rng):
@@ -56,11 +64,12 @@ def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16):
     return train_step
 
 
-def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16):
+def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16,
+                   attn_fn=None):
     def eval_step(params, text_table, codebook, text_ids, targets):
         emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
         return dec.decoder_loss(params, emb.astype(compute_dtype), targets,
-                                cfg, train=False)
+                                cfg, train=False, attn_fn=attn_fn)
     return eval_step
 
 
@@ -80,8 +89,17 @@ class Trainer:
                  text_table: np.ndarray, codebook: np.ndarray,
                  mesh=None, compute_dtype=jnp.bfloat16):
         self.tcfg, self.mcfg = tcfg, mcfg
-        self.mesh = mesh or pmesh.create_mesh(tcfg.dp_size, tcfg.tp_size)
+        sp = getattr(tcfg, "sp_size", 1)
+        self.mesh = mesh or pmesh.create_mesh(tcfg.dp_size, tcfg.tp_size,
+                                              sp)
         self.compute_dtype = compute_dtype
+        # sequence parallelism: ring attention over the mesh's sp axis
+        # (even when the mesh was passed in, honor its sp extent)
+        sp = int(self.mesh.shape.get(pmesh.SP_AXIS, 1))
+        attn_fn = None
+        if sp > 1:
+            from llmvox_tpu.ops.ring_attention import make_ring_attention
+            attn_fn = make_ring_attention(self.mesh)
         self.rng = jax.random.PRNGKey(tcfg.seed + jax.process_index())
 
         key, self.rng = jax.random.split(self.rng)
@@ -89,7 +107,8 @@ class Trainer:
         self.tx = make_optimizer(tcfg, params)
 
         rep = replicated(self.mesh)
-        self.bsh = batch_sharding(self.mesh)
+        self.bsh = (batch_seq_sharding(self.mesh) if sp > 1
+                    else batch_sharding(self.mesh))
         params = jax.device_put(params, rep)
         opt_state = jax.jit(self.tx.init, out_shardings=rep)(params)
         self.state = TrainState(params, opt_state, jnp.int32(0))
@@ -97,9 +116,10 @@ class Trainer:
         self.codebook = jax.device_put(jnp.asarray(codebook), rep)
 
         self._step = jax.jit(
-            make_train_step(mcfg, self.tx, compute_dtype),
+            make_train_step(mcfg, self.tx, compute_dtype, attn_fn=attn_fn),
             donate_argnums=(0,))
-        self._eval = jax.jit(make_eval_step(mcfg, compute_dtype))
+        self._eval = jax.jit(make_eval_step(mcfg, compute_dtype,
+                                            attn_fn=attn_fn))
         self.n_params = dec.num_params(params)
         self.iter_num = 0
 

@@ -377,9 +377,13 @@ class TrainConfig:
     lr_decay_iters: int = 2_600_000
     min_lr: float = 3e-6
 
-    # Parallelism (new): data-parallel size -1 means "all devices"
+    # Parallelism (new): data-parallel size -1 means "all devices".
+    # sp_size > 1 shards the sequence axis and swaps ring attention in
+    # (ops/ring_attention.py) — for the attention-bound long-block
+    # training shape (T=8192) where dp cannot shrink T.
     dp_size: int = -1
     tp_size: int = 1
+    sp_size: int = 1
 
 
 @dataclass(frozen=True)
