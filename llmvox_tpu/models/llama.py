@@ -687,6 +687,72 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
     return first, LlamaPoolState(k, v, pos, tok)
 
 
+@partial(jax.jit, static_argnames=("final", "temperature", "top_k",
+                                   "top_p", "attn_len"),
+         donate_argnames=("state",))
+def prefill_slots_continue(params: Dict, tokens: jnp.ndarray,
+                           valid_lens: jnp.ndarray, state: LlamaPoolState,
+                           slots: jnp.ndarray, active: jnp.ndarray,
+                           pos0: jnp.ndarray, rng: jax.Array,
+                           cfg: LlamaConfig, final: bool = True,
+                           temperature: float = 0.0, top_k: int = 0,
+                           top_p: float = 1.0,
+                           attn_len: Optional[int] = None
+                           ) -> Tuple[jnp.ndarray, LlamaPoolState]:
+    """Continue a CHUNKED prefill: process ``tokens`` (N, Tpad) whose rows
+    extend prompts already cached in ``state`` — row n's slot holds
+    ``pos0[n]`` tokens, this chunk lands at positions pos0..pos0+len-1.
+
+    Why chunks: :func:`prefill_slots` runs at a bucket width, so prompts
+    longer than the largest bucket would be truncated even when the model
+    context has room (the reference's HF path keeps full history,
+    inference/llm_streaming.py:57-66).  The pool splits long prompts into
+    bucket-width chunks: the first goes through :func:`prefill_slots`
+    (fresh rows, optional shared prefix), each later chunk through this —
+    gather the slots' cache rows (bounded by ``attn_len``), run the chunk
+    at per-row offsets (RoPE positions and causal mask from ``pos0``, the
+    same `_layer_step_rows` the pooled decode uses), scatter back.  Each
+    chunk's queries attend the FULL cached prefix in one softmax, so the
+    math equals a single-program prefill exactly — chunking changes
+    program shapes, not results.
+
+    ``final=False`` (middle chunks) skips the lm head and returns zeros
+    for the sampled tokens; ``final=True`` samples each row's first token
+    at its last valid position and writes it to ``state.tok`` like
+    :func:`prefill_slots`.  Caller guarantees pos0 + Tpad <= attn_len.
+    Inactive rows gather slot 0 harmlessly and their writes are dropped.
+    """
+    n, tpad = tokens.shape
+    cap = state.k.shape[1]
+    s = state.k.shape[2]
+    if attn_len is not None and attn_len < s:
+        s = attn_len
+    gid = jnp.where(active, slots.astype(jnp.int32), 0)
+    k_slot = state.k[:, gid, :s]
+    v_slot = state.v[:, gid, :s]
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    x, (new_k, new_v) = _scan_layers_rows(params, tokens, k_slot, v_slot,
+                                          pos0, cfg)
+    slot_ids = jnp.where(active, slots.astype(jnp.int32), cap)
+    k = state.k.at[:, slot_ids, :s].set(new_k, mode="drop",
+                                        unique_indices=False)
+    v = state.v.at[:, slot_ids, :s].set(new_v, mode="drop",
+                                        unique_indices=False)
+    valid_lens = jnp.asarray(valid_lens, jnp.int32)
+    pos = state.pos.at[slot_ids].set(pos0 + valid_lens, mode="drop")
+    if final:
+        x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
+        logits_all = ops.linear(x, _head(params))
+        idx = (valid_lens - 1).reshape(-1, 1, 1)
+        logits = jnp.take_along_axis(logits_all, idx, axis=1)[:, 0]
+        first = _sample(logits, rng, temperature, top_k, top_p)
+        tok = state.tok.at[slot_ids].set(first, mode="drop")
+    else:
+        first = jnp.zeros((n,), jnp.int32)
+        tok = state.tok
+    return first, LlamaPoolState(k, v, pos, tok)
+
+
 @partial(jax.jit,
          static_argnames=("block", "temperature", "top_k", "top_p",
                           "attn_len"),

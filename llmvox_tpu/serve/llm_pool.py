@@ -70,7 +70,8 @@ class LLMPool:
                  device: Optional[jax.Device] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  seed: int = 0, pipeline_depth: int = 2,
-                 spec_k: int = 0, prefill_merge: bool = True):
+                 spec_k: int = 0, prefill_merge: bool = True,
+                 chunked_prefill: bool = True):
         self.cfg = cfg
         self.B = capacity
         self.block = block
@@ -90,6 +91,11 @@ class LLMPool:
         # full PREFILL_BATCH chunks (see _run_prefills) instead of one
         # program per bucket group.
         self.prefill_merge = bool(prefill_merge)
+        # Long prompts: prefill in bucket-width chunks instead of
+        # left-truncating at the largest bucket (models/llama.py::
+        # prefill_slots_continue) — the reference's HF path keeps full
+        # history, so must the pool.  Off: pre-r3.6 truncation.
+        self.chunked_prefill = bool(chunked_prefill)
         self.use_spec = self.spec_k > 0 and "draft_heads" in params
         # the verifier writes up to spec_k+1 cache rows past the last
         # committed token; reserve that headroom in every capacity check
@@ -195,18 +201,44 @@ class LLMPool:
         self._prefix_v = v.astype(self.cache_dtype)
         self._prefix_buckets = pbuckets
 
+    def _ctx_cap(self) -> int:
+        """Max cacheable prompt length: leave room for one decode block
+        (+ the speculation verify rows)."""
+        return self.cfg.max_seq_len - self.block - 1 - self._spec_margin
+
+    def _chunk0_len(self, n: int, buckets: Tuple[int, ...]) -> Optional[int]:
+        """First-chunk length for an n-token chunked prefill: the ragged
+        remainder goes FIRST (through the existing bucketed prefill_slots
+        programs), every later chunk is exactly ``self.buckets[-1]`` wide
+        — so all continuation cache writes are in bounds with no new
+        program shapes.  Returns None when no r ≡ n (mod CW) fits the
+        class's first-chunk bucket ladder (possible for the prefix class
+        when its top bucket is smaller than CW)."""
+        cw = self.buckets[-1]
+        r = n % cw or cw
+        return r if r <= buckets[-1] else None
+
     def _plan(self, ids: List[int]) -> Tuple[bool, List[int], int]:
         """(use_prefix, prefill_ids, cached_len) for a prompt.  The
         prefix path needs a strictly longer prompt (the suffix samples
-        the first token) whose suffix fits a prefix-compatible bucket;
-        otherwise plain left-truncated prefill, like the B=1 path."""
+        the first token); with chunked prefill either class takes
+        prompts up to the context cap, otherwise prompts left-truncate
+        at the largest bucket (the pre-chunking behavior, like the B=1
+        path's context-cap truncation but tighter)."""
+        cap = self._ctx_cap()
         pids = self._prefix_ids
         if pids is not None and len(ids) > len(pids) \
                 and list(ids[: len(pids)]) == pids:
             sfx = list(ids[len(pids):])
             if len(sfx) <= self._prefix_buckets[-1]:
                 return True, sfx, len(pids) + len(sfx)
-        ids2 = list(ids)[-self.buckets[-1]:] or [0]
+            if (self.chunked_prefill
+                    and len(pids) + len(sfx) <= cap
+                    and self._chunk0_len(len(sfx),
+                                         self._prefix_buckets) is not None):
+                return True, sfx, len(pids) + len(sfx)
+        limit = cap if self.chunked_prefill else self.buckets[-1]
+        ids2 = list(ids)[-limit:] or [0]
         return False, ids2, len(ids2)
 
     def submit_prefill(self, idx: int, ids: List[int]) -> asyncio.Future:
@@ -269,6 +301,13 @@ class LLMPool:
                 continue
             buckets = self._prefix_buckets if pfx else self.buckets
             plen = len(self._prefix_ids) if pfx else 0
+            if self.chunked_prefill:
+                longs = [r for r in rs if len(r.ids) > buckets[-1]]
+                for r in longs:
+                    out.append(self._run_chunked(r, pfx, buckets, plen))
+                rs = [r for r in rs if len(r.ids) <= buckets[-1]]
+                if not rs:
+                    continue
             if self.prefill_merge:
                 rs.sort(key=lambda r: len(r.ids), reverse=True)
                 chunks = [rs[c0: c0 + self.PREFILL_BATCH]
@@ -307,6 +346,51 @@ class LLMPool:
                     self._ub[r.slot] = plen + len(r.ids)
                 out.append((first, part))
         return out
+
+    def _run_chunked(self, r: _PrefillReq, pfx: bool,
+                     buckets: Tuple[int, ...], plen: int
+                     ) -> Tuple[jnp.ndarray, List[_PrefillReq]]:
+        """Prefill one LONG prompt (> the class's largest bucket) as a
+        chain of device programs: the ragged remainder goes first through
+        the existing bucketed :func:`llama.prefill_slots` (its sampled
+        token is mid-prompt garbage, overwritten below), then exact
+        ``buckets[-1]``-width chunks through
+        :func:`llama.prefill_slots_continue`, the last with
+        ``final=True`` to sample the real first token.  Dispatch-only —
+        the donated pool state sequences the chain, and the final chunk's
+        token rides the iteration's single fetch like any other group."""
+        cw = self.buckets[-1]
+        ids = r.ids
+        r0 = self._chunk0_len(len(ids), buckets)
+        bucket = next(b for b in buckets if r0 <= b)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :r0] = ids[:r0]
+        first, self.state = llama.prefill_slots(
+            self.params, jnp.asarray(tokens),
+            jnp.asarray([r0], jnp.int32), self.state,
+            jnp.asarray([r.slot], jnp.int32), jnp.ones((1,), bool),
+            self._next_key(), self.cfg, temperature=self.temperature,
+            top_k=self.top_k, top_p=self.top_p,
+            prefix_k=self._prefix_k if pfx else None,
+            prefix_v=self._prefix_v if pfx else None)
+        self.prefill_calls += 1
+        pos = plen + r0
+        rest = ids[r0:]
+        while rest:
+            chunk, rest = rest[:cw], rest[cw:]   # exact cw wide: r0
+            # absorbed the remainder, so every write stays in bounds
+            first, self.state = llama.prefill_slots_continue(
+                self.params, jnp.asarray([chunk], jnp.int32),
+                jnp.asarray([cw], jnp.int32), self.state,
+                jnp.asarray([r.slot], jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray([pos], jnp.int32), self._next_key(),
+                self.cfg, final=not rest, temperature=self.temperature,
+                top_k=self.top_k, top_p=self.top_p,
+                attn_len=self._attn_bucket(pos + cw))
+            self.prefill_calls += 1
+            pos += cw
+        self._ub[r.slot] = pos
+        return first, [r]
 
     def _attn_bucket(self, needed: int) -> int:
         for b in self.attn_buckets:
@@ -504,6 +588,7 @@ class LLMPool:
             "block": self.block,
             "spec_k": self.spec_k if self.use_spec else 0,
             "prefix_cached": self._prefix_ids is not None,
+            "chunked_prefill": self.chunked_prefill,
         }
 
     # -- warmup ---------------------------------------------------------
@@ -536,6 +621,25 @@ class LLMPool:
                         prefix_k=self._prefix_k if pfx else None,
                         prefix_v=self._prefix_v if pfx else None)
                     np.asarray(first)
+            if self.chunked_prefill and self._ctx_cap() > self.buckets[-1]:
+                # long-prompt continuation chunks (always full cw wide;
+                # active=False drops every write — same compiled program)
+                cw = self.buckets[-1]
+                for attn in self.attn_buckets:
+                    if attn <= cw:
+                        continue
+                    for fin in (False, True):
+                        first, self.state = llama.prefill_slots_continue(
+                            self.params, jnp.zeros((1, cw), jnp.int32),
+                            jnp.full((1,), cw, jnp.int32), self.state,
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1,), jnp.bool_),
+                            jnp.zeros((1,), jnp.int32), self._next_key(),
+                            self.cfg, final=fin,
+                            temperature=self.temperature,
+                            top_k=self.top_k, top_p=self.top_p,
+                            attn_len=attn)
+                        np.asarray(first)
             for attn in self.attn_buckets:
                 if self.use_spec:
                     toks, self.state, _ = llama.decode_block_spec_pooled(

@@ -338,7 +338,9 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
                        pipeline_depth=cfg.pool_pipeline_depth,
                        spec_k=cfg.llm_spec_k,
                        prefill_merge=getattr(cfg, 'llm_prefill_merge',
-                                             True))
+                                             True),
+                       chunked_prefill=getattr(cfg, 'llm_chunked_prefill',
+                                               True))
         model = PooledJAXStreamModel(pool, tokenizer,
                                      max_tokens=cfg.llm_max_tokens,
                                      eos_text=cfg.eos_token)

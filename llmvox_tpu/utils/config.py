@@ -178,8 +178,14 @@ class ServeConfig:
     # program instead of serializing private B=1 generate loops
     llm_pool_capacity: int = 0
     # prompt-prefill bucket ladder for the pooled path (right-padded;
-    # longer prompts keep their tail)
+    # prompts beyond the top bucket chunk-prefill, or keep their tail
+    # when llm_chunked_prefill is off)
     llm_prefill_buckets: tuple = (32, 64, 128, 256, 512)
+    # Prefill prompts longer than the top bucket in bucket-width chunks
+    # (models/llama.py::prefill_slots_continue) up to the model context,
+    # matching the reference HF path's full-history prompts; off =
+    # left-truncate at the top bucket (pre-r3.6).
+    llm_chunked_prefill: bool = True
     # Merge burst arrivals' prefills across buckets into full
     # PREFILL_BATCH chunks (fewer programs per burst; see
     # serve/llm_pool.py::_run_prefills).  Disable for FLOPs-bound

@@ -33,6 +33,8 @@ def _b1_greedy(params, ids, n_tokens):
     bucket = 16
     while bucket < len(ids):
         bucket *= 2
+    bucket = min(bucket, CFG.max_seq_len - 1)   # like JAXStreamModel's cap
+    assert len(ids) <= bucket
     padded = list(ids) + [0] * (bucket - len(ids))
     st = llama.init_llama_decode_state(CFG, batch=1)
     lg, st = llama.prefill_padded(params, jnp.asarray([padded], jnp.int32),
@@ -806,3 +808,197 @@ def test_pooled_stream_model_prefix_autodetect(params):
     want = _run_pool(run_model(False))
     got = _run_pool(run_model(True))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# chunked prefill for long prompts (models.llama.prefill_slots_continue)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_prefill_device_op_matches_single_program(params):
+    """chunk0 via prefill_slots + N continuation chunks must equal ONE
+    prefill_slots over the whole prompt: same pos, caches, first token,
+    and greedy continuation."""
+    full = [(i * 7 + 3) % 100 for i in range(40)]     # 40 > bucket 32
+
+    st_w = llama.init_llama_pool_state(CFG, batch=2)
+    tokens = np.zeros((1, 64), np.int32)
+    tokens[0, : len(full)] = full
+    first_w, st_w = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray([len(full)], np.int32),
+        st_w, jnp.asarray([1], np.int32), jnp.ones((1,), bool),
+        jax.random.PRNGKey(1), CFG)
+
+    st = llama.init_llama_pool_state(CFG, batch=2)
+    t0 = np.zeros((1, 8), np.int32)
+    t0[0, :] = full[:8]                               # ragged chunk first
+    _, st = llama.prefill_slots(
+        params, jnp.asarray(t0), jnp.asarray([8], np.int32), st,
+        jnp.asarray([1], np.int32), jnp.ones((1,), bool),
+        jax.random.PRNGKey(9), CFG)
+    first, st = llama.prefill_slots_continue(
+        params, jnp.asarray([full[8:]], jnp.int32),
+        jnp.asarray([32], jnp.int32), st, jnp.asarray([1], jnp.int32),
+        jnp.ones((1,), bool), jnp.asarray([8], jnp.int32),
+        jax.random.PRNGKey(1), CFG, final=True, attn_len=96)
+
+    assert int(np.asarray(first)[0]) == int(np.asarray(first_w)[0])
+    assert int(np.asarray(st.pos)[1]) == len(full)
+    n = len(full)
+    np.testing.assert_allclose(np.asarray(st.k[:, 1, :n]),
+                               np.asarray(st_w.k[:, 1, :n]),
+                               atol=2e-5, rtol=2e-5)
+    active = jnp.asarray([False, True])
+    toks_w, _ = llama.decode_block_pooled(
+        params, st_w, active, jax.random.PRNGKey(2), CFG, block=8)
+    toks, _ = llama.decode_block_pooled(
+        params, st, active, jax.random.PRNGKey(2), CFG, block=8)
+    np.testing.assert_array_equal(np.asarray(toks)[1], np.asarray(toks_w)[1])
+
+
+def test_chunked_continue_inactive_rows_dropped(params):
+    """A continuation chunk with active=False must leave the pool state
+    untouched (the warmup path)."""
+    st = llama.init_llama_pool_state(CFG, batch=2)
+    tokens = np.zeros((1, 8), np.int32)
+    tokens[0, :3] = PROMPTS[0]
+    _, st = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray([3], np.int32), st,
+        jnp.asarray([0], np.int32), jnp.ones((1,), bool),
+        jax.random.PRNGKey(1), CFG)
+    before = jax.tree.map(np.asarray, st)
+    _, st2 = llama.prefill_slots_continue(
+        params, jnp.zeros((1, 32), jnp.int32), jnp.asarray([32], jnp.int32),
+        st, jnp.asarray([0], jnp.int32), jnp.zeros((1,), jnp.bool_),
+        jnp.asarray([3], jnp.int32), jax.random.PRNGKey(2), CFG,
+        final=True, attn_len=96)
+    after = jax.tree.map(np.asarray, st2)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("n", [33, 40, 64, 80])
+def test_pool_long_prompt_matches_b1(params, n):
+    """Prompts longer than the top prefill bucket (32) chunk-prefill up
+    to the context cap and stream the same greedy tokens as the B=1
+    path — including the exact-multiple boundary (64) and near-cap (80)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    ids = [(i * 11 + 5) % 100 for i in range(n)]
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    use, planned, cached = pool._plan(list(ids))
+    assert not use and planned == ids and cached == n
+
+    async def go():
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert got[:9] == _b1_greedy(params, ids, 9)
+
+
+def test_pool_chunked_disabled_truncates(params):
+    """chunked_prefill=False restores the pre-chunking behavior: the
+    prompt left-truncates at the largest bucket."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    ids = [(i * 11 + 5) % 100 for i in range(40)]
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32), chunked_prefill=False)
+    use, planned, cached = pool._plan(list(ids))
+    assert not use and planned == ids[-32:] and cached == 32
+
+    async def go():
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert got[:9] == _b1_greedy(params, ids[-32:], 9)
+
+
+def test_pool_long_and_short_prompts_concurrent(params):
+    """A long (chunked) prompt and short prompts in the same pool batch:
+    everyone still matches their B=1 sequence."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    long_ids = [(i * 13 + 2) % 100 for i in range(50)]
+    prompts = [PROMPTS[0], long_ids, PROMPTS[1]]
+    pool = LLMPool(params, CFG, capacity=4, block=4,
+                   prefill_buckets=(8, 16, 32))
+
+    async def one(ids):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9):
+            out.extend(toks)
+        return out
+
+    async def go():
+        res = await asyncio.gather(*[one(p) for p in prompts])
+        pool.stop()
+        return res
+
+    results = _run_pool(go())
+    for p, got in zip(prompts, results):
+        assert got[:9] == _b1_greedy(params, p, 9), f"len {len(p)}"
+
+
+def test_pool_prefix_with_long_suffix_chunks(params):
+    """A prompt matching the pinned prefix whose SUFFIX exceeds the
+    prefix bucket ladder chunk-prefills (prefix class) and matches the
+    plain pool's output."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    sfx = [(i * 17 + 4) % 100 for i in range(40)]
+    full = PREFIX + sfx
+
+    plain = LLMPool(params, CFG, capacity=2, block=4,
+                    prefill_buckets=(8, 16, 32))
+
+    async def run(pool, ids):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    want = _run_pool(run(plain, full))
+
+    pooled = LLMPool(params, CFG, capacity=2, block=4,
+                     prefill_buckets=(8, 16, 32))
+    pooled.set_prefix(PREFIX)
+    use, planned, cached = pooled._plan(list(full))
+    assert use and planned == sfx and cached == len(full)
+    got = _run_pool(run(pooled, full))
+    assert got == want
+
+
+def test_pool_warmup_compiles_chunk_programs(params):
+    """warmup() with chunking reachable compiles the continuation
+    programs with active=False (no state disturbance), and a long prompt
+    afterwards still matches B=1."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    ids = [(i * 19 + 7) % 100 for i in range(40)]
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    pool.warmup()
+    assert pool.prefill_calls == 0
+
+    async def go():
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9):
+            out.extend(toks)
+        pool.stop()
+        return out
+
+    got = _run_pool(go())
+    assert got[:9] == _b1_greedy(params, ids, 9)
+    # 40 = ragged 8 + one 32-chunk: exactly two prefill programs
+    assert pool.prefill_calls == 2
