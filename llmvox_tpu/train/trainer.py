@@ -109,8 +109,21 @@ class Trainer:
         rep = replicated(self.mesh)
         self.bsh = (batch_seq_sharding(self.mesh) if sp > 1
                     else batch_sharding(self.mesh))
-        params = jax.device_put(params, rep)
-        opt_state = jax.jit(self.tx.init, out_shardings=rep)(params)
+        if getattr(tcfg, "fsdp", False):
+            from llmvox_tpu.parallel.sharding import (
+                decoder_fsdp_shardings, opt_state_shardings)
+            self.psh = decoder_fsdp_shardings(self.mesh, params)
+            params = jax.device_put(params, self.psh)
+            # moments take the param shardings explicitly — tx.init's
+            # zeros_like has no data dependence on params, so GSPMD
+            # propagation can't carry the annotations through
+            self._osh = opt_state_shardings(self.mesh, self.tx, params,
+                                            self.psh)
+        else:
+            self.psh = rep
+            params = jax.device_put(params, rep)
+            self._osh = rep
+        opt_state = jax.jit(self.tx.init, out_shardings=self._osh)(params)
         self.state = TrainState(params, opt_state, jnp.int32(0))
         self.text_table = jax.device_put(jnp.asarray(text_table), rep)
         self.codebook = jax.device_put(jnp.asarray(codebook), rep)
@@ -141,15 +154,18 @@ class Trainer:
         params = ckpt.load_params_npz(path)
         meta = ckpt.load_meta(path)
         self.iter_num = int(meta.get("iter_num", 0))
-        params = jax.device_put(params, replicated(self.mesh))
+        params = jax.device_put(params, self.psh)
         opt_path = path.replace(".npz", ".opt.npz")
         if os.path.exists(opt_path):
             opt_state = ckpt.fill_like(jax.device_get(self.state.opt_state),
                                        opt_path)
-            opt_state = jax.device_put(opt_state, replicated(self.mesh))
+            # restore into the live opt state's shardings (replicated, or
+            # dp-sharded moments under fsdp)
+            osh = jax.tree.map(lambda x: x.sharding, self.state.opt_state)
+            opt_state = jax.device_put(opt_state, osh)
         else:
             opt_state = jax.jit(self.tx.init,
-                                out_shardings=replicated(self.mesh))(params)
+                                out_shardings=self._osh)(params)
         self.state = TrainState(params, opt_state, jnp.int32(self.iter_num))
 
     # -- steps -----------------------------------------------------------

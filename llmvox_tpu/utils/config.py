@@ -390,6 +390,10 @@ class TrainConfig:
     dp_size: int = -1
     tp_size: int = 1
     sp_size: int = 1
+    # FSDP/ZeRO-3: shard parameters + optimizer moments over dp
+    # (parallel/sharding.py::decoder_fsdp_shardings) — per-chip state
+    # memory drops by dp; XLA derives the gather/scatter schedule.
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)
