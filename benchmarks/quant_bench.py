@@ -7,11 +7,13 @@ Measures the two serving hot loops at deployed shapes:
 - Llama: ``decode_block`` B=1 and ``decode_block_pooled`` B=8 at the
   bench 30M-class config
 
-in three precisions: bf16 (baseline), w8 (int8 weights dequantized into
+in four precisions: bf16 (baseline), w8 (int8 weights dequantized into
 the matmul operand — wins iff XLA keeps the dequant fused per tile
-rather than hoisting a dense copy out of the scan), and w8a8 (int8xint8
+rather than hoisting a dense copy out of the scan), w8a8 (int8xint8
 MXU compute with dynamic per-token activation scales — nothing
-loop-invariant to hoist, double MAC peak on v5e).
+loop-invariant to hoist, double MAC peak on v5e), and w4 (group-wise
+int4 weight-only — s4 packs two per byte in HBM, 4x fewer weight bytes
+streamed than bf16).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/quant_bench.py
 """
@@ -154,11 +156,13 @@ def main() -> None:
         "bf16": (dparams, dcfg),
         "w8": (quantize_decoder_params(dparams, "w8"), dcfg),
         "w8a8": (quantize_decoder_params(dparams, "w8a8"), dcfg),
+        "w4": (quantize_decoder_params(dparams, "w4"), dcfg),
     })
     res["llama30M"] = bench_llama(dev, {
         "bf16": (lparams, lcfg),
         "w8": (quantize_llama_params(lparams, "w8"), lcfg),
         "w8a8": (quantize_llama_params(lparams, "w8a8"), lcfg),
+        "w4": (quantize_llama_params(lparams, "w4"), lcfg),
     })
 
     # 1B-class: where B=1 decode is genuinely weight-bandwidth-bound
@@ -170,7 +174,7 @@ def main() -> None:
                              n_kv_head=8, n_embd=2048,
                              intermediate_size=5632, max_seq_len=1024)
     res["llama1B"] = {}
-    for mode in ("bf16", "w8", "w8a8"):
+    for mode in ("bf16", "w8", "w8a8", "w4"):
         bparams = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16),
             llama.init_llama_params(jax.random.PRNGKey(2), bcfg))

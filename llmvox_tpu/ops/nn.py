@@ -124,7 +124,8 @@ def dense_weight(w, dtype) -> jnp.ndarray:
     """Materialize a matmul weight at ``dtype``: plain arrays cast,
     int8-quantized weights (ops/quant.py) dequantize."""
     from llmvox_tpu.ops import quant
-    if isinstance(w, (quant.QuantizedTensor, quant.Int8Linear)):
+    if isinstance(w, (quant.QuantizedTensor, quant.Int8Linear,
+                      quant.Int4Tensor)):
         return quant.dequantize(w, dtype)
     return w.astype(dtype)
 
@@ -133,13 +134,19 @@ def linear(x: jnp.ndarray, w: jnp.ndarray,
            b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Dense layer; w is (Cin, Cout) — torch Linear.weight transposed.
 
-    ``w`` may be int8-quantized (ops/quant.py): a QuantizedTensor
-    dequantizes into the matmul operand (weight-only), an Int8Linear
-    runs the matmul natively in int8 with dynamically quantized
-    activations."""
+    ``w`` may be quantized (ops/quant.py): a QuantizedTensor (int8) or
+    Int4Tensor (group-wise int4) dequantizes into the matmul operand
+    (weight-only), an Int8Linear runs the matmul natively in int8 with
+    dynamically quantized activations."""
     from llmvox_tpu.ops import quant
     if isinstance(w, quant.Int8Linear):
         y = quant.int8_matmul(x, w)
+    elif isinstance(w, quant.Int4Tensor) and w.q.ndim == 2:
+        if jax.default_backend() == "tpu":
+            from llmvox_tpu.ops.pallas_quant import pallas_int4_matmul
+            y = pallas_int4_matmul(x, w)
+        else:
+            y = quant.int4_matmul(x, w)
     else:
         y = jnp.dot(x, dense_weight(w, x.dtype),
                     preferred_element_type=x.dtype,

@@ -41,7 +41,7 @@ def main(argv=None) -> None:
     if cfg.quantize:
         from llmvox_tpu.ops.quant import quantize_decoder_params
         dec_params = quantize_decoder_params(dec_params, cfg.quantize)
-        print(f"int8 quantization ({cfg.quantize}): speech decoder")
+        print(f"quantization ({cfg.quantize}): speech decoder")
     meta = load_meta(cfg.llmvox_checkpoint_path)
     margs = meta.get("model_args", {})
     dcfg = DecoderConfig(**{k: v for k, v in margs.items()

@@ -281,8 +281,10 @@ class ServeConfig:
     # reference has no quantized path.  "" = off; "w8" = weight-only
     # (weights store int8 + per-output-channel scales, dequantized into
     # the matmul operand); "w8a8" = int8xint8 MXU compute with dynamic
-    # per-token activation quantization (lm heads stay weight-only).
-    # ops/quant.py; parity bounds in tests/test_quant.py.
+    # per-token activation quantization (lm heads stay weight-only);
+    # "w4" = weight-only int4 with group-wise scales (TPU packs s4 two
+    # per byte in HBM — 4x fewer weight bytes per decode step; lm heads
+    # stay w8).  ops/quant.py; parity bounds in tests/test_quant.py.
     quantize: str = ""
 
     pool_capacity: int = 0        # >0: continuous-batching pool slots

@@ -242,3 +242,111 @@ def test_quantized_pool_streams():
 
     total = asyncio.run(asyncio.wait_for(go(), timeout=300))
     assert total > 0
+
+
+def test_quantize4_roundtrip_error_bound_and_group_isolation():
+    """w4: |w - dequant| <= s/2 per (group, column); a wild value only
+    inflates its OWN group's scale, not the rest of the column."""
+    from llmvox_tpu.ops.quant import Int4Tensor, quantize_weight4
+
+    rng = np.random.default_rng(10)
+    w = rng.standard_normal((2, 128, 24)).astype(np.float32)
+    w[:, 3, 5] *= 60.0                       # wild entry in group 0
+    qt = quantize_weight4(jnp.asarray(w), group=32)
+    assert qt.q.dtype == jnp.int8                  # packed nibbles
+    assert qt.q.shape == (2, 64, 24)               # Cin/2 bytes
+    assert qt.shape == w.shape                     # logical shape
+    assert qt.s.shape == (2, 4, 1, 24)
+    deq = np.asarray(dequantize(qt))
+    err = np.abs(deq - w).reshape(2, 4, 32, 24)
+    bound = np.asarray(qt.s) / 2 + 1e-6
+    assert np.all(err <= bound)
+    # groups 1..3 of column 5 kept their own (small) scales
+    assert np.asarray(qt.s)[0, 1:, 0, 5].max() < 1.0
+    # non-divisible Cin falls back to one group
+    qt1 = quantize_weight4(jnp.asarray(w[:, :100]), group=32)
+    assert qt1.s.shape == (2, 1, 1, 24)
+    assert isinstance(qt1, Int4Tensor)
+
+
+def test_linear_accepts_int4_weight():
+    from llmvox_tpu.ops.quant import quantize_weight4
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+    ref = nn.linear(x, w, b)
+    out = nn.linear(x, quantize_weight4(w, group=32), b)
+    rel = (np.linalg.norm(np.asarray(out - ref))
+           / np.linalg.norm(np.asarray(ref)))
+    # 15 levels / group-32 scales put the inherent rms step error near
+    # 10% on gaussian weights — real checkpoints (outlier-light after
+    # group isolation) sit lower; this guards dispatch, not accuracy
+    assert rel < 0.12
+
+
+def test_decoder_w4_tree_and_forward_parity():
+    """w4 tree: layer matmuls Int4Tensor, lm head stays w8 (argmax
+    fidelity); stored bytes ~4x below f32; forward stays close and the
+    scanned decode program runs."""
+    from llmvox_tpu.ops.quant import Int4Tensor
+
+    params = dec.init_decoder_params(jax.random.PRNGKey(13), SMALL)
+    qp = quantize_decoder_params(params, mode="w4")
+    assert isinstance(qp["h"]["wqkv"], Int4Tensor)
+    assert isinstance(qp["head"], QuantizedTensor)   # w8 head
+    assert not isinstance(qp["wpe"], (Int4Tensor, QuantizedTensor))
+    assert quantized_bytes(qp) < 0.32 * quantized_bytes(params)
+
+    emb = jnp.asarray(np.random.default_rng(14).standard_normal(
+        (2, 12, SMALL.n_embd)).astype(np.float32))
+    ref = np.asarray(dec.apply_decoder(params, emb, SMALL))
+    out = np.asarray(dec.apply_decoder(qp, emb, SMALL))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.12
+
+    rng = np.random.default_rng(15)
+    table = jnp.asarray(rng.standard_normal(
+        (SMALL.text_vocab_size, SMALL.text_embed_dim)).astype(np.float32))
+    codebook = jnp.asarray(rng.standard_normal(
+        (SMALL.vocab_size, SMALL.speech_embed_dim)).astype(np.float32))
+    block = 8
+    window = np.full((block,), SMALL.pad_token_id, np.int32)
+    st = dec.init_decode_state(SMALL, jnp.float32)
+    toks, n, st = dec.decode_block(
+        qp, table, codebook, st, jnp.asarray(window),
+        jnp.asarray(0, jnp.int32), jnp.asarray(block, jnp.int32),
+        SMALL, block=block)
+    assert int(n) >= 1 and np.asarray(toks).shape == (block,)
+
+
+def test_llama_w4_decode_consistency():
+    """w4 llama: KV-cache block decode matches the quantized
+    full-context greedy continuation (same internal-consistency check
+    the w8 test runs)."""
+    from llmvox_tpu.models import llama
+    from llmvox_tpu.ops.quant import Int4Tensor
+
+    lcfg = llama.LlamaConfig(vocab_size=64, n_layer=2, n_head=4,
+                             n_kv_head=2, n_embd=32, intermediate_size=96,
+                             max_seq_len=64)
+    params = llama.init_llama_params(jax.random.PRNGKey(20), lcfg)
+    qp = quantize_llama_params(params, mode="w4")
+    assert isinstance(qp["h"]["wq"], Int4Tensor)
+    assert not isinstance(qp["tok_emb"], Int4Tensor)
+    ids = jnp.asarray(np.random.default_rng(21).integers(
+        0, 64, (1, 12)), jnp.int32)
+    st = llama.init_llama_decode_state(lcfg, 1, jnp.float32)
+    lg, st = llama.prefill_padded(params=qp, tokens=ids,
+                                  valid_len=jnp.asarray(12, jnp.int32),
+                                  state=st, cfg=lcfg)
+    tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    toks, st = llama.decode_block(qp, tok, st, jax.random.PRNGKey(1),
+                                  lcfg, block=4)
+    seq = list(np.asarray(ids[0]))
+    for _ in range(5):
+        full = llama.apply_llama(qp, jnp.asarray([seq], jnp.int32), lcfg)
+        seq.append(int(np.asarray(jnp.argmax(full[0, -1]))))
+    got = [int(tok[0])] + [int(t) for t in np.asarray(toks[0])]
+    assert got == seq[12:]
