@@ -8,7 +8,9 @@ is the measurement: it times, at each requested dp size,
    scaled by ``--scale``) -> tokens/s;
 2. the sharded pooled serve block (``serve.batch.make_sharded_decode``,
    streams sharded over dp) -> tokens/s across all streams;
-3. the llama TP decode block at tp = the mesh's tp size.
+3. the llama TP decode block at tp = the mesh's tp size;
+4. the llama PP pooled decode block (``models/llama_pp.py``) at
+   ``--pp_size`` stages.
 
 Run it day-one on a real slice:
 
@@ -65,6 +67,9 @@ def run(argv=None, virtual: bool = False) -> None:
                         help="comma-separated dp sizes to sweep")
     parser.add_argument("--tp_size", type=int, default=2,
                         help="tp width for the llama row")
+    parser.add_argument("--pp_size", type=int, default=2,
+                        help="pipeline stages for the llama pp row; "
+                             "<=1 skips it")
     parser.add_argument("--sp_sizes", default="2,4",
                         help="comma-separated sp (ring attention) sizes "
                              "for the sequence-parallel train row; '' "
@@ -306,6 +311,52 @@ def run(argv=None, virtual: bool = False) -> None:
                      "tp": args.tp_size, "block": 16,
                      "block_ms": round(llama_s * 1e3, 2),
                      "tokens_per_s": round(16 / llama_s, 1)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # ---- llama PP pooled decode (models/llama_pp.py) -------------------
+    if args.pp_size > 1:
+        import numpy as _np
+
+        from llmvox_tpu.models import llama_pp
+        pp_mesh = jax.sharding.Mesh(
+            _np.asarray(jax.devices()[:args.pp_size]).reshape(
+                args.pp_size), (llama_pp.PP_AXIS,))
+        pcfg = llama.LlamaConfig(
+            vocab_size=384,
+            n_layer=max(args.pp_size, int(12 * s) // args.pp_size
+                        * args.pp_size),
+            n_head=8, n_kv_head=4,
+            n_embd=max(128, int(768 * s) // 128 * 128),
+            intermediate_size=max(256, int(2048 * s) // 128 * 128),
+            max_seq_len=1024)
+        b = 2 * args.pp_size
+        pparams = llama.init_llama_params(jax.random.PRNGKey(4), pcfg)
+        pparams = jax.device_put(
+            pparams, llama_pp.llama_pp_param_shardings(pp_mesh, pparams))
+        ppstate = jax.device_put(
+            llama.init_llama_pool_state(pcfg, batch=b),
+            llama_pp.llama_pp_state_shardings(pp_mesh))
+        pp_prefill = llama_pp.make_pp_prefill(pp_mesh, pcfg,
+                                              n_micro=args.pp_size)
+        pp_decode = llama_pp.make_pp_decode(pp_mesh, pcfg, block=16,
+                                            n_micro=args.pp_size)
+        toks0 = jnp.zeros((b, 16), jnp.int32)
+        valid0 = jnp.full((b,), 16, jnp.int32)
+        _, ppstate = pp_prefill(pparams, toks0, valid0, ppstate,
+                                jax.random.PRNGKey(5))
+        active = jnp.ones((b,), bool)
+        ph = {"st": ppstate}
+
+        def pp_once():
+            toks, ph["st"] = pp_decode(pparams, ph["st"], active,
+                                       jax.random.PRNGKey(6))
+            jax.block_until_ready(toks)
+
+        pp_s = _timed(pp_once, args.reps)
+        rows.append({"what": "llama_pp_pooled_decode_block",
+                     "pp": args.pp_size, "batch": b, "block": 16,
+                     "block_ms": round(pp_s * 1e3, 2),
+                     "tokens_per_s": round(16 * b / pp_s, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
     report = {"virtual": virtual, "n_devices": len(jax.devices()),
