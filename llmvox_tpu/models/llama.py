@@ -421,6 +421,64 @@ def _sample(logits: jnp.ndarray, rng: jax.Array, temperature: float,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Per-row sampling: every pooled row carries its OWN (temperature, top_k,
+# top_p), so one compiled program serves any mix of per-request configs —
+# no recompile per temperature, and greedy/sampled requests batch together.
+# The reference cannot do this at all: one generate() thread per request
+# with process-wide GenerationConfig (inference/llm_streaming.py:44-106).
+# ---------------------------------------------------------------------------
+
+
+def _filtered_logits_rows(logits: jnp.ndarray, t: jnp.ndarray,
+                          k: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Row-vectorized :func:`_filtered_logits`: ``logits`` (..., B, V),
+    ``t``/``k``/``p`` (B,).  Rows with t <= 0 are temperature-clamped to
+    a value so small the filtered distribution is exactly one-hot at the
+    argmax (greedy rows sample deterministically).  k <= 0 or k >= V
+    disables top-k for that row; p outside (0, 1) disables top-p —
+    matching the static path's skip conditions."""
+    v = logits.shape[-1]
+    t = jnp.maximum(t.astype(jnp.float32), 1e-6)
+    x = logits.astype(jnp.float32) / t[..., None]
+    kk = jnp.where((k > 0) & (k < v), k, v).astype(jnp.int32)
+    srt = jnp.sort(x, axis=-1)                                # ascending
+    kth = jnp.take_along_axis(
+        srt, (v - kk)[..., None], axis=-1)                    # (..., B, 1)
+    x = jnp.where(x < kth, -jnp.inf, x)
+    # nucleus on the already top-k-filtered rows (static-path order)
+    desc = srt[..., ::-1]
+    desc = jnp.where(jnp.arange(v) < kk[..., None], desc, -jnp.inf)
+    probs = jax.nn.softmax(desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < p[..., None]
+    cutoff = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1,
+                     keepdims=True)
+    cutoff = jnp.where(((p > 0.0) & (p < 1.0))[..., None], cutoff,
+                       -jnp.inf)
+    return jnp.where(x < cutoff, -jnp.inf, x)
+
+
+def _sample_rows(logits: jnp.ndarray, rng: jax.Array, t: jnp.ndarray,
+                 k: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Row-vectorized :func:`_sample`: greedy rows (t <= 0) take the
+    argmax exactly (their filtered distribution is one-hot, so the
+    categorical draw is deterministic — asserted directly here to keep
+    the guarantee independent of float behavior)."""
+    out = jax.random.categorical(
+        rng, _filtered_logits_rows(logits, t, k, p), axis=-1
+    ).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(t <= 0.0, greedy, out)
+
+
+def _sample_maybe_rows(logits, rng, temperature, top_k, top_p, rows):
+    """``rows`` (t, k, p) vectors override the static scalars when set."""
+    if rows is None:
+        return _sample(logits, rng, temperature, top_k, top_p)
+    return _sample_rows(logits, rng, *rows)
+
+
 @jax.jit
 def prefill(params: Dict, tokens: jnp.ndarray, state: LlamaDecodeState,
             cfg: LlamaConfig) -> Tuple[jnp.ndarray, LlamaDecodeState]:
@@ -630,7 +688,8 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
                   cfg: LlamaConfig, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 1.0,
                   prefix_k: Optional[jnp.ndarray] = None,
-                  prefix_v: Optional[jnp.ndarray] = None
+                  prefix_v: Optional[jnp.ndarray] = None,
+                  rows: Optional[Tuple] = None
                   ) -> Tuple[jnp.ndarray, LlamaPoolState]:
     """Prefill N mixed-length prompts into pool slots in ONE program.
 
@@ -673,7 +732,8 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
     valid_lens = jnp.asarray(valid_lens, jnp.int32)
     idx = (valid_lens - 1).reshape(-1, 1, 1)
     logits = jnp.take_along_axis(logits_all, idx, axis=1)[:, 0]
-    first = _sample(logits, rng, temperature, top_k, top_p)    # (N,)
+    first = _sample_maybe_rows(logits, rng, temperature, top_k, top_p,
+                               rows)                           # (N,)
 
     # scatter the prefilled rows into the pool state; OOB slot => dropped
     slot_ids = jnp.where(active, slots.astype(jnp.int32), cap)
@@ -697,7 +757,8 @@ def prefill_slots_continue(params: Dict, tokens: jnp.ndarray,
                            cfg: LlamaConfig, final: bool = True,
                            temperature: float = 0.0, top_k: int = 0,
                            top_p: float = 1.0,
-                           attn_len: Optional[int] = None
+                           attn_len: Optional[int] = None,
+                           rows: Optional[Tuple] = None
                            ) -> Tuple[jnp.ndarray, LlamaPoolState]:
     """Continue a CHUNKED prefill: process ``tokens`` (N, Tpad) whose rows
     extend prompts already cached in ``state`` — row n's slot holds
@@ -745,7 +806,8 @@ def prefill_slots_continue(params: Dict, tokens: jnp.ndarray,
         logits_all = ops.linear(x, _head(params))
         idx = (valid_lens - 1).reshape(-1, 1, 1)
         logits = jnp.take_along_axis(logits_all, idx, axis=1)[:, 0]
-        first = _sample(logits, rng, temperature, top_k, top_p)
+        first = _sample_maybe_rows(logits, rng, temperature, top_k,
+                                   top_p, rows)
         tok = state.tok.at[slot_ids].set(first, mode="drop")
     else:
         first = jnp.zeros((n,), jnp.int32)
@@ -762,7 +824,8 @@ def decode_block_pooled(params: Dict, state: LlamaPoolState,
                         cfg: LlamaConfig, block: int = 16,
                         temperature: float = 0.0, top_k: int = 0,
                         top_p: float = 1.0,
-                        attn_len: Optional[int] = None
+                        attn_len: Optional[int] = None,
+                        rows: Optional[Tuple] = None
                         ) -> Tuple[jnp.ndarray, LlamaPoolState]:
     """Advance every ACTIVE row ``block`` tokens in one device program.
 
@@ -785,7 +848,8 @@ def decode_block_pooled(params: Dict, state: LlamaPoolState,
         x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
         logits = ops.linear(x, _head(params))
         rng, sub = jax.random.split(rng)
-        nxt = _sample(logits, sub, temperature, top_k, top_p)
+        nxt = _sample_maybe_rows(logits, sub, temperature, top_k, top_p,
+                                 rows)
         nxt = jnp.where(active, nxt, tok)
         pos = pos + active.astype(jnp.int32)
         return (nxt, k, v, pos, rng), nxt
@@ -820,7 +884,8 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
                              draft_tokens: Optional[jnp.ndarray] = None,
                              rng: Optional[jax.Array] = None,
                              temperature: float = 0.0, top_k: int = 0,
-                             top_p: float = 1.0
+                             top_p: float = 1.0,
+                             rows: Optional[Tuple] = None
                              ) -> Tuple[jnp.ndarray, LlamaPoolState,
                                         jnp.ndarray]:
     """Speculative :func:`decode_block_pooled`: B pooled rows advance
@@ -881,7 +946,12 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
     bsz = state.pos.shape[0]
     active = active.astype(jnp.bool_)
     limits = jnp.where(active, jnp.int32(block), jnp.int32(0))
-    sampling = temperature > 0.0
+    # per-row params always take the sampled (rejection) structure: rows
+    # with t <= 0 reduce to exact greedy inside it (their filtered
+    # distributions are one-hot, and the acceptance/correction for those
+    # rows is overridden with the argmax test outright so float ties
+    # cannot blur the guarantee)
+    sampling = temperature > 0.0 or rows is not None
     if sampling and rng is None:
         raise ValueError("sampled speculative decode needs rng")
     if rng is None:
@@ -904,7 +974,9 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
         x, (k1, v1) = _scan_layers_rows(params, tok[:, None], k, v, pos,
                                         cfg, attn_len)
         hidden, logits = _hidden_logits(params, x[:, -1], cfg)
-        if sampling:
+        if rows is not None:
+            token1 = _sample_rows(logits, k_tok1, *rows)
+        elif sampling:
             token1 = _sample(logits, k_tok1, temperature, top_k, top_p)
         else:
             token1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -920,7 +992,13 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
             dlogits = jnp.einsum(
                 "bc,kcv->bkv", hidden.astype(jnp.float32),
                 params["draft_heads"][:kd].astype(jnp.float32))  # (B,kd,V)
-            if sampling:
+            if rows is not None:
+                qf = _filtered_logits_rows(
+                    dlogits, rows[0][:, None], rows[1][:, None],
+                    rows[2][:, None])
+                d = jax.random.categorical(k_d, qf,
+                                           axis=-1).astype(jnp.int32)
+            elif sampling:
                 qf = _filtered_logits(dlogits, temperature, top_k, top_p)
                 d = jax.random.categorical(k_d, qf,
                                            axis=-1).astype(jnp.int32)
@@ -935,7 +1013,12 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
 
         if sampling:
             # ---- rejection-sampling acceptance (distribution-exact) -----
-            pf = _filtered_logits(vlogits, temperature, top_k, top_p)
+            if rows is not None:
+                pf = _filtered_logits_rows(
+                    vlogits, rows[0][:, None], rows[1][:, None],
+                    rows[2][:, None])
+            else:
+                pf = _filtered_logits(vlogits, temperature, top_k, top_p)
             pp = jax.nn.softmax(pf, axis=-1)                     # target
             if qf is None:
                 qp = jax.nn.one_hot(d, pp.shape[-1],
@@ -955,6 +1038,13 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
                 k_corr, jnp.log(jnp.maximum(resid, 1e-30)),
                 axis=-1).astype(jnp.int32)
             vals = jnp.where(accept, d, corr)                    # (B, kd)
+            if rows is not None:
+                # greedy rows: exact argmax acceptance, independent of
+                # one-hot float behavior
+                g = (rows[0] <= 0.0)[:, None]
+                a_greedy = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)
+                accept = jnp.where(g, d == a_greedy, accept)
+                vals = jnp.where(g, a_greedy, vals)
         else:
             a = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)   # (B, kd)
             accept = d == a

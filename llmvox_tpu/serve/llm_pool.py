@@ -71,7 +71,8 @@ class LLMPool:
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  seed: int = 0, pipeline_depth: int = 2,
                  spec_k: int = 0, prefill_merge: bool = True,
-                 chunked_prefill: bool = True):
+                 chunked_prefill: bool = True,
+                 per_request_sampling: bool = False):
         self.cfg = cfg
         self.B = capacity
         self.block = block
@@ -79,6 +80,17 @@ class LLMPool:
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
+        # Per-request sampling: every pooled program takes per-ROW
+        # (temperature, top_k, top_p) vectors (models/llama.py rows=),
+        # so one compiled program serves any mix of request configs —
+        # greedy rows stay exact, sampled rows stay distribution-exact,
+        # and changing a knob never recompiles.  Costs a per-step sort
+        # for the filtering even when every row is greedy, so it is
+        # opt-in (--llm_per_request_sampling).
+        self.per_request = bool(per_request_sampling)
+        self._samp = np.tile(np.asarray(
+            [temperature, float(top_k), top_p], np.float32),
+            (capacity, 1))
         # speculative decode (models/llama.py::decode_block_spec_pooled):
         # needs trained draft heads in the checkpoint — silently fall back
         # to the normal pooled block otherwise.  Greedy mode commits the
@@ -269,6 +281,34 @@ class LLMPool:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def set_sampling(self, idx: int, temperature: Optional[float] = None,
+                     top_k: Optional[int] = None,
+                     top_p: Optional[float] = None) -> None:
+        """Per-request sampling knobs for slot ``idx`` (None keeps the
+        pool default for that knob).  No-op unless the pool was built
+        with ``per_request_sampling``."""
+        self._samp[idx] = [
+            self.temperature if temperature is None else float(temperature),
+            float(self.top_k if top_k is None else int(top_k)),
+            self.top_p if top_p is None else float(top_p)]
+
+    def _rows_for(self, slot_ids) -> Optional[Tuple]:
+        """(t, k, p) device vectors for prefill rows that land in
+        ``slot_ids`` (padding rows read slot 0's knobs — their sampled
+        token is dropped by the scatter anyway)."""
+        if not self.per_request:
+            return None
+        s = self._samp[np.asarray(slot_ids, np.int64) % self.B]
+        return (jnp.asarray(s[:, 0]), jnp.asarray(s[:, 1], jnp.int32),
+                jnp.asarray(s[:, 2]))
+
+    def _rows_all(self) -> Optional[Tuple]:
+        if not self.per_request:
+            return None
+        return (jnp.asarray(self._samp[:, 0]),
+                jnp.asarray(self._samp[:, 1], jnp.int32),
+                jnp.asarray(self._samp[:, 2]))
+
     # -- device programs ------------------------------------------------
     def _run_prefills(self, reqs: List[_PrefillReq]
                       ) -> List[Tuple[jnp.ndarray, List[_PrefillReq]]]:
@@ -340,7 +380,8 @@ class LLMPool:
                     temperature=self.temperature, top_k=self.top_k,
                     top_p=self.top_p,
                     prefix_k=self._prefix_k if pfx else None,
-                    prefix_v=self._prefix_v if pfx else None)
+                    prefix_v=self._prefix_v if pfx else None,
+                    rows=self._rows_for(slot_ids))
                 self.prefill_calls += 1
                 for r in part:
                     self._ub[r.slot] = plen + len(r.ids)
@@ -372,7 +413,8 @@ class LLMPool:
             self._next_key(), self.cfg, temperature=self.temperature,
             top_k=self.top_k, top_p=self.top_p,
             prefix_k=self._prefix_k if pfx else None,
-            prefix_v=self._prefix_v if pfx else None)
+            prefix_v=self._prefix_v if pfx else None,
+            rows=self._rows_for([r.slot]))
         self.prefill_calls += 1
         pos = plen + r0
         rest = ids[r0:]
@@ -386,7 +428,8 @@ class LLMPool:
                 jnp.asarray([pos], jnp.int32), self._next_key(),
                 self.cfg, final=not rest, temperature=self.temperature,
                 top_k=self.top_k, top_p=self.top_p,
-                attn_len=self._attn_bucket(pos + cw))
+                attn_len=self._attn_bucket(pos + cw),
+                rows=self._rows_for([r.slot]))
             self.prefill_calls += 1
             pos += cw
         self._ub[r.slot] = pos
@@ -432,13 +475,14 @@ class LLMPool:
                         self.cfg, block=self.block, k_draft=self.spec_k,
                         attn_len=attn, rng=self._next_key(),
                         temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p)
+                        top_p=self.top_p, rows=self._rows_all())
                 else:
                     toks, self.state = llama.decode_block_pooled(
                         self.params, self.state, jnp.asarray(active),
                         self._next_key(), self.cfg, block=self.block,
                         temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p, attn_len=attn)
+                        top_p=self.top_p, attn_len=attn,
+                        rows=self._rows_all())
                 self.steps += 1
         except BaseException as exc:
             # futures already popped here would otherwise hang their
@@ -589,6 +633,7 @@ class LLMPool:
             "spec_k": self.spec_k if self.use_spec else 0,
             "prefix_cached": self._prefix_ids is not None,
             "chunked_prefill": self.chunked_prefill,
+            "per_request_sampling": self.per_request,
         }
 
     # -- warmup ---------------------------------------------------------
@@ -619,7 +664,8 @@ class LLMPool:
                         self.cfg, temperature=self.temperature,
                         top_k=self.top_k, top_p=self.top_p,
                         prefix_k=self._prefix_k if pfx else None,
-                        prefix_v=self._prefix_v if pfx else None)
+                        prefix_v=self._prefix_v if pfx else None,
+                        rows=self._rows_for(np.zeros(npad, np.int64)))
                     np.asarray(first)
             if self.chunked_prefill and self._ctx_cap() > self.buckets[-1]:
                 # long-prompt continuation chunks (always full cw wide;
@@ -638,7 +684,7 @@ class LLMPool:
                             self.cfg, final=fin,
                             temperature=self.temperature,
                             top_k=self.top_k, top_p=self.top_p,
-                            attn_len=attn)
+                            attn_len=attn, rows=self._rows_for([0]))
                         np.asarray(first)
             for attn in self.attn_buckets:
                 if self.use_spec:
@@ -647,24 +693,33 @@ class LLMPool:
                         block=self.block, k_draft=self.spec_k,
                         attn_len=attn, rng=self._next_key(),
                         temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p)
+                        top_p=self.top_p, rows=self._rows_all())
                 else:
                     toks, self.state = llama.decode_block_pooled(
                         self.params, self.state, inactive, self._next_key(),
                         self.cfg, block=self.block,
                         temperature=self.temperature,
-                        top_k=self.top_k, top_p=self.top_p, attn_len=attn)
+                        top_k=self.top_k, top_p=self.top_p, attn_len=attn,
+                        rows=self._rows_all())
                 np.asarray(toks)
 
     # -- streaming generation -------------------------------------------
     async def generate(self, ids: List[int],
-                       max_tokens: int = 512) -> AsyncIterator[List[int]]:
+                       max_tokens: int = 512,
+                       sampling: Optional[Dict] = None
+                       ) -> AsyncIterator[List[int]]:
         """Async generator: acquire a slot, prefill, then yield token
         lists per block ([first], block, block, ...) until the consumer
         stops iterating or the budget/context runs out.  EOS is the
-        consumer's business (host-side, like the B=1 path)."""
+        consumer's business (host-side, like the B=1 path).
+
+        ``sampling``: optional per-request {"temperature", "top_k",
+        "top_p"} overrides (pool must be built with
+        ``per_request_sampling``; silently ignored otherwise)."""
         self.start()
         idx = await self.acquire()
+        if self.per_request:
+            self.set_sampling(idx, **(sampling or {}))
         try:
             _, _, cached = self._plan(list(ids))
             first_fut = self.submit_prefill(idx, ids)

@@ -63,14 +63,19 @@ class TTSServer:
     def _make_text_stream(self, path: str, body: Dict):
         cfg = self.cfg
         system = cfg.system_prompt
+        # per-request LLM sampling knobs ride along in the request dict
+        # (honored by the pooled JAX backend when
+        # --llm_per_request_sampling is on; other backends ignore them)
+        knobs = {k: body[k] for k in ("temperature", "top_p", "top_k")
+                 if k in body}
         if path == "/tts":
             prompt = body["text"]
             return self.stream_model.predict(
-                {"system": system, "prompt": prompt})
+                {"system": system, "prompt": prompt, **knobs})
         if path == "/voicechat":
             prompt = self.asr_model.run_asr(body)
             return self.stream_model.predict(
-                {"system": system, "prompt": prompt})
+                {"system": system, "prompt": prompt, **knobs})
         if path == "/multimodalchat":
             return self.stream_model.predict(
                 {"system": system, "audio_data": body["audio_base64"],

@@ -251,7 +251,17 @@ class PooledJAXStreamModel:
             ids = build_prompt_ids(self.tokenizer, request)
             out: List[int] = []
             emitted = ""
-            gen = self.pool.generate(ids, max_tokens=self.max_tokens)
+            # per-request sampling knobs (honored when the pool was
+            # built with per_request_sampling; ignored otherwise)
+            sampling = {}
+            if "temperature" in request:
+                sampling["temperature"] = float(request["temperature"])
+            if "top_p" in request:
+                sampling["top_p"] = float(request["top_p"])
+            if "top_k" in request:
+                sampling["top_k"] = int(request["top_k"])
+            gen = self.pool.generate(ids, max_tokens=self.max_tokens,
+                                     sampling=sampling or None)
             try:
                 async for toks in gen:
                     done = False
@@ -340,7 +350,9 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
                        prefill_merge=getattr(cfg, 'llm_prefill_merge',
                                              True),
                        chunked_prefill=getattr(cfg, 'llm_chunked_prefill',
-                                               True))
+                                               True),
+                       per_request_sampling=getattr(
+                           cfg, 'llm_per_request_sampling', False))
         model = PooledJAXStreamModel(pool, tokenizer,
                                      max_tokens=cfg.llm_max_tokens,
                                      eos_text=cfg.eos_token)

@@ -201,6 +201,12 @@ class ServeConfig:
     # top-p filtering).  Either way the output law is unchanged — this
     # only reduces sequential forwards per block.
     llm_spec_k: int = 0
+    # Per-request sampling in the LLM pool: every pooled program takes
+    # per-row (temperature, top_k, top_p) vectors, so each request can
+    # carry its own knobs in the POST body (greedy rows exact, sampled
+    # rows distribution-exact, no recompile per config).  Opt-in: the
+    # row filter costs a per-step sort even when all rows are greedy.
+    llm_per_request_sampling: bool = False
     # Pin the system prompt's KV in the LLM pool (LLMPool.set_prefix):
     # every voice-chat request repeats the same preamble, so its prefill
     # is computed once and scattered into each slot; requests that don't

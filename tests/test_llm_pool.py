@@ -1002,3 +1002,74 @@ def test_pool_warmup_compiles_chunk_programs(params):
     assert got[:9] == _b1_greedy(params, ids, 9)
     # 40 = ragged 8 + one 32-chunk: exactly two prefill programs
     assert pool.prefill_calls == 2
+
+
+def test_pool_per_request_sampling_mixed(params):
+    """per_request_sampling: one pool serves a greedy request and a
+    sampled request CONCURRENTLY from the same compiled programs — the
+    greedy request reproduces the B=1 greedy chain exactly, the sampled
+    request's override actually takes effect (it diverges from greedy
+    over repeated attempts), and stats report the mode."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=4, block=4,
+                   prefill_buckets=(8, 16, 32),
+                   per_request_sampling=True)
+    assert pool.stats()["per_request_sampling"] is True
+
+    async def one(ids, sampling):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=13,
+                                        sampling=sampling):
+            out.extend(toks)
+        return out
+
+    async def go():
+        res = await asyncio.gather(
+            one(PROMPTS[0], {"temperature": 0.0}),
+            one(PROMPTS[1], {"temperature": 1.3, "top_p": 0.95}),
+            one(PROMPTS[2], None),          # pool default (greedy)
+        )
+        return res
+
+    g0, s1, g2 = _run_pool(go())
+    assert g0[:13] == _b1_greedy(params, PROMPTS[0], 13)
+    assert g2[:13] == _b1_greedy(params, PROMPTS[2], 13)
+
+    # the sampled request draws from the filtered distribution: over a
+    # few runs with fresh rng it must diverge from the greedy chain
+    greedy1 = _b1_greedy(params, PROMPTS[1], 13)
+    diverged = s1[:13] != greedy1
+    for _ in range(4):
+        if diverged:
+            break
+        nxt = _run_pool(one(PROMPTS[1], {"temperature": 1.3,
+                                         "top_p": 0.95}))
+        diverged = nxt[:13] != greedy1
+    pool.stop()
+    assert diverged, "temperature override never changed the output"
+
+
+def test_pool_per_request_sampling_slot_reuse_resets(params):
+    """A slot reused after a sampled request goes back to the new
+    request's (default greedy) knobs — no sampling-state leakage."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=1, block=4,
+                   prefill_buckets=(8, 16),
+                   per_request_sampling=True)
+
+    async def one(ids, sampling):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=9,
+                                        sampling=sampling):
+            out.extend(toks)
+        return out
+
+    async def go():
+        await one(PROMPTS[0], {"temperature": 1.5})
+        return await one(PROMPTS[3], None)
+
+    got = _run_pool(go())
+    pool.stop()
+    assert got[:9] == _b1_greedy(params, PROMPTS[3], 9)
