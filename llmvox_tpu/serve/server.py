@@ -66,7 +66,8 @@ class TTSServer:
         # per-request LLM sampling knobs ride along in the request dict
         # (honored by the pooled JAX backend when
         # --llm_per_request_sampling is on; other backends ignore them)
-        knobs = {k: body[k] for k in ("temperature", "top_p", "top_k")
+        knobs = {k: body[k]
+                 for k in ("temperature", "top_p", "top_k", "max_tokens")
                  if k in body}
         if path == "/tts":
             prompt = body["text"]

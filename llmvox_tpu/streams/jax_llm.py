@@ -260,7 +260,10 @@ class PooledJAXStreamModel:
                 sampling["top_p"] = float(request["top_p"])
             if "top_k" in request:
                 sampling["top_k"] = int(request["top_k"])
-            gen = self.pool.generate(ids, max_tokens=self.max_tokens,
+            max_toks = min(int(request.get("max_tokens",
+                                           self.max_tokens)),
+                           self.max_tokens)
+            gen = self.pool.generate(ids, max_tokens=max_toks,
                                      sampling=sampling or None)
             try:
                 async for toks in gen:
