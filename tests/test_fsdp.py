@@ -100,3 +100,38 @@ def test_fsdp_training_reduces_loss(tmp_path):
     batches = _fake_batches(TINY, 8, rng)
     losses = [tr.step(*next(batches)) for _ in range(30)]
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_fsdp_composes_with_tp_and_sp(tmp_path):
+    """The full composition on one 8-device mesh — dp=2 x sp=2 x tp=2
+    with FSDP sharding params+moments over dp and tp taking the other
+    matrix dim (ZeRO-3 + Megatron + ring attention in one train step):
+    loss equals the replicated trainer's and training proceeds."""
+    tcfg = TrainConfig(batch_size=8, gradient_accumulation_steps=1,
+                       learning_rate=1e-3, warmup_iters=2,
+                       lr_decay_iters=50, min_lr=1e-5, eval_interval=1000,
+                       out_dir=str(tmp_path), dp_size=2, tp_size=2,
+                       sp_size=2, fsdp=True)
+    rng = np.random.default_rng(1)      # same tables as _trainer()
+    table = rng.standard_normal(
+        (TINY.text_vocab_size, TINY.text_embed_dim)).astype(np.float32)
+    codebook = rng.standard_normal(
+        (max(TINY.vocab_size, TINY.eoa_token_id + 1),
+         TINY.speech_embed_dim)).astype(np.float32)
+    tr = Trainer(tcfg, TINY, table, codebook, compute_dtype=jnp.float32)
+    # params shard BOTH dims: dp on one matrix axis, tp on the other
+    w = tr.state.params["h"]["wqkv"]
+    spec = tuple(w.sharding.spec)
+    assert DP_AXIS in spec and "tp" in spec
+    shard = w.addressable_shards[0].data.shape
+    assert shard[1] * 2 == w.shape[1] and shard[2] * 2 == w.shape[2]
+
+    t_rep = _trainer(str(tmp_path / "rep"), fsdp=False)
+    batch = next(_fake_batches(TINY, 8, np.random.default_rng(12)))
+    l_rep = t_rep.estimate_loss(iter([batch]), 1)
+    l_mix = tr.estimate_loss(iter([batch]), 1)
+    assert abs(l_rep - l_mix) < 1e-4
+    losses = [tr.step(*next(_fake_batches(TINY, 8,
+                                          np.random.default_rng(13))))
+              for _ in range(3)]
+    assert all(np.isfinite(losses))
