@@ -31,6 +31,7 @@ from jax import lax
 
 from llmvox_tpu.ops import nn as ops
 from llmvox_tpu.ops.attention import causal_attention_auto
+from llmvox_tpu.ops.moe import moe_ffn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,14 @@ class LlamaConfig:
     rope_original_max_position: int = 8192
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
+    # mixture-of-experts FFN (ops/moe.py): n_experts > 0 replaces the dense
+    # SwiGLU with top-k routed experts (GShard static-capacity dispatch,
+    # expert axis shardable over the "ep" mesh axis).  Beyond-reference:
+    # the reference's LLM is dense (inference/llm_streaming.py:30-45).
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 2.0
+    moe_aux_weight: float = 0.01
     # speculative decoding: Medusa/MTP-style draft heads — head j predicts
     # the token at t+2+j from position t's final (post-norm) hidden state.
     # Each head is a full (n_embd, vocab) projection, so its weight
@@ -83,7 +92,7 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
     """Random params in the converted-checkpoint layout (HF init: N(0, 0.02),
     RMSNorm scales 1)."""
     hd, kvd = cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-    ks = iter(jax.random.split(key, 10))
+    ks = iter(jax.random.split(key, 12))
 
     def norm(k, shape):
         return 0.02 * jax.random.normal(k, shape, jnp.float32)
@@ -91,6 +100,23 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
     def stack(k, shape):
         return norm(k, (cfg.n_layer,) + shape)
 
+    if cfg.n_experts:
+        mlp = {
+            "router": stack(next(ks), (cfg.n_embd, cfg.n_experts)),
+            "moe_wgate": stack(next(ks), (cfg.n_experts, cfg.n_embd,
+                                          cfg.intermediate_size)),
+            "moe_wup": stack(next(ks), (cfg.n_experts, cfg.n_embd,
+                                        cfg.intermediate_size)),
+            "moe_wdown": stack(next(ks), (cfg.n_experts,
+                                          cfg.intermediate_size,
+                                          cfg.n_embd)),
+        }
+    else:
+        mlp = {
+            "wgate": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
+            "wup": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
+            "wdown": stack(next(ks), (cfg.intermediate_size, cfg.n_embd)),
+        }
     params = {
         "tok_emb": norm(next(ks), (cfg.vocab_size, cfg.n_embd)),
         "h": {
@@ -100,9 +126,7 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
             "wv": stack(next(ks), (cfg.n_embd, kvd)),
             "wo": stack(next(ks), (cfg.n_head * hd, cfg.n_embd)),
             "ln2_s": jnp.ones((cfg.n_layer, cfg.n_embd)),
-            "wgate": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
-            "wup": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
-            "wdown": stack(next(ks), (cfg.intermediate_size, cfg.n_embd)),
+            **mlp,
         },
         "lnf_s": jnp.ones((cfg.n_embd,)),
     }
@@ -222,12 +246,31 @@ def _gqa_cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     return att.reshape(b, t, h, hd)
 
 
+def _mlp(lp: Dict, h: jnp.ndarray, cfg: LlamaConfig
+         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The FFN half of a layer: dense SwiGLU, or top-k routed experts when
+    ``cfg.n_experts > 0`` (ops/moe.py).  Returns ``(out, aux)`` — aux is
+    the load-balancing loss term (0 for the dense path); decode paths
+    drop it, :func:`llama_loss` accumulates it."""
+    if cfg.n_experts:
+        return moe_ffn(h, lp["router"], lp["moe_wgate"], lp["moe_wup"],
+                       lp["moe_wdown"], cfg.moe_top_k,
+                       cfg.moe_capacity_factor)
+    gate = ops.linear(h, lp["wgate"])
+    up = ops.linear(h, lp["wup"])
+    out = ops.linear(jax.nn.silu(gate.astype(jnp.float32)
+                                 ).astype(up.dtype) * up, lp["wdown"])
+    return out, jnp.float32(0.0)
+
+
 def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
                 positions: Optional[jnp.ndarray] = None,
-                return_hidden: bool = False):
+                return_hidden: bool = False,
+                return_moe_aux: bool = False):
     """Teacher-forced forward: (B, T) int32 -> (B, T, V) logits.
     ``return_hidden=True`` also returns the post-final-norm hidden states
-    (the draft heads' input)."""
+    (the draft heads' input); ``return_moe_aux=True`` appends the mean
+    per-layer MoE load-balancing loss (0 for dense configs)."""
     b, t = tokens.shape
     hd = cfg.head_dim
     if positions is None:
@@ -245,21 +288,22 @@ def apply_llama(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
             q, _repeat_kv(k, cfg.q_per_kv), _repeat_kv(v, cfg.q_per_kv))
         x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
         h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
-        gate = ops.linear(h, lp["wgate"])
-        up = ops.linear(h, lp["wup"])
-        x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
-                                       ).astype(up.dtype) * up, lp["wdown"])
-        return x, None
+        y, aux = _mlp(lp, h, cfg)
+        x = x + y
+        return x, aux
 
-    x, _ = lax.scan(block, x, params["h"])
+    x, auxs = lax.scan(block, x, params["h"])
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
     head = params.get("head")
     if head is None:
         head = params["tok_emb"].T
     logits = ops.linear(x, head)
+    out = (logits,)
     if return_hidden:
-        return logits, x
-    return logits
+        out = out + (x,)
+    if return_moe_aux:
+        out = out + (jnp.mean(auxs),)
+    return out if len(out) > 1 else logits
 
 
 def _ce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -275,13 +319,27 @@ def llama_loss(params: Dict, tokens: jnp.ndarray, cfg: LlamaConfig,
     multi-token-prediction aux losses: draft head j predicts tokens[t+2+j]
     from the same hidden state — the shift convention
     ``decode_block_spec_pooled`` consumes (mirrors
-    models/decoder.py::decoder_loss for the speech decoder)."""
+    models/decoder.py::decoder_loss for the speech decoder).
+
+    MoE configs (``cfg.n_experts > 0``) add the load-balancing aux loss
+    (mean over layers, weight ``cfg.moe_aux_weight``) — without it top-k
+    routing collapses onto a few experts and capacity drops explode."""
+    moe = jnp.float32(0.0)
     if "draft_heads" not in params:
-        logits = apply_llama(params, tokens[:, :-1], cfg)
-        return _ce(logits, tokens[:, 1:])
-    logits, hidden = apply_llama(params, tokens[:, :-1], cfg,
-                                 return_hidden=True)
-    loss = _ce(logits, tokens[:, 1:])
+        if cfg.n_experts:
+            logits, moe = apply_llama(params, tokens[:, :-1], cfg,
+                                      return_moe_aux=True)
+        else:
+            logits = apply_llama(params, tokens[:, :-1], cfg)
+        return _ce(logits, tokens[:, 1:]) + cfg.moe_aux_weight * moe
+    if cfg.n_experts:
+        logits, hidden, moe = apply_llama(params, tokens[:, :-1], cfg,
+                                          return_hidden=True,
+                                          return_moe_aux=True)
+    else:
+        logits, hidden = apply_llama(params, tokens[:, :-1], cfg,
+                                     return_hidden=True)
+    loss = _ce(logits, tokens[:, 1:]) + cfg.moe_aux_weight * moe
     n_heads = params["draft_heads"].shape[0]
     aux = 0.0
     for j in range(n_heads):
@@ -343,10 +401,8 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
     att = _gqa_cache_attention(q, ka, va, valid, cfg)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
-    gate = ops.linear(h, lp["wgate"])
-    up = ops.linear(h, lp["wup"])
-    x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
-                                   ).astype(up.dtype) * up, lp["wdown"])
+    y, _ = _mlp(lp, h, cfg)
+    x = x + y
     return x, k_cache, v_cache
 
 
@@ -640,10 +696,8 @@ def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
     att = _gqa_cache_attention(q, ka, va, valid, cfg).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
-    gate = ops.linear(h, lp["wgate"])
-    up = ops.linear(h, lp["wup"])
-    x = x + ops.linear(jax.nn.silu(gate.astype(jnp.float32)
-                                   ).astype(up.dtype) * up, lp["wdown"])
+    y, _ = _mlp(lp, h, cfg)
+    x = x + y
     return x, k_cache, v_cache
 
 

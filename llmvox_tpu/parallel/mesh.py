@@ -19,6 +19,7 @@ from jax.sharding import Mesh
 
 DP_AXIS = "dp"
 SP_AXIS = "sp"
+EP_AXIS = "ep"
 TP_AXIS = "tp"
 
 
@@ -41,25 +42,30 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
 
 def create_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
+                ep_size: int = 1,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, sp, tp) mesh. ``dp_size=-1`` means all remaining
+    """Build a (dp, sp, ep, tp) mesh. ``dp_size=-1`` means all remaining
     devices.  Axes are NAMED, so shardings written against any subset
     (P("dp"), P(None, "tp"), ...) are untouched by the extra size-1 axes.
 
     Mesh-axis order puts ``tp`` innermost (its per-matmul all-reduces are
-    the chattiest) with ``sp`` next (one K/V ppermute per layer per ring
-    step — neighbor traffic that wants adjacent ICI links too).
+    the chattiest) with ``ep`` next (the MoE dispatch/combine all-to-alls
+    move one token row per route — heavy but less frequent than tp's
+    per-matmul reductions) and ``sp`` outside that (one K/V ppermute per
+    layer per ring step — neighbor traffic that wants adjacent ICI links).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp_size == -1:
-        assert n % (tp_size * sp_size) == 0, (
-            f"{n} devices not divisible by tp*sp={tp_size * sp_size}")
-        dp_size = n // (tp_size * sp_size)
-    need = dp_size * sp_size * tp_size
+        assert n % (tp_size * sp_size * ep_size) == 0, (
+            f"{n} devices not divisible by tp*sp*ep="
+            f"{tp_size * sp_size * ep_size}")
+        dp_size = n // (tp_size * sp_size * ep_size)
+    need = dp_size * sp_size * ep_size * tp_size
     assert need <= n, f"need {need} devices, have {n}"
-    grid = np.asarray(devices[:need]).reshape(dp_size, sp_size, tp_size)
-    return Mesh(grid, (DP_AXIS, SP_AXIS, TP_AXIS))
+    grid = np.asarray(devices[:need]).reshape(dp_size, sp_size, ep_size,
+                                              tp_size)
+    return Mesh(grid, (DP_AXIS, SP_AXIS, EP_AXIS, TP_AXIS))
 
 
 def is_master() -> bool:

@@ -139,10 +139,12 @@ def llama_param_shardings(mesh: Mesh, params: Dict) -> Dict:
     gate and up column-parallel (output dim over tp), o and down
     row-parallel (input dim over tp); embeddings / norms / head
     replicated.  GQA divides cleanly when n_kv_head % tp == 0."""
+    from llmvox_tpu.parallel.mesh import EP_AXIS
     specs = {
         "tok_emb": P(),
         "lnf_s": P(),
         "head": P(),
+        "draft_heads": P(),
         "h": {
             "ln1_s": P(), "ln2_s": P(),
             "wq": P(None, None, TP_AXIS),
@@ -152,6 +154,14 @@ def llama_param_shardings(mesh: Mesh, params: Dict) -> Dict:
             "wgate": P(None, None, TP_AXIS),
             "wup": P(None, None, TP_AXIS),
             "wdown": P(None, TP_AXIS, None),
+            # MoE (ops/moe.py): expert axis over ep — per-chip FFN
+            # parameter memory drops by the ep size and GSPMD turns the
+            # dispatch/combine einsums into all-to-alls; tp keeps the
+            # Megatron split of each expert's hidden dim.
+            "router": P(),
+            "moe_wgate": P(None, EP_AXIS, None, TP_AXIS),
+            "moe_wup": P(None, EP_AXIS, None, TP_AXIS),
+            "moe_wdown": P(None, EP_AXIS, TP_AXIS, None),
         },
     }
 

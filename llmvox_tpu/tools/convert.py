@@ -341,14 +341,49 @@ def convert_lm_state_dict(sd: Mapping, n_q: int, num_layers: int = 5) -> Dict:
 # ---------------------------------------------------------------------------
 
 def convert_llama_state_dict(sd: Mapping, num_layers: int) -> Dict:
-    """HF ``LlamaForCausalLM`` state dict -> ``models/llama.py`` params
-    (stacked-layer layout, Linear weights transposed to (Cin, Cout))."""
+    """HF ``LlamaForCausalLM`` — or ``MixtralForCausalLM`` — state dict
+    -> ``models/llama.py`` params (stacked-layer layout, Linear weights
+    transposed to (Cin, Cout)).
+
+    Mixtral checkpoints are detected by their ``block_sparse_moe`` keys
+    and map onto the MoE FFN (ops/moe.py): ``gate`` -> router, expert
+    ``w1``/``w3``/``w2`` -> moe_wgate/moe_wup/moe_wdown (HF names the
+    SwiGLU projections w1=gate, w3=up, w2=down).  Mixtral's routing
+    convention (softmax over the top-k selected logits) is exactly
+    ``moe_ffn``'s; set ``LlamaConfig.n_experts`` / ``moe_top_k`` from
+    the HF config's ``num_local_experts`` / ``num_experts_per_tok``.
+    """
     sd = strip_prefix(dict(sd))
 
     def stack(fmt: str, f=_lin_w):
         return np.stack([f(sd[fmt.format(i)]) for i in range(num_layers)])
 
     t = "model.layers.{}."
+    moe = (t.format(0) + "block_sparse_moe.gate.weight") in sd
+    if moe:
+        n_exp = sum(1 for k in sd
+                    if k.startswith(t.format(0) + "block_sparse_moe.experts.")
+                    and k.endswith(".w1.weight"))
+        e = t + "block_sparse_moe.experts.{}."
+
+        def estack(wname: str):
+            return np.stack([
+                np.stack([_lin_w(sd[e.format(i, j) + wname])
+                          for j in range(n_exp)])
+                for i in range(num_layers)])
+
+        mlp = {
+            "router": stack(t + "block_sparse_moe.gate.weight"),
+            "moe_wgate": estack("w1.weight"),
+            "moe_wup": estack("w3.weight"),
+            "moe_wdown": estack("w2.weight"),
+        }
+    else:
+        mlp = {
+            "wgate": stack(t + "mlp.gate_proj.weight"),
+            "wup": stack(t + "mlp.up_proj.weight"),
+            "wdown": stack(t + "mlp.down_proj.weight"),
+        }
     params = {
         "tok_emb": _np(sd["model.embed_tokens.weight"]),
         "h": {
@@ -358,9 +393,7 @@ def convert_llama_state_dict(sd: Mapping, num_layers: int) -> Dict:
             "wv": stack(t + "self_attn.v_proj.weight"),
             "wo": stack(t + "self_attn.o_proj.weight"),
             "ln2_s": stack(t + "post_attention_layernorm.weight", _np),
-            "wgate": stack(t + "mlp.gate_proj.weight"),
-            "wup": stack(t + "mlp.up_proj.weight"),
-            "wdown": stack(t + "mlp.down_proj.weight"),
+            **mlp,
         },
         "lnf_s": _np(sd["model.norm.weight"]),
     }

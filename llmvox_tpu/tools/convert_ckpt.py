@@ -54,6 +54,15 @@ def main(argv=None) -> None:
             "tie_embeddings": bool(getattr(hf_cfg, "tie_word_embeddings",
                                            False)),
         }
+        # Mixtral-family MoE: wire the expert count / top-k into the
+        # serving config so the converted checkpoint routes through the
+        # MoE FFN (ops/moe.py) — detected the same way the state-dict
+        # converter detects it
+        if getattr(hf_cfg, "num_local_experts", 0):
+            margs.update({
+                "n_experts": int(hf_cfg.num_local_experts),
+                "moe_top_k": int(hf_cfg.num_experts_per_tok),
+            })
         # Llama 3.1/3.2 rope_scaling: without this the rotary frequencies
         # are wrong at every position (models/llama.py::_inv_freq)
         rs = getattr(hf_cfg, "rope_scaling", None)
