@@ -70,6 +70,9 @@ def run(argv=None, virtual: bool = False) -> None:
     parser.add_argument("--pp_size", type=int, default=2,
                         help="pipeline stages for the llama pp row; "
                              "<=1 skips it")
+    parser.add_argument("--ep_size", type=int, default=2,
+                        help="expert-parallel size for the MoE llama row "
+                             "(0/1 skips)")
     parser.add_argument("--sp_sizes", default="2,4",
                         help="comma-separated sp (ring attention) sizes "
                              "for the sequence-parallel train row; '' "
@@ -357,6 +360,42 @@ def run(argv=None, virtual: bool = False) -> None:
                      "pp": args.pp_size, "batch": b, "block": 16,
                      "block_ms": round(pp_s * 1e3, 2),
                      "tokens_per_s": round(16 * b / pp_s, 1)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    # ---- MoE llama expert-parallel pooled decode (ops/moe.py) ----------
+    if args.ep_size > 1:
+        mesh_ep = create_mesh(dp_size=1, ep_size=args.ep_size)
+        ecfg = llama.LlamaConfig(
+            vocab_size=384, n_layer=max(2, int(12 * s)),
+            n_head=8, n_kv_head=4,
+            n_embd=max(128, int(768 * s) // 128 * 128),
+            intermediate_size=max(256, int(1024 * s) // 128 * 128),
+            max_seq_len=1024, n_experts=2 * args.ep_size, moe_top_k=2)
+        b = 8
+        eparams = llama.init_llama_params(jax.random.PRNGKey(7), ecfg)
+        eparams = jax.device_put(eparams,
+                                 llama_param_shardings(mesh_ep, eparams))
+        estate = llama.init_llama_pool_state(ecfg, batch=b)
+        _, estate = llama.prefill_slots(
+            eparams, jnp.zeros((b, 16), jnp.int32),
+            jnp.full((b,), 16, jnp.int32), estate,
+            jnp.arange(b, dtype=jnp.int32), jnp.ones((b,), bool),
+            jax.random.PRNGKey(8), ecfg)
+        eactive = jnp.ones((b,), bool)
+        eh = {"st": estate}
+
+        def moe_once():
+            toks, eh["st"] = llama.decode_block_pooled(
+                eparams, eh["st"], eactive, jax.random.PRNGKey(9), ecfg,
+                block=16)
+            jax.block_until_ready(toks)
+
+        moe_s = _timed(moe_once, args.reps)
+        rows.append({"what": "llama_moe_ep_pooled_decode_block",
+                     "ep": args.ep_size, "experts": ecfg.n_experts,
+                     "batch": b, "block": 16,
+                     "block_ms": round(moe_s * 1e3, 2),
+                     "tokens_per_s": round(16 * b / moe_s, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
     report = {"virtual": virtual, "n_devices": len(jax.devices()),

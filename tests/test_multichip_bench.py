@@ -17,7 +17,7 @@ def test_multichip_bench_runs_on_virtual_mesh(tmp_path, capsys):
     out = tmp_path / "mc.json"
     multichip_bench.run(["--dp_sizes", "1,2", "--tp_size", "2",
                          "--pp_size", "2", "--sp_sizes", "2",
-                         "--scale", "0.05",
+                         "--ep_size", "2", "--scale", "0.05",
                          "--seq_len", "64", "--reps", "1",
                          "--out_json", str(out)])
     report = json.loads(out.read_text())
@@ -27,6 +27,7 @@ def test_multichip_bench_runs_on_virtual_mesh(tmp_path, capsys):
     assert whats.count("whisper_asr_dp_batch") == 2
     assert "llama_tp_decode_block" in whats
     assert "llama_pp_pooled_decode_block" in whats
+    assert "llama_moe_ep_pooled_decode_block" in whats
     assert "decoder_train_step_sp" in whats
     for r in report["rows"]:
         assert r.get("tokens_per_s", r.get("utterances_per_s", 0)) > 0
