@@ -290,7 +290,10 @@ def quantize_llama_params(params: Dict, mode: str = "w8") -> Dict:
     """Int8-quantize a Llama param tree (models/llama.py).  ``tok_emb``
     stays dense: it is an embedding gather, and for tied-embedding
     models its transpose doubles as the head.  In ``w8a8`` mode the lm
-    head stays weight-only (sampling fidelity)."""
+    head stays weight-only (sampling fidelity).  MoE expert weights
+    (``moe_*``/``router``, ops/moe.py) deliberately stay full precision:
+    the expert einsums don't route through ops.linear's quantized
+    dispatch — int8 experts are a follow-up, not a silent partial."""
     return _quantize_named(params, LLAMA_MATMUL_KEYS, _mode_cls(mode),
                            keep_w8=HEAD_KEYS)
 
