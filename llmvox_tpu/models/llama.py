@@ -67,6 +67,12 @@ class LlamaConfig:
     moe_top_k: int = 2
     moe_capacity_factor: float = 2.0
     moe_aux_weight: float = 0.01
+    # GShard token groups: dispatch/combine per group of this many tokens
+    # (0 = one global group).  Bounds the dense dispatch tensors to
+    # O(N * E * group) instead of O(N^2 * E) at training lengths (ADVICE
+    # r3); per-group capacity/priority is the documented drop semantics.
+    # Inference paths are drop-free regardless (ops/moe.py docstring).
+    moe_group_size: int = 0
     # speculative decoding: Medusa/MTP-style draft heads — head j predicts
     # the token at t+2+j from position t's final (post-norm) hidden state.
     # Each head is a full (n_embd, vocab) projection, so its weight
@@ -92,7 +98,13 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
     """Random params in the converted-checkpoint layout (HF init: N(0, 0.02),
     RMSNorm scales 1)."""
     hd, kvd = cfg.head_dim, cfg.n_kv_head * cfg.head_dim
-    ks = iter(jax.random.split(key, 12))
+    # Fixed key POSITIONS (not consumption order): dense models draw
+    # tok_emb/attention/mlp/head keys at the same split indices every
+    # version, so a given seed reproduces the same dense params forever.
+    # MoE configs reuse the dense-mlp key slots for router/wgate/wup and
+    # take the spare slot 10 for wdown (ADVICE r3: building the mlp dict
+    # first silently shifted every dense tensor's key).
+    ks = jax.random.split(key, 12)
 
     def norm(k, shape):
         return 0.02 * jax.random.normal(k, shape, jnp.float32)
@@ -102,39 +114,39 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Dict:
 
     if cfg.n_experts:
         mlp = {
-            "router": stack(next(ks), (cfg.n_embd, cfg.n_experts)),
-            "moe_wgate": stack(next(ks), (cfg.n_experts, cfg.n_embd,
-                                          cfg.intermediate_size)),
-            "moe_wup": stack(next(ks), (cfg.n_experts, cfg.n_embd,
-                                        cfg.intermediate_size)),
-            "moe_wdown": stack(next(ks), (cfg.n_experts,
-                                          cfg.intermediate_size,
-                                          cfg.n_embd)),
+            "router": stack(ks[5], (cfg.n_embd, cfg.n_experts)),
+            "moe_wgate": stack(ks[6], (cfg.n_experts, cfg.n_embd,
+                                       cfg.intermediate_size)),
+            "moe_wup": stack(ks[7], (cfg.n_experts, cfg.n_embd,
+                                     cfg.intermediate_size)),
+            "moe_wdown": stack(ks[10], (cfg.n_experts,
+                                        cfg.intermediate_size,
+                                        cfg.n_embd)),
         }
     else:
         mlp = {
-            "wgate": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
-            "wup": stack(next(ks), (cfg.n_embd, cfg.intermediate_size)),
-            "wdown": stack(next(ks), (cfg.intermediate_size, cfg.n_embd)),
+            "wgate": stack(ks[5], (cfg.n_embd, cfg.intermediate_size)),
+            "wup": stack(ks[6], (cfg.n_embd, cfg.intermediate_size)),
+            "wdown": stack(ks[7], (cfg.intermediate_size, cfg.n_embd)),
         }
     params = {
-        "tok_emb": norm(next(ks), (cfg.vocab_size, cfg.n_embd)),
+        "tok_emb": norm(ks[0], (cfg.vocab_size, cfg.n_embd)),
         "h": {
             "ln1_s": jnp.ones((cfg.n_layer, cfg.n_embd)),
-            "wq": stack(next(ks), (cfg.n_embd, cfg.n_head * hd)),
-            "wk": stack(next(ks), (cfg.n_embd, kvd)),
-            "wv": stack(next(ks), (cfg.n_embd, kvd)),
-            "wo": stack(next(ks), (cfg.n_head * hd, cfg.n_embd)),
+            "wq": stack(ks[1], (cfg.n_embd, cfg.n_head * hd)),
+            "wk": stack(ks[2], (cfg.n_embd, kvd)),
+            "wv": stack(ks[3], (cfg.n_embd, kvd)),
+            "wo": stack(ks[4], (cfg.n_head * hd, cfg.n_embd)),
             "ln2_s": jnp.ones((cfg.n_layer, cfg.n_embd)),
             **mlp,
         },
         "lnf_s": jnp.ones((cfg.n_embd,)),
     }
     if not cfg.tie_embeddings:
-        params["head"] = norm(next(ks), (cfg.n_embd, cfg.vocab_size))
+        params["head"] = norm(ks[8], (cfg.n_embd, cfg.vocab_size))
     if cfg.n_draft_heads > 0:
         params["draft_heads"] = norm(
-            next(ks), (cfg.n_draft_heads, cfg.n_embd, cfg.vocab_size))
+            ks[9], (cfg.n_draft_heads, cfg.n_embd, cfg.vocab_size))
     return params
 
 
@@ -246,16 +258,26 @@ def _gqa_cache_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
     return att.reshape(b, t, h, hd)
 
 
-def _mlp(lp: Dict, h: jnp.ndarray, cfg: LlamaConfig
-         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _mlp(lp: Dict, h: jnp.ndarray, cfg: LlamaConfig,
+         token_mask: Optional[jnp.ndarray] = None,
+         drop_free: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The FFN half of a layer: dense SwiGLU, or top-k routed experts when
     ``cfg.n_experts > 0`` (ops/moe.py).  Returns ``(out, aux)`` — aux is
     the load-balancing loss term (0 for the dense path); decode paths
-    drop it, :func:`llama_loss` accumulates it."""
+    drop it, :func:`llama_loss` accumulates it.
+
+    ``token_mask`` (bool, h's shape minus the channel dim) marks REAL
+    tokens: padded prefill positions and inactive pool rows are excluded
+    from expert routing so they can never consume capacity a live token
+    needs (ADVICE r3 high).  ``drop_free=True`` — every inference path —
+    makes expert capacity cover the worst case so no token can drop: a
+    request's output must not depend on co-scheduled pool rows or bucket
+    padding, and HF's reference forward is capacity-free."""
     if cfg.n_experts:
         return moe_ffn(h, lp["router"], lp["moe_wgate"], lp["moe_wup"],
                        lp["moe_wdown"], cfg.moe_top_k,
-                       cfg.moe_capacity_factor)
+                       cfg.moe_capacity_factor, token_mask=token_mask,
+                       group_size=cfg.moe_group_size, drop_free=drop_free)
     gate = ops.linear(h, lp["wgate"])
     up = ops.linear(h, lp["wup"])
     out = ops.linear(jax.nn.silu(gate.astype(jnp.float32)
@@ -367,7 +389,8 @@ def init_llama_decode_state(cfg: LlamaConfig, batch: int = 1,
 
 
 def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
-                cfg: LlamaConfig, attn_len: Optional[int] = None):
+                cfg: LlamaConfig, attn_len: Optional[int] = None,
+                token_mask: Optional[jnp.ndarray] = None):
     """One layer for T new tokens at absolute positions pos..pos+T-1 with
     the cache already holding ``pos`` tokens.  Returns (x, new_k, new_v)
     where new_k/new_v are the cache slices for these tokens.
@@ -401,7 +424,7 @@ def _layer_step(lp: Dict, x: jnp.ndarray, k_cache, v_cache, pos,
     att = _gqa_cache_attention(q, ka, va, valid, cfg)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
-    y, _ = _mlp(lp, h, cfg)
+    y, _ = _mlp(lp, h, cfg, token_mask=token_mask, drop_free=True)
     x = x + y
     return x, k_cache, v_cache
 
@@ -423,7 +446,8 @@ def _forward_cached(params: Dict, tokens: jnp.ndarray,
 
 def _scan_layers(params: Dict, tokens: jnp.ndarray,
                  state: LlamaDecodeState, cfg: LlamaConfig,
-                 attn_len: Optional[int] = None):
+                 attn_len: Optional[int] = None,
+                 token_mask: Optional[jnp.ndarray] = None):
     """Shared depth scan for both cached-forward variants."""
     x = params["tok_emb"][tokens]
 
@@ -431,7 +455,8 @@ def _scan_layers(params: Dict, tokens: jnp.ndarray,
         x = carry
         lp, k_cache, v_cache = scan_in
         x, k_cache, v_cache = _layer_step(lp, x, k_cache, v_cache,
-                                          state.pos, cfg, attn_len)
+                                          state.pos, cfg, attn_len,
+                                          token_mask)
         return x, (k_cache, v_cache)
 
     return lax.scan(body, x, (params["h"], state.k, state.v))
@@ -563,8 +588,12 @@ def prefill_padded(params: Dict, tokens: jnp.ndarray,
     ``pos + Tpad <= attn_len`` — a FRESH state (pos=0) may pass
     ``attn_len=Tpad`` to skip reading the empty cache tail entirely.
     """
+    valid_mask = jnp.broadcast_to(
+        jnp.arange(tokens.shape[1]) < jnp.asarray(valid_len, jnp.int32),
+        tokens.shape)
     logits_all, new_state = _forward_cached_all(params, tokens, state, cfg,
-                                                attn_len)
+                                                attn_len,
+                                                token_mask=valid_mask)
     valid_len = jnp.asarray(valid_len, jnp.int32)
     idx = jnp.broadcast_to(valid_len - 1, (tokens.shape[0],))
     logits = jnp.take_along_axis(logits_all, idx.reshape(-1, 1, 1),
@@ -575,11 +604,13 @@ def prefill_padded(params: Dict, tokens: jnp.ndarray,
 
 def _forward_cached_all(params: Dict, tokens: jnp.ndarray,
                         state: LlamaDecodeState, cfg: LlamaConfig,
-                        attn_len: Optional[int] = None
+                        attn_len: Optional[int] = None,
+                        token_mask: Optional[jnp.ndarray] = None
                         ) -> Tuple[jnp.ndarray, LlamaDecodeState]:
     """Like :func:`_forward_cached` but returns logits at EVERY position
     (B, T, V) — the padded-prefill helper needs the last valid one."""
-    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg, attn_len)
+    x, (new_k, new_v) = _scan_layers(params, tokens, state, cfg, attn_len,
+                                     token_mask)
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
     logits = ops.linear(x, _head(params))
     return logits, LlamaDecodeState(new_k, new_v,
@@ -655,7 +686,8 @@ def init_llama_pool_state(cfg: LlamaConfig, batch: int,
 
 def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
                      pos_vec: jnp.ndarray, cfg: LlamaConfig,
-                     attn_len: Optional[int] = None):
+                     attn_len: Optional[int] = None,
+                     token_mask: Optional[jnp.ndarray] = None):
     """One layer for T new tokens where row b sits at absolute position
     ``pos_vec[b]`` — the per-row counterpart of :func:`_layer_step`.
     Cache writes land at each row's own offset (vmapped dynamic-update
@@ -696,20 +728,22 @@ def _layer_step_rows(lp: Dict, x: jnp.ndarray, k_cache, v_cache,
     att = _gqa_cache_attention(q, ka, va, valid, cfg).astype(x.dtype)
     x = x + ops.linear(att.reshape(b, t, cfg.n_head * hd), lp["wo"])
     h = rms_norm(x, lp["ln2_s"], cfg.rms_eps)
-    y, _ = _mlp(lp, h, cfg)
+    y, _ = _mlp(lp, h, cfg, token_mask=token_mask, drop_free=True)
     x = x + y
     return x, k_cache, v_cache
 
 
 def _scan_layers_rows(params: Dict, tokens: jnp.ndarray, k, v,
                       pos_vec: jnp.ndarray, cfg: LlamaConfig,
-                      attn_len: Optional[int] = None):
+                      attn_len: Optional[int] = None,
+                      token_mask: Optional[jnp.ndarray] = None):
     x = params["tok_emb"][tokens]
 
     def body(carry, scan_in):
         x = carry
         lp, kc, vc = scan_in
-        x, kc, vc = _layer_step_rows(lp, x, kc, vc, pos_vec, cfg, attn_len)
+        x, kc, vc = _layer_step_rows(lp, x, kc, vc, pos_vec, cfg, attn_len,
+                                     token_mask)
         return x, (kc, vc)
 
     return lax.scan(body, x, (params["h"], k, v))
@@ -779,11 +813,14 @@ def prefill_slots(params: Dict, tokens: jnp.ndarray,
     if p:
         tmp_k = tmp_k.at[:, :, :p].set(prefix_k[:, None].astype(dtype))
         tmp_v = tmp_v.at[:, :, :p].set(prefix_v[:, None].astype(dtype))
+    valid_lens = jnp.asarray(valid_lens, jnp.int32)
+    tok_mask = ((jnp.arange(tpad)[None] < valid_lens[:, None])
+                & active.astype(bool)[:, None])
     x, (new_k, new_v) = _scan_layers_rows(params, tokens, tmp_k, tmp_v,
-                                          jnp.full((n,), p, jnp.int32), cfg)
+                                          jnp.full((n,), p, jnp.int32), cfg,
+                                          token_mask=tok_mask)
     x = rms_norm(x, params["lnf_s"], cfg.rms_eps)
     logits_all = ops.linear(x, _head(params))                  # (N, Tpad, V)
-    valid_lens = jnp.asarray(valid_lens, jnp.int32)
     idx = (valid_lens - 1).reshape(-1, 1, 1)
     logits = jnp.take_along_axis(logits_all, idx, axis=1)[:, 0]
     first = _sample_maybe_rows(logits, rng, temperature, top_k, top_p,
@@ -846,8 +883,11 @@ def prefill_slots_continue(params: Dict, tokens: jnp.ndarray,
     k_slot = state.k[:, gid, :s]
     v_slot = state.v[:, gid, :s]
     pos0 = jnp.asarray(pos0, jnp.int32)
+    tok_mask = ((jnp.arange(tpad)[None]
+                 < jnp.asarray(valid_lens, jnp.int32)[:, None])
+                & active.astype(bool)[:, None])
     x, (new_k, new_v) = _scan_layers_rows(params, tokens, k_slot, v_slot,
-                                          pos0, cfg)
+                                          pos0, cfg, token_mask=tok_mask)
     slot_ids = jnp.where(active, slots.astype(jnp.int32), cap)
     k = state.k.at[:, slot_ids, :s].set(new_k, mode="drop",
                                         unique_indices=False)
@@ -898,7 +938,7 @@ def decode_block_pooled(params: Dict, state: LlamaPoolState,
     def step(carry, _):
         tok, k, v, pos, rng = carry
         x, (k, v) = _scan_layers_rows(params, tok[:, None], k, v, pos, cfg,
-                                      attn_len)
+                                      attn_len, token_mask=active[:, None])
         x = rms_norm(x[:, -1], params["lnf_s"], cfg.rms_eps)
         logits = ops.linear(x, _head(params))
         rng, sub = jax.random.split(rng)
@@ -1026,7 +1066,8 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
 
         # ---- one batched step from each row's last token ----------------
         x, (k1, v1) = _scan_layers_rows(params, tok[:, None], k, v, pos,
-                                        cfg, attn_len)
+                                        cfg, attn_len,
+                                        token_mask=active_it[:, None])
         hidden, logits = _hidden_logits(params, x[:, -1], cfg)
         if rows is not None:
             token1 = _sample_rows(logits, k_tok1, *rows)
@@ -1061,8 +1102,9 @@ def decode_block_spec_pooled(params: Dict, state: LlamaPoolState,
 
         # ---- ONE batched verify forward for every row's drafts ----------
         prevs = jnp.concatenate([token1[:, None], d[:, :-1]], axis=1)
-        xs, (k2, v2) = _scan_layers_rows(params, prevs, k1, v1, pos1, cfg,
-                                         attn_len)
+        xs, (k2, v2) = _scan_layers_rows(
+            params, prevs, k1, v1, pos1, cfg, attn_len,
+            token_mask=jnp.broadcast_to(active_it[:, None], prevs.shape))
         _, vlogits = _hidden_logits(params, xs, cfg)             # (B,kd,V)
 
         if sampling:

@@ -22,18 +22,38 @@ TPU-first design choices:
   dispatch/combine einsums into the all-to-alls a hand-written MPI
   implementation would do explicitly.  Composes with tp (expert hidden
   dim) and dp (token batch) in one mesh.
-* **Capacity drops are the documented overflow behavior** (tokens routed
-  past an expert's capacity contribute zero for that expert, keeping
-  their other top-k routes), matching Switch-Transformer semantics; the
-  load-balancing aux loss is what keeps drops rare in training.
+* **Grouped dispatch bounds memory** (GShard's token groups): the dense
+  dispatch/combine tensors are O(N * E * cap); with one global group at
+  training lengths (N = B*T) that is O(N^2) and dominates the expert
+  FLOPs.  ``group_size=G`` dispatches per group of G tokens (per-group
+  capacity, per-group earlier-token-wins priority), making the tensors
+  O(N * E * G / something) -- concretely (N/G, G, E, cap) -- while the
+  expert matmuls see (E, N/G * cap, C), still three large MXU batched
+  matmuls.
+* **Capacity drops are the documented overflow behavior** for TRAINING
+  (tokens routed past an expert's per-group capacity contribute zero for
+  that expert, keeping their other top-k routes), matching
+  Switch-Transformer semantics; the load-balancing aux loss is what keeps
+  drops rare.  INFERENCE paths must instead pass ``drop_free=True``
+  (capacity = group size, so no token can ever drop): a serving batch
+  mixes co-scheduled requests and padding rows, and any possible drop
+  would make one request's output depend on its neighbors (ADVICE r3
+  high finding) and diverge from the capacity-free HF forward.
+* **Padding/inactive tokens are masked out of routing** via
+  ``token_mask``: their dispatch one-hots are zeroed BEFORE the
+  position-in-expert cumsum, so they consume no expert capacity and
+  contribute nothing to the load-balancing statistics.  (Without this, a
+  padded prefill position could evict a real token under capped
+  capacity.)
 
 Verified against a per-token/per-expert loop oracle in tests/test_moe.py
-(exact when capacity is large enough that nothing drops).
+(exact when nothing drops; drop-free grouping is output-invariant to the
+choice of G, also tested).
 """
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +72,9 @@ def moe_capacity(n_tokens: int, n_experts: int, top_k: int,
 
 def moe_ffn(x: jnp.ndarray, router_w: jnp.ndarray, wgate: jnp.ndarray,
             wup: jnp.ndarray, wdown: jnp.ndarray, top_k: int,
-            capacity_factor: float = 2.0
+            capacity_factor: float = 2.0,
+            token_mask: Optional[jnp.ndarray] = None,
+            group_size: int = 0, drop_free: bool = False
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k routed SwiGLU experts over ``x`` (..., C).
 
@@ -63,33 +85,56 @@ def moe_ffn(x: jnp.ndarray, router_w: jnp.ndarray, wgate: jnp.ndarray,
     Switch/Mixtral load-balancing loss E * sum_e f_e * P_e (f_e the
     fraction of routed (token, slot) pairs landing on expert e, P_e the
     mean router probability of e) — 1.0 at perfect balance.
+
+    ``token_mask`` (bool, shaped like x minus the channel dim): False
+    tokens are excluded from routing entirely — no capacity consumed, no
+    aux-loss contribution, zero output row.  ``group_size``: dispatch in
+    groups of G tokens (0 = one global group).  ``drop_free=True`` sets
+    capacity to the group size so no token can ever overflow — REQUIRED
+    on inference/serving paths (see module docstring); costs E*N expert
+    rows instead of N*K*cf, which is irrelevant at decode batch sizes
+    and a documented one-shot cost at prefill widths.
     """
     orig_shape = x.shape
     c = orig_shape[-1]
     e = router_w.shape[-1]
     xf = x.reshape(-1, c)
     n = xf.shape[0]
-    cap = moe_capacity(n, e, top_k, capacity_factor)
+    mask = (jnp.ones((n,), bool) if token_mask is None
+            else token_mask.reshape(-1).astype(bool))
 
-    logits = ops.linear(xf, router_w).astype(jnp.float32)       # (N, E)
+    g = int(group_size) if group_size else n
+    g = max(1, min(g, n))
+    ng = -(-n // g)                                              # ceil
+    npad = ng * g
+    if npad != n:
+        xf = jnp.pad(xf, ((0, npad - n), (0, 0)))
+        mask = jnp.pad(mask, (0, npad - n))
+    cap = g if drop_free else moe_capacity(g, e, top_k, capacity_factor)
+
+    logits = ops.linear(xf, router_w).astype(jnp.float32)        # (Np, E)
     probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(logits, top_k)                   # (N, K)
-    w = jax.nn.softmax(topv, axis=-1)                           # renorm top-k
+    topv, topi = jax.lax.top_k(logits, top_k)                    # (Np, K)
+    w = jax.nn.softmax(topv, axis=-1)                            # renorm top-k
 
-    # position-in-expert: token n's k-th route is the p-th row of its
-    # expert, p = number of earlier (n-major, k-minor) routes to the same
-    # expert.  Cumsum over the flattened route order keeps priority
-    # deterministic (earlier tokens win capacity), like GShard.
-    onehot_e = jax.nn.one_hot(topi, e, dtype=jnp.int32)         # (N, K, E)
-    flat = onehot_e.reshape(n * top_k, e)
-    pos_f = jnp.cumsum(flat, axis=0) - flat                     # routes before
-    pos = jnp.sum(pos_f.reshape(n, top_k, e) * onehot_e, axis=-1)  # (N, K)
-    keep = pos < cap
+    # Position-in-expert within each group: token t's k-th route is the
+    # p-th row of its expert, p = number of earlier (t-major, k-minor)
+    # MASKED-IN routes in the same group to the same expert.  Masked
+    # tokens are zeroed BEFORE the cumsum, so they never consume
+    # capacity; the cumsum over the per-group flattened route order keeps
+    # priority deterministic (earlier tokens win), like GShard.
+    onehot_e = (jax.nn.one_hot(topi, e, dtype=jnp.int32)
+                * mask[:, None, None].astype(jnp.int32))         # (Np, K, E)
+    flat = onehot_e.reshape(ng, g * top_k, e)
+    pos_f = jnp.cumsum(flat, axis=1) - flat                      # routes before
+    pos = jnp.sum(pos_f.reshape(npad, top_k, e)
+                  * onehot_e, axis=-1)                           # (Np, K)
+    keep = (pos < cap) & mask[:, None]
 
     dtype = x.dtype
-    dispatch = jnp.zeros((n, e, cap), dtype)
-    combine = jnp.zeros((n, e, cap), dtype)
-    for k in range(top_k):                                      # K is tiny
+    dispatch = jnp.zeros((npad, e, cap), dtype)
+    combine = jnp.zeros((npad, e, cap), dtype)
+    for k in range(top_k):                                       # K is tiny
         hot = (jax.nn.one_hot(topi[:, k], e, dtype=dtype)[:, :, None]
                * jax.nn.one_hot(pos[:, k], cap, dtype=dtype)[:, None, :]
                * keep[:, k, None, None].astype(dtype))
@@ -97,13 +142,28 @@ def moe_ffn(x: jnp.ndarray, router_w: jnp.ndarray, wgate: jnp.ndarray,
         combine = combine + hot * w[:, k, None, None].astype(dtype)
 
     prec = ops.mm_precision(dtype)
-    xin = jnp.einsum("nec,nd->ecd", dispatch, xf, precision=prec)
-    gate = jnp.einsum("ecd,edi->eci", xin, wgate, precision=prec)
-    up = jnp.einsum("ecd,edi->eci", xin, wup, precision=prec)
+    dg = dispatch.reshape(ng, g, e, cap)
+    cg = combine.reshape(ng, g, e, cap)
+    xg = xf.reshape(ng, g, c)
+    # (G groups ride along the expert row axis: the expert matmuls
+    # contract (E, ng*cap, C) against shared weights — same three MXU
+    # batched matmuls, group-count-independent programs.)
+    xin = jnp.einsum("gnec,gnd->egcd", dg, xg, precision=prec)
+    xin = xin.reshape(e, ng * cap, c)
+    gate = jnp.einsum("erd,edi->eri", xin, wgate, precision=prec)
+    up = jnp.einsum("erd,edi->eri", xin, wup, precision=prec)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-    xout = jnp.einsum("eci,eid->ecd", h, wdown, precision=prec)
-    y = jnp.einsum("nec,ecd->nd", combine, xout, precision=prec)
+    xout = jnp.einsum("eri,eid->erd", h, wdown, precision=prec)
+    xout = xout.reshape(e, ng, cap, c)
+    y = jnp.einsum("gnec,egcd->gnd", cg, xout, precision=prec)
+    y = y.reshape(npad, c)[:n]
 
-    f = jnp.mean(jnp.sum(onehot_e, axis=1).astype(jnp.float32), axis=0)
-    aux = e * jnp.sum((f / top_k) * jnp.mean(probs, axis=0))
+    # load-balancing stats over masked-in tokens only (a padded prefill
+    # position must not dilute f_e / P_e toward uniform)
+    denom = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    f = jnp.sum(jnp.sum(onehot_e, axis=1).astype(jnp.float32),
+                axis=0) / denom
+    pmean = jnp.sum(probs * mask[:, None].astype(jnp.float32),
+                    axis=0) / denom
+    aux = e * jnp.sum((f / top_k) * pmean)
     return y.reshape(orig_shape), aux

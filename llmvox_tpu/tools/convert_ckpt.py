@@ -59,9 +59,20 @@ def main(argv=None) -> None:
         # MoE FFN (ops/moe.py) — detected the same way the state-dict
         # converter detects it
         if getattr(hf_cfg, "num_local_experts", 0):
+            e = int(hf_cfg.num_local_experts)
+            k = int(hf_cfg.num_experts_per_tok)
             margs.update({
-                "n_experts": int(hf_cfg.num_local_experts),
-                "moe_top_k": int(hf_cfg.num_experts_per_tok),
+                "n_experts": e,
+                "moe_top_k": k,
+                # HF inference computes every routed token with NO
+                # capacity limit; a converted checkpoint must never drop
+                # (the training default cf=2.0 caps an expert at n/2 for
+                # E=8/k=2 and imbalanced routing would silently diverge
+                # from HF — ADVICE r3).  cf = E/k makes moe_capacity()
+                # return n at every shape; inference paths are drop-free
+                # regardless (ops/moe.py), this covers teacher-forced
+                # eval too.
+                "moe_capacity_factor": float(e) / float(k),
             })
         # Llama 3.1/3.2 rope_scaling: without this the rotary frequencies
         # are wrong at every position (models/llama.py::_inv_freq)

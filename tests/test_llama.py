@@ -523,3 +523,32 @@ def test_stream_adapter_attn_ladder_matches_full():
         t = jnp.asarray([out[-1]], jnp.int32)
     body = [i for i in out if i != tok.eos_token_id]
     assert text == tok.decode(body)
+
+
+def test_dense_init_reproduces_pre_moe_key_order():
+    """ADVICE r3 (low): adding MoE silently shifted every dense tensor's
+    PRNG key (the mlp dict drew keys first).  Keys are now drawn at FIXED
+    split positions, so a dense config's params under a given seed equal
+    the original (pre-MoE) implementation's forever.  This pins the
+    original scheme: split(key, 10) consumed in params-dict order."""
+    from llmvox_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(vocab_size=64, n_layer=2, n_head=4, n_kv_head=2,
+                      n_embd=32, intermediate_size=48, max_seq_len=64)
+    key = jax.random.PRNGKey(123)
+    params = init_llama_params(key, cfg)
+    ks = jax.random.split(key, 10)   # the ORIGINAL split count/order
+
+    def norm(k, shape):
+        return 0.02 * jax.random.normal(k, shape, jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(params["tok_emb"]),
+        np.asarray(norm(ks[0], (cfg.vocab_size, cfg.n_embd))))
+    np.testing.assert_array_equal(
+        np.asarray(params["h"]["wgate"]),
+        np.asarray(norm(ks[5], (cfg.n_layer, cfg.n_embd,
+                                cfg.intermediate_size))))
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]),
+        np.asarray(norm(ks[8], (cfg.n_embd, cfg.vocab_size))))

@@ -64,6 +64,67 @@ def test_moe_ffn_matches_expert_loop(top_k):
     assert np.isfinite(float(aux)) and float(aux) > 0.5
 
 
+@pytest.mark.parametrize("g", [3, 7, 21, 0])
+def test_moe_grouped_drop_free_is_group_size_invariant(g):
+    """With drop_free capacity the output is EXACTLY the ungrouped
+    routing result for any group size (grouping only re-buckets the
+    dispatch tensors; nothing can overflow) — the ADVICE r3 memory fix
+    cannot change results on inference paths."""
+    rng = np.random.default_rng(10)
+    rw, wg, wu, wd = _moe_weights(rng)
+    x = rng.standard_normal((21, 16)).astype(np.float32)
+    y, _ = moe_ffn(jnp.asarray(x), jnp.asarray(rw), jnp.asarray(wg),
+                   jnp.asarray(wu), jnp.asarray(wd), 2, 0.5,
+                   group_size=g, drop_free=True)
+    ref = _oracle_moe(x, rw, wg, wu, wd, 2)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5, rtol=2e-4)
+
+
+def test_moe_grouped_capped_matches_single_group_when_no_drops():
+    """Grouped dispatch with a roomy capacity factor == the single-group
+    path (training semantics unchanged by the grouping rewrite)."""
+    rng = np.random.default_rng(11)
+    rw, wg, wu, wd = _moe_weights(rng)
+    x = rng.standard_normal((4, 8, 16)).astype(np.float32)
+    y0, a0 = moe_ffn(jnp.asarray(x), jnp.asarray(rw), jnp.asarray(wg),
+                     jnp.asarray(wu), jnp.asarray(wd), 2, 8.0)
+    y1, a1 = moe_ffn(jnp.asarray(x), jnp.asarray(rw), jnp.asarray(wg),
+                     jnp.asarray(wu), jnp.asarray(wd), 2, 8.0,
+                     group_size=8)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5,
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(a0), float(a1), rtol=1e-5)
+
+
+def test_moe_token_mask_keeps_padding_out_of_capacity():
+    """ADVICE r3 (high): padding tokens must not consume expert capacity.
+    All five tokens route to expert 0 with capacity 2; the first three are
+    padding.  Unmasked, the pads win the capacity and the REAL tokens
+    drop; with token_mask the real tokens take positions 0-1 and get
+    their expert output, pads emit zero rows."""
+    rng = np.random.default_rng(12)
+    _, wg, wu, wd = _moe_weights(rng)
+    rw = np.zeros((16, 4), np.float32)
+    rw[:, 0] = 10.0
+    x = np.abs(rng.standard_normal((5, 16))).astype(np.float32)
+    mask = jnp.asarray([False, False, False, True, True])
+    assert moe_capacity(5, 4, 1, 1.5) == 2
+
+    y_unmasked, _ = moe_ffn(jnp.asarray(x), jnp.asarray(rw), jnp.asarray(wg),
+                            jnp.asarray(wu), jnp.asarray(wd), 1, 1.5)
+    np.testing.assert_allclose(np.asarray(y_unmasked)[3:], 0.0, atol=1e-7)
+
+    y, aux = moe_ffn(jnp.asarray(x), jnp.asarray(rw), jnp.asarray(wg),
+                     jnp.asarray(wu), jnp.asarray(wd), 1, 1.5,
+                     token_mask=mask)
+    ref = _oracle_moe(x[3:], rw, wg, wu, wd, 1)
+    np.testing.assert_allclose(np.asarray(y)[3:], ref, atol=2e-5, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(y)[:3], 0.0, atol=1e-7)
+    # aux stats over real tokens only: everything on one of 4 experts
+    # with top_k=1 -> E * f_0 * P_0 ~= 4
+    assert 3.5 < float(aux) <= 4.01
+
+
 def test_moe_capacity_drop_zeroes_overflow_tokens():
     """All tokens routed to expert 0 with capacity 1: the first token (in
     dispatch order) gets its expert output, the rest contribute zero —
@@ -188,6 +249,47 @@ def test_moe_pooled_decode_matches_b1():
     assert np.asarray(toks)[1].tolist() == np.asarray(ref)[0].tolist()
 
 
+def test_moe_pooled_decode_matches_b1_at_drop_prone_capacity():
+    """ADVICE r3 (high) end to end: at Mixtral-like routing pressure
+    (E=8, top_k=2, capacity_factor=2.0 — where capped capacity is n/2 and
+    drops WOULD occur), a pooled row's tokens still equal its private B=1
+    chain, whatever else shares the pool: inference paths are drop-free
+    and padded/inactive rows are masked out of routing."""
+    cfg = _moe_cfg(n_experts=8, moe_capacity_factor=2.0)
+    params = llama.init_llama_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 64, (1, n)) for n in (5, 3, 7)]
+
+    refs = []
+    for prompt in prompts:
+        state = llama.init_llama_decode_state(cfg, batch=1)
+        logits, state = llama.prefill(
+            params, jnp.asarray(prompt, jnp.int32), state, cfg)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        toks, _ = llama.decode_block(params, first, state,
+                                     jax.random.PRNGKey(0), cfg, block=6)
+        refs.append([int(first[0])] + np.asarray(toks)[0].tolist())
+
+    # all three prompts co-scheduled (mixed-length one-program prefill,
+    # right-padded to 8), one pooled decode advances them together
+    pstate = llama.init_llama_pool_state(cfg, batch=4)
+    tokens = np.zeros((3, 8), np.int32)
+    valid = np.zeros((3,), np.int32)
+    for j, prompt in enumerate(prompts):
+        tokens[j, : prompt.shape[1]] = prompt[0]
+        valid[j] = prompt.shape[1]
+    pfirst, pstate = llama.prefill_slots(
+        params, jnp.asarray(tokens), jnp.asarray(valid), pstate,
+        jnp.asarray([0, 1, 2], jnp.int32), jnp.asarray([True] * 3),
+        jax.random.PRNGKey(0), cfg)
+    toks, pstate = llama.decode_block_pooled(
+        params, pstate, jnp.asarray([True, True, True, False]),
+        jax.random.PRNGKey(0), cfg, block=6)
+    for j in range(3):
+        got = [int(pfirst[j])] + np.asarray(toks)[j].tolist()
+        assert got == refs[j], f"row {j} diverged from its B=1 chain"
+
+
 @pytest.mark.parametrize("ep,tp", [(4, 1), (4, 2)])
 def test_moe_ep_sharded_matches_replicated(ep, tp):
     """Expert-parallel (and ep x tp) sharded forward == replicated — the
@@ -291,12 +393,62 @@ def test_convert_ckpt_mixtral_roundtrips_into_the_server_factory(
     model = build_jax_stream(scfg, tokenizer=tok)
     assert model.cfg.n_experts == cfg.n_experts
     assert model.cfg.moe_top_k == cfg.moe_top_k
+    # ADVICE r3 (medium): converted checkpoints must serve drop-free —
+    # the emitted capacity factor makes moe_capacity() == n at any shape
+    assert model.cfg.moe_capacity_factor == pytest.approx(
+        cfg.n_experts / cfg.moe_top_k)
+    assert moe_capacity(640, cfg.n_experts, cfg.moe_top_k,
+                        model.cfg.moe_capacity_factor) == 640
     got = "".join(model.predict({"system": "sys", "prompt": "hello"}))
 
     direct = JAXStreamModel(params, cfg, tok, block=4, temperature=0.0,
                             max_tokens=10, eos_text=scfg.eos_token)
     want = "".join(direct.predict({"system": "sys", "prompt": "hello"}))
     assert got == want and len(got) > 0
+
+
+def test_mixtral_e8_parity_where_old_capacity_would_drop():
+    """ADVICE r3 (medium): at E=8/top_k=2 the old serving default
+    (cf=2.0) caps an expert at n/2 tokens, so imbalanced routing silently
+    dropped tokens and diverged from HF.  With the converter's drop-free
+    factor (E/k) the teacher-forced forward matches HF exactly even when
+    a random router sends well over n/2 of the routes to one expert."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from llmvox_tpu.tools.convert import convert_llama_state_dict
+
+    cfg = _moe_cfg(vocab_size=128, n_experts=8,
+                   moe_capacity_factor=8 / 2)
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.n_embd,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.n_layer, num_attention_heads=cfg.n_head,
+        num_key_value_heads=cfg.n_kv_head, num_local_experts=8,
+        num_experts_per_tok=2, max_position_embeddings=cfg.max_seq_len,
+        rms_norm_eps=cfg.rms_eps, rope_theta=cfg.rope_theta,
+        sliding_window=None, tie_word_embeddings=False,
+        attn_implementation="eager")
+    torch.manual_seed(1)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    sd = hf.state_dict()
+    # force heavy imbalance: bias every router strongly toward expert 0,
+    # so > n/2 of the (token, slot) routes land there
+    for li in range(cfg.n_layer):
+        key = f"model.layers.{li}.block_sparse_moe.gate.weight"
+        sd[key][0] += 3.0
+    hf.load_state_dict(sd)
+    params = jax.tree.map(jnp.asarray,
+                          convert_llama_state_dict(sd, cfg.n_layer))
+    ids = np.random.default_rng(13).integers(0, cfg.vocab_size, (2, 24))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(llama.apply_llama(params, jnp.asarray(ids, jnp.int32),
+                                       cfg))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-3)
+    # the old default WOULD have dropped here: capacity at cf=2.0 is n/2
+    n = ids.size
+    assert moe_capacity(n, 8, 2, 2.0) == n // 2
 
 
 def test_moe_loss_grads_reach_router():
