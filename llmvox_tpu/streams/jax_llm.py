@@ -344,12 +344,15 @@ def build_jax_stream(cfg, tokenizer=None) -> "JAXStreamModel":
         from llmvox_tpu.serve.llm_pool import LLMPool
         pool = LLMPool(params, lcfg, capacity=cfg.llm_pool_capacity,
                        block=cfg.llm_block,
+                       first_block=getattr(cfg, 'llm_first_block', 0),
                        temperature=cfg.llm_temperature,
                        top_k=cfg.llm_top_k, top_p=cfg.llm_top_p,
                        dtype=dtype,
                        prefill_buckets=tuple(cfg.llm_prefill_buckets),
                        pipeline_depth=cfg.pool_pipeline_depth,
                        spec_k=cfg.llm_spec_k,
+                       spec_ladder=tuple(getattr(cfg, 'llm_spec_ladder',
+                                                 ()) or ()),
                        prefill_merge=getattr(cfg, 'llm_prefill_merge',
                                              True),
                        chunked_prefill=getattr(cfg, 'llm_chunked_prefill',

@@ -192,6 +192,107 @@ def test_llm_pool_spec_e2e_matches_plain_pool(params):
     assert got == want
 
 
+def test_llm_pool_adaptive_ladder_token_identity_across_switches(params):
+    """VERDICT r3 #4: the adaptive ladder (serve/spec_control.py, ported
+    from the TTS pool) must be invisible to consumers — with the
+    controller forced through LIVE rung switches (greedy <-> two spec
+    depths, mid-generation), concurrent streams equal the plain pool
+    token for token."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    async def collect(pool):
+        async def one(ids):
+            toks = []
+            async for chunk in pool.generate(ids, max_tokens=17):
+                toks.extend(chunk)
+            return toks
+
+        try:
+            return await asyncio.gather(*(one(p) for p in PROMPTS))
+        finally:
+            pool.stop()
+
+    plain = LLMPool(params, CFG, capacity=4, block=4,
+                    prefill_buckets=(16,))
+    want = _run(collect(plain))
+
+    adaptive = LLMPool(params, CFG, capacity=4, block=4,
+                       prefill_buckets=(16,), spec_ladder=(0, 2, 3))
+    assert adaptive._adaptive and adaptive.use_spec
+    assert adaptive._spec_rungs == (0, 2, 3)
+    # force a switch at EVERY step: rung cycle 0 -> 3 -> 2 -> 0 -> ...
+    cycle = [0, 3, 2]
+    calls = []
+    adaptive._spec_ctl.next_k = lambda: (
+        calls.append(None) or cycle[(len(calls) - 1) % 3])
+    got = _run(collect(adaptive))
+    assert got == want
+    assert len(calls) >= 3          # actually cycled through the rungs
+
+
+def test_llm_pool_adaptive_parks_on_greedy_when_heads_never_accept(params):
+    """Random (untrained) draft heads: the controller must measure the
+    near-zero accept rate and move the pool to rung 0 — a bad checkpoint
+    degrades to greedy speed, never below.  Costs are injected (spec
+    iterations priced at 2.5x a greedy token) so the decision is
+    deterministic on any host."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.serve.spec_control import SpecController
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(16,), spec_ladder=(0, 3))
+    pool._spec_ctl = SpecController(
+        (0, 3), k0=3, cost_ms={0: 1.0, 3: 2.5}, dwell=2, probe_every=50)
+
+    async def go():
+        toks = []
+        async for chunk in pool.generate(PROMPTS[1], max_tokens=40):
+            toks.extend(chunk)
+        pool.stop()
+        return toks
+
+    got = _run(go())
+    assert got[:40] == _b1_like(params, PROMPTS[1], 40)
+    ctl = pool._spec_ctl
+    assert ctl.k == 0, f"controller stayed on rung {ctl.k}"
+    assert ctl.switches >= 1
+    assert ctl.p is not None and ctl.p < 0.6
+    # observability: the ladder state is in the pool's /stats payload
+    st = pool.stats()["spec"]
+    assert st["k"] == 0 and st["ladder"] == [0, 3]
+
+
+def _b1_like(params, ids, n_tokens):
+    """B=1 greedy reference (mirrors test_llm_pool._b1_greedy)."""
+    bucket = 16
+    padded = list(ids) + [0] * (bucket - len(ids))
+    st = llama.init_llama_decode_state(CFG, batch=1)
+    lg, st = llama.prefill_padded(params, jnp.asarray([padded], jnp.int32),
+                                  jnp.asarray(len(ids), jnp.int32), st, CFG)
+    out = [int(jnp.argmax(lg, axis=-1)[0])]
+    tok = jnp.asarray([out[-1]], jnp.int32)
+    while len(out) < n_tokens:
+        toks, st = llama.decode_block(params, tok, st, jax.random.PRNGKey(0),
+                                      CFG, block=4)
+        out.extend(int(t) for t in np.asarray(toks)[0])
+        tok = jnp.asarray([out[-1]], jnp.int32)
+    return out[:n_tokens]
+
+
+def test_llm_pool_adaptive_calibration_fills_costs(params):
+    """warmup() calibrates a per-rung cost table (ms/token for rung 0,
+    ms/iteration for spec rungs) so the controller's tokens/ms model has
+    real inputs from step one."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(16,), spec_ladder=(0, 3))
+    pool.warmup()
+    costs = pool._spec_ctl.cost_ms
+    assert set(costs) == {0, 3}
+    assert all(v > 0 for v in costs.values())
+
+
 def test_llm_pool_spec_requires_heads(params):
     """spec_k without draft heads silently falls back; WITH heads both
     greedy and sampled modes speculate (sampled = rejection sampling)."""

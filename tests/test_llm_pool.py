@@ -1073,3 +1073,65 @@ def test_pool_per_request_sampling_slot_reuse_resets(params):
     got = _run_pool(go())
     pool.stop()
     assert got[:9] == _b1_greedy(params, PROMPTS[3], 9)
+
+
+def test_pool_first_block_identity_and_widths(params):
+    """VERDICT r3 #1: a fresh request's first decode step runs at the
+    short first_block width (faster first text), later steps at the full
+    block — and the emitted tokens are identical to the plain pool's.
+    A request joining mid-flight must NOT shrink established streams'
+    steps: its first chunk then arrives at the full block width."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    async def chunks_of(pool, ids, n):
+        out = []
+        async for toks in pool.generate(ids, max_tokens=n):
+            out.append(list(toks))
+        return out
+
+    async def solo(pool):
+        try:
+            return await chunks_of(pool, PROMPTS[1], 13)
+        finally:
+            pool.stop()
+
+    plain = LLMPool(params, CFG, capacity=4, block=8,
+                    prefill_buckets=(16,))
+    want = _run_pool(solo(plain))
+    fb = LLMPool(params, CFG, capacity=4, block=8, first_block=4,
+                 prefill_buckets=(16,))
+    assert fb.first_block == 4
+    got = _run_pool(solo(fb))
+    flat = [t for c in got for t in c]
+    flatw = [t for c in want for t in c]
+    # identical tokens; lengths may differ (smaller first block
+    # overshoots the max_tokens budget less)
+    n = min(len(flat), len(flatw))
+    assert n >= 13 and flat[:n] == flatw[:n]
+    # chunk shape: [first token], first_block, then full blocks
+    assert [len(c) for c in got][:3] == [1, 4, 8]
+
+    # width rule at the dispatch level (deterministic): all-fresh step
+    # -> first_block; any established row in the step -> full block
+    fb2 = LLMPool(params, CFG, capacity=4, block=8, first_block=4,
+                  prefill_buckets=(16,))
+
+    async def widths():
+        i0 = await fb2.acquire()
+        i1 = await fb2.acquire()
+        fb2.submit_prefill(i0, PROMPTS[0])
+        fb2.submit_prefill(i1, PROMPTS[1])
+        fb2.submit_block(i0)
+        fb2.submit_block(i1)
+        rec1 = fb2._dispatch()            # both rows fresh
+        fb2.submit_block(i0)
+        rec2 = fb2._dispatch()            # row 0 established
+        i2 = await fb2.acquire()
+        fb2.submit_prefill(i2, PROMPTS[2])
+        fb2.submit_block(i2)
+        fb2.submit_block(i0)
+        rec3 = fb2._dispatch()            # fresh row 2 + established row 0
+        return rec1[5], rec2[5], rec3[5]
+
+    w1, w2, w3 = _run_pool(widths())
+    assert (w1, w2, w3) == (4, 8, 8)
