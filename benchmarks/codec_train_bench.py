@@ -23,8 +23,10 @@ from llmvox_tpu.train.codec_trainer import CodecTrainer  # noqa: E402
 from llmvox_tpu.utils.config import CodecConfig, CodecTrainConfig  # noqa: E402
 
 
-def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+def measure_codec_gan(batch: int = 40, repeats: int = 5) -> dict:
+    """One jitted alternating GAN step at the reference's per-device
+    shape; returns step time + train-audio throughput (the codec-GAN
+    regression row bench.py records — VERDICT r3 #2)."""
     cfg = CodecConfig()                      # deployed large-320-24k
     tcfg = CodecTrainConfig(batch_size=batch)
     trainer = CodecTrainer(cfg, tcfg)
@@ -37,20 +39,25 @@ def main() -> None:
     compile_s = time.time() - t0
 
     times = []
-    for _ in range(5):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         logs = trainer.step(audio)
         times.append(time.perf_counter() - t0)
     step_s = float(np.median(times))
     audio_s = batch * tcfg.num_samples / tcfg.sample_rate
-    print({
+    return {
         "batch": batch,
         "crop_s": tcfg.num_samples / tcfg.sample_rate,
         "compile_s": round(compile_s, 1),
         "step_ms": round(step_s * 1e3, 1),
         "train_audio_s_per_s": round(audio_s / step_s, 1),
         "mel": round(float(logs["mel"]), 4),
-    })
+    }
+
+
+def main() -> None:
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    print(measure_codec_gan(batch))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,110 @@ from llmvox_tpu.utils.config import DecoderConfig, TrainConfig
 from llmvox_tpu.utils.runtime import enable_compilation_cache
 
 
+def _mk_tables(mcfg, rng):
+    table = (0.02 * rng.standard_normal(
+        (mcfg.text_vocab_size, mcfg.text_embed_dim))).astype(np.float32)
+    codebook = (0.02 * rng.standard_normal(
+        (max(mcfg.vocab_size, mcfg.eoa_token_id + 1),
+         mcfg.speech_embed_dim))).astype(np.float32)
+    return table, codebook
+
+
+def _realistic_mix(mcfg, rng, n=160):
+    """Synthetic sentence-length mix shaped like speech data: the codec
+    emits 75 codes/s, sentences run ~1-8 s, so lengths cluster at a few
+    hundred with a long-ish tail (lognormal, clipped)."""
+    lens = np.clip(rng.lognormal(np.log(250), 0.6, n), 60, 900).astype(int)
+    return [dmod.Sample(
+        text_ids=rng.integers(0, 384, max(4, L // 3)).astype(np.int32),
+        codes=rng.integers(0, mcfg.vocab_size, L).astype(np.int32))
+        for L in lens]
+
+
+def _packed_epoch(samples, mcfg, rows, seq_len, spb=64):
+    """All packed batches covering ``samples`` once (collate_packed with
+    carry, terminating)."""
+    queue = list(samples)
+    carry, out = [], []
+    while queue or carry:
+        take = max(0, spb - len(carry))
+        offer = carry + queue[:take]
+        queue = queue[take:]
+        text, tgt, seg, pos, carry = dmod.collate_packed(
+            offer, mcfg, rows=rows, seq_len=seq_len)
+        out.append((text, tgt, seg, pos))
+    return out
+
+
+def measure_train_perf(steps: int = 5, mix_n: int = 160,
+                       verbose: bool = True) -> dict:
+    """Training rows for bench.py (VERDICT r3 #2): the deployed decoder's
+    MFU/tokens-per-second at the best realistic bucket (bs8/T=1024), and
+    the measured sequence-packing gain on a realistic sentence-length
+    mix — REAL (non-pad) target tokens per second, bucketed-unpacked vs
+    packed at one fixed (8, 1024) shape."""
+    enable_compilation_cache()
+    mcfg = DecoderConfig()
+    rng = np.random.default_rng(0)
+    table, codebook = _mk_tables(mcfg, rng)
+    tcfg = TrainConfig(batch_size=8, gradient_accumulation_steps=1,
+                       eval_interval=10**9)
+    trainer = Trainer(tcfg, mcfg, table, codebook)
+
+    # -- fixed-shape MFU row (bs8 / T1024) --------------------------------
+    samples = [dmod.Sample(
+        text_ids=rng.integers(0, 384, 256).astype(np.int32),
+        codes=rng.integers(0, mcfg.vocab_size, 1023).astype(np.int32))
+        for _ in range(8)]
+    text_ids, targets = dmod.collate(samples, mcfg, bucket=1024)
+    trainer.step(text_ids, targets)          # compile
+    trainer.step(text_ids, targets)          # steady state
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        trainer.step(text_ids, targets)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    tokens = 8 * 1024
+    out = {
+        "train_mfu_bs8_t1024": round(
+            estimate_mfu(mcfg, trainer.n_params, tokens, dt) * 100, 2),
+        "train_tok_s_bs8_t1024": round(tokens / dt, 0),
+    }
+
+    # -- packing gain on the realistic mix --------------------------------
+    mix = _realistic_mix(mcfg, rng, mix_n)
+
+    # unpacked: bucketed batches of 8 in arrival order (the deployed
+    # BatchIterator's collate); warm each distinct bucket shape first
+    ub = [dmod.collate(mix[i:i + 8], mcfg, bucket=256)
+          for i in range(0, len(mix) - 7, 8)]
+    for shape in {b[0].shape for b in ub}:
+        probe = next(b for b in ub if b[0].shape == shape)
+        trainer.step(*probe)
+    real_u = sum(int((b[1] != mcfg.ignore_index).sum()) for b in ub)
+    t0 = time.perf_counter()
+    for b in ub:
+        trainer.step(*b)
+    dt_u = time.perf_counter() - t0          # step() syncs on float(loss)
+
+    pb = _packed_epoch(mix, mcfg, rows=8, seq_len=1024)
+    trainer.step(*pb[0])                      # compile the packed program
+    real_p = sum(int((b[1] != mcfg.ignore_index).sum()) for b in pb)
+    t0 = time.perf_counter()
+    for b in pb:
+        trainer.step(*b)
+    dt_p = time.perf_counter() - t0
+
+    out["train_unpacked_real_tok_s"] = round(real_u / dt_u, 0)
+    out["train_packed_real_tok_s"] = round(real_p / dt_p, 0)
+    out["train_pack_speedup"] = round((real_p / dt_p) / (real_u / dt_u), 2)
+    out["train_pack_occupancy"] = round(real_p / (len(pb) * 8 * 1024), 3)
+    if verbose:
+        print(out, flush=True)
+    return out
+
+
 def main():
     enable_compilation_cache()
     mcfg = DecoderConfig()  # deployed 4L/8H/768, block 8192

@@ -100,21 +100,34 @@ def _get(p: Dict, key: str):
 def apply_decoder(params: Dict, emb: jnp.ndarray, cfg: DecoderConfig,
                   *, dropout_rng: Optional[jax.Array] = None,
                   train: bool = False, return_hidden: bool = False,
-                  attn_fn=None):
+                  attn_fn=None, positions: Optional[jnp.ndarray] = None,
+                  segments: Optional[jnp.ndarray] = None):
     """(B, T, C) fused input embeddings -> (B, T, vocab) logits, causal.
     ``return_hidden=True`` also returns the final pre-head hidden states
     (the draft heads' input).  ``attn_fn`` overrides the attention op
     (same (B, T, H, D) q/k/v -> (B, T, H, D) contract) — used by the
     sequence-parallel trainer to swap in ring attention
-    (ops/ring_attention.py) with the T axis sharded over the mesh."""
+    (ops/ring_attention.py) with the T axis sharded over the mesh.
+
+    PACKED batches (train/data.py::collate_packed): ``positions`` (B, T)
+    indexes the learned absolute positional table per SENTENCE (so a
+    packed sentence sees exactly the wpe rows its unpacked twin would),
+    and ``segments`` (B, T) makes attention block-diagonal-causal.  Not
+    composable with a custom ``attn_fn`` (ring attention shards T; the
+    zigzag permutation would scramble segment runs)."""
     b, t, c = emb.shape
     use_dropout = train and cfg.dropout > 0.0 and dropout_rng is not None
+    if segments is not None:
+        assert attn_fn is None, "packed segments need the default attention"
+        attn_fn = partial(causal_attention_auto, segments=segments)
 
     def drop(x, rng):
         keep = jax.random.bernoulli(rng, 1.0 - cfg.dropout, x.shape)
         return jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
 
-    x = emb + params["wpe"][:t].astype(emb.dtype)
+    wpe = (params["wpe"][:t] if positions is None
+           else params["wpe"][positions])
+    x = emb + wpe.astype(emb.dtype)
     if use_dropout:
         # reference dropout sites (src/model.py): embedding drop, the two
         # residual drops per block (after attention proj and after the
@@ -179,7 +192,9 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
                  cfg: DecoderConfig, *,
                  dropout_rng: Optional[jax.Array] = None,
                  train: bool = True,
-                 mtp_weight: float = 0.2, attn_fn=None) -> jnp.ndarray:
+                 mtp_weight: float = 0.2, attn_fn=None,
+                 positions: Optional[jnp.ndarray] = None,
+                 segments: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cross-entropy with ignore_index (src/model.py:229-230).
 
     With ``cfg.n_draft_heads > 0`` (params carry ``draft_heads``), adds
@@ -187,14 +202,22 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
     the target shifted j+1 further ahead from the same hidden state, so
     its decode-time drafts approximate the model's own future greedy
     tokens (the only thing decode_block_spec needs — acceptance keeps
-    correctness regardless)."""
+    correctness regardless).
+
+    ``positions``/``segments``: packed-batch plumbing (see
+    :func:`apply_decoder`); the MTP shifted targets additionally mask
+    positions whose shifted target falls in a DIFFERENT sentence —
+    without that, every packed boundary would train head j on the next
+    sentence's codes."""
     if "draft_heads" not in params:
         logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
-                               train=train, attn_fn=attn_fn)
+                               train=train, attn_fn=attn_fn,
+                               positions=positions, segments=segments)
         return _masked_ce(logits, targets, cfg.ignore_index)
     logits, hidden = apply_decoder(params, emb, cfg,
                                    dropout_rng=dropout_rng, train=train,
-                                   return_hidden=True, attn_fn=attn_fn)
+                                   return_hidden=True, attn_fn=attn_fn,
+                                   positions=positions, segments=segments)
     loss = _masked_ce(logits, targets, cfg.ignore_index)
     n_heads = params["draft_heads"].shape[0]
     aux = 0.0
@@ -205,6 +228,12 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
             [targets[:, shift:],
              jnp.full((targets.shape[0], shift), cfg.ignore_index,
                       targets.dtype)], axis=1)
+        if segments is not None:
+            seg_shift = jnp.concatenate(
+                [segments[:, shift:],
+                 jnp.zeros((segments.shape[0], shift),
+                           segments.dtype)], axis=1)
+            tgt = jnp.where(seg_shift == segments, tgt, cfg.ignore_index)
         lj = nn.linear(hidden, params["draft_heads"][j]).astype(jnp.float32)
         aux = aux + _masked_ce(lj, tgt, cfg.ignore_index)
     return loss + mtp_weight * aux / n_heads

@@ -28,8 +28,16 @@ from jax import lax
 NEG_INF = float("-inf")
 
 
-def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(B, T, H, D) q/k/v -> (B, T, H, D), causal, softmax in fp32."""
+def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     segments: jnp.ndarray = None) -> jnp.ndarray:
+    """(B, T, H, D) q/k/v -> (B, T, H, D), causal, softmax in fp32.
+
+    ``segments`` (B, T) int32: block-diagonal-causal masking for PACKED
+    batches (train/data.py::collate_packed) — a query attends a key iff
+    it is causal AND both carry the same nonzero segment id, so packed
+    sentences can never see each other.  Padding (segment 0) rows get a
+    self-only fallback mask to keep the softmax finite; their outputs
+    are discarded by the loss's ignore_index."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     from llmvox_tpu.ops.nn import mm_precision
@@ -38,7 +46,13 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
                         precision=mm_precision(q.dtype)) * scale
     t = q.shape[1]
     mask = jnp.tril(jnp.ones((t, t), dtype=bool))
-    logits = jnp.where(mask, logits, NEG_INF)
+    if segments is not None:
+        # self-attention is always kept (causal diag + own segment), so
+        # every row's softmax stays finite — padding included
+        same = segments[:, :, None] == segments[:, None, :]   # (B, T, S)
+        logits = jnp.where((mask[None] & same)[:, None], logits, NEG_INF)
+    else:
+        logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", w, v,
                       precision=mm_precision(q.dtype))
@@ -47,7 +61,8 @@ def causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
 def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            *, block_q: int = 512,
                            block_k: int = 1024,
-                           unroll_q: bool = False) -> jnp.ndarray:
+                           unroll_q: bool = False,
+                           segments: jnp.ndarray = None) -> jnp.ndarray:
     """Blockwise (flash) causal attention: O(T * block) memory.
 
     The naive path materializes (B, H, T, T) probabilities — at the
@@ -58,6 +73,9 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     stays O(block_q * T) per layer.
 
     q/k/v: (B, T, H, D) with T divisible by block_q and block_k.
+    ``segments`` (B, T): packed-batch block-diagonal-causal masking, see
+    :func:`causal_attention` — applied per tile, so the triangular
+    tile-skipping and O(block) memory are unchanged.
     """
     b, t, h, d = q.shape
     assert t % block_q == 0 and t % block_k == 0
@@ -89,10 +107,28 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            preferred_element_type=jnp.float32,
                            precision=mm_prec) * scale
             causal = (qi * block_q + iq) >= (ci * block_k + ik)
-            s = jnp.where(causal[None, None], s, NEG_INF)
+            if segments is not None:
+                sq = lax.dynamic_slice(segments, (0, qi * block_q),
+                                       (b, block_q))
+                sk = lax.dynamic_slice(segments, (0, ci * block_k),
+                                       (b, block_k))
+                same = sq[:, :, None] == sk[:, None, :]       # (B, bq, bk)
+                s = jnp.where((causal[None] & same)[:, None], s, NEG_INF)
+            else:
+                s = jnp.where(causal[None, None], s, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
+            if segments is not None:
+                # a segment's keys can be entirely outside this tile, so
+                # the running max may still be -inf: exp(-inf - -inf)
+                # would be NaN.  Subtracting 0 instead yields exact
+                # zeros for p/corr and the row's own tile takes over.
+                # (Unsegmented causal never hits this: k-block 0 always
+                # holds key 0, unmasked for every query.)
+                m_sub = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            else:
+                m_sub = m_new
+            p = jnp.exp(s - m_sub)
+            corr = jnp.exp(m - m_sub)
             l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             acc_new = acc * corr + jnp.einsum(
                 "bhqk,bkhd->bhqd", p.astype(q.dtype), vb,
@@ -130,7 +166,8 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.transpose(outs, (1, 0, 2, 3, 4)).reshape(b, t, h, d)
 
 
-def causal_attention_auto(q, k, v, *, flash_threshold: int = 1024):
+def causal_attention_auto(q, k, v, *, flash_threshold: int = 1024,
+                          segments: jnp.ndarray = None):
     """Naive attention for short sequences (tests, tiny configs), flash
     tiles for long ones (training at block 8192)."""
     t = q.shape[1]
@@ -138,8 +175,9 @@ def causal_attention_auto(q, k, v, *, flash_threshold: int = 1024):
         # unroll_q: each q-block gets a static triangular trip count, so
         # upper-triangle tiles are never emitted (69 ms vs 113 ms fwd+bwd
         # at the deployed (2, 8192, 8, 96) shape on v5e-1)
-        return flash_causal_attention(q, k, v, unroll_q=True)
-    return causal_attention(q, k, v)
+        return flash_causal_attention(q, k, v, unroll_q=True,
+                                      segments=segments)
+    return causal_attention(q, k, v, segments=segments)
 
 
 @partial(jax.jit, static_argnames=("n_head", "chunk"))

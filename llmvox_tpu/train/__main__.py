@@ -32,6 +32,13 @@ def main(argv=None) -> None:
     parser.add_argument("--byt5_table", type=str, default=None)
     parser.add_argument("--codec_params", type=str, default=None)
     parser.add_argument("--bucket", type=int, default=256)
+    parser.add_argument("--pack", action="store_true",
+                        help="pack multiple sentences per row "
+                             "(train/data.py::collate_packed): one fixed "
+                             "(batch_size, pack_len) shape at near-full "
+                             "token occupancy instead of pad-heavy "
+                             "bucketed batches")
+    parser.add_argument("--pack_len", type=int, default=1024)
     args = parser.parse_args(argv)
 
     tcfg = apply_cli_overrides(TrainConfig(), args)
@@ -74,8 +81,13 @@ def main(argv=None) -> None:
     dataset = SpeechDataset(tcfg.data_path)
     print(f"dataset: {len(dataset)} samples; model: "
           f"{trainer.n_params / 1e6:.2f}M params")
-    batches = iter(BatchIterator(dataset, mcfg, tcfg.batch_size,
-                                 bucket=args.bucket, seed=tcfg.seed))
+    if args.pack:
+        from llmvox_tpu.train.data import PackedBatchIterator
+        batches = iter(PackedBatchIterator(dataset, mcfg, tcfg.batch_size,
+                                           args.pack_len, seed=tcfg.seed))
+    else:
+        batches = iter(BatchIterator(dataset, mcfg, tcfg.batch_size,
+                                     bucket=args.bucket, seed=tcfg.seed))
     if tcfg.eval_only:
         print(f"eval loss: {trainer.estimate_loss(batches, tcfg.eval_iters):.4f}")
         return

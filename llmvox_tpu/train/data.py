@@ -109,25 +109,128 @@ def collate(samples: Sequence[Sample], cfg: DecoderConfig, *,
     return text, targets
 
 
+def collate_packed(samples: Sequence[Sample], cfg: DecoderConfig, *,
+                   rows: int, seq_len: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray, List[Sample]]:
+    """Pack MULTIPLE sentences per row (VERDICT r3 #2): the bucketed
+    :func:`collate` pads every row of a short-sentence batch to the
+    bucket multiple, and those dead pad positions ride through the whole
+    train step as wasted FLOPs.  Here each of ``rows`` rows is greedily
+    filled with whole sentences up to ``seq_len`` (first-fit in arrival
+    order), so a realistic mix of short sentences trains at near-full
+    MXU occupancy from ONE compiled shape.
+
+    Returns ``(text, targets, seg_ids, pos_ids, leftover)``:
+    - ``seg_ids`` (B, T) int32 — 1..n per sentence, 0 on padding; the
+      attention mask becomes block-diagonal-causal (a query attends only
+      keys of its own sentence) via ops/attention.py's ``segments=``.
+    - ``pos_ids`` (B, T) int32 — position WITHIN the sentence, so the
+      learned absolute positional embedding (and the prev-code input
+      feature reset) see exactly what unpacked training sees.
+    - ``leftover`` — samples that didn't fit this batch (the iterator
+      carries them into the next one).  Sentences longer than seq_len
+      are cropped to it, like :func:`collate`'s max_len crop.
+    """
+    text = np.full((rows, seq_len), cfg.pad_token_id, np.int32)
+    targets = np.full((rows, seq_len), cfg.ignore_index, np.int32)
+    seg = np.zeros((rows, seq_len), np.int32)
+    pos = np.zeros((rows, seq_len), np.int32)
+    fill = [0] * rows
+    nseg = [0] * rows
+    leftover: List[Sample] = []
+    for s in samples:
+        n = min(len(s.codes) + 1, seq_len)
+        row = next((r for r in range(rows) if fill[r] + n <= seq_len),
+                   None)
+        if row is None:
+            leftover.append(s)
+            continue
+        o = fill[row]
+        nseg[row] += 1
+        targets[row, o: o + n - 1] = s.codes[: n - 1]
+        targets[row, o + n - 1] = cfg.eoa_token_id
+        nt = min(len(s.text_ids), n)
+        text[row, o: o + nt] = s.text_ids[:nt]
+        seg[row, o: o + n] = nseg[row]
+        pos[row, o: o + n] = np.arange(n)
+        fill[row] = o + n
+    return text, targets, seg, pos, leftover
+
+
 def build_decoder_inputs(text_table: jnp.ndarray, codebook: jnp.ndarray,
                          text_ids: jnp.ndarray, targets: jnp.ndarray,
-                         cfg: DecoderConfig) -> jnp.ndarray:
+                         cfg: DecoderConfig,
+                         pos_ids: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
     """Device-side input construction (reference src/data.py:239-288).
 
     Position t sees the byte embedding of text_ids[t] concatenated with the
     codebook feature of the *previous* target code (zeros at t=0; padded
     region uses the EOA feature, matching the reference collator's
     pad-by-EOA-feature, src/data.py:209-221), L2-normalized.
+
+    ``pos_ids`` (packed batches): the prev-code feature zeroes wherever
+    ``pos_ids == 0`` — every SENTENCE start, not just t=0 — so a packed
+    sentence's first step matches its unpacked first step exactly.
     """
     input_codes = jnp.where(targets == cfg.ignore_index,
                             cfg.eoa_token_id, targets)
     prev = jnp.concatenate(
         [jnp.zeros_like(input_codes[:, :1]), input_codes[:, :-1]], axis=1)
     feats = codebook[prev]                                    # (B, T, 512)
-    feats = feats.at[:, 0, :].set(0.0)                        # zero first step
+    if pos_ids is None:
+        feats = feats.at[:, 0, :].set(0.0)                    # zero first step
+    else:
+        feats = jnp.where((pos_ids == 0)[..., None], 0.0, feats)
     temb = text_table[text_ids]                               # (B, T, 256)
     emb = jnp.concatenate([temb, feats], axis=-1)
     return nn.l2_normalize(emb)
+
+
+class PackedBatchIterator:
+    """Infinite shuffled PACKED batches: (text, targets, seg_ids, pos_ids)
+    with multiple sentences per row (see :func:`collate_packed`) at ONE
+    fixed (rows, seq_len) shape — a single compiled train step at
+    near-full token occupancy, vs the bucketed iterator's pad-heavy
+    short-sentence batches.  Samples that don't fit a batch carry over
+    to the next (nothing is dropped within an epoch)."""
+
+    def __init__(self, dataset: SpeechDataset, cfg: DecoderConfig,
+                 rows: int, seq_len: int, *, samples_per_batch: int = 0,
+                 seed: int = 0, shard_count: int = 1, shard_index: int = 0):
+        self.ds = dataset
+        self.cfg = cfg
+        self.rows = rows
+        self.seq_len = seq_len
+        # how many new samples to OFFER per batch: default enough to
+        # plausibly fill rows*seq_len given the dataset's mean length
+        if samples_per_batch <= 0:
+            mean = max(float(np.mean([len(s.codes) + 1
+                                      for s in dataset.samples])), 1.0)
+            samples_per_batch = max(rows, int(rows * seq_len / mean) + rows)
+        self.spb = samples_per_batch
+        self.rng = np.random.default_rng(seed)
+        self.shard_count = shard_count
+        self.shard_index = shard_index
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray]]:
+        carry: List[Sample] = []
+        while True:
+            order = self.rng.permutation(len(self.ds))
+            order = order[self.shard_index::self.shard_count]
+            queue = [self.ds[j] for j in order]
+            while queue or carry:
+                take = max(0, self.spb - len(carry))
+                offer = carry + queue[:take]
+                queue = queue[take:]
+                if not queue and len(offer) < self.rows:
+                    carry = offer       # tail too thin: next epoch tops up
+                    break
+                text, targets, seg, pos, carry = collate_packed(
+                    offer, self.cfg, rows=self.rows, seq_len=self.seq_len)
+                yield text, targets, seg, pos
 
 
 class BatchIterator:

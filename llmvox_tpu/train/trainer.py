@@ -47,16 +47,23 @@ def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16,
     shard_map inside doubles as the sharding constraint that keeps the
     surrounding activations T-sharded under GSPMD."""
 
-    def loss_fn(params, text_table, codebook, text_ids, targets, rng):
-        emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
+    def loss_fn(params, text_table, codebook, text_ids, targets, rng,
+                segments, positions):
+        emb = build_decoder_inputs(text_table, codebook, text_ids, targets,
+                                   cfg, pos_ids=positions)
         emb = emb.astype(compute_dtype)
         return dec.decoder_loss(params, emb, targets, cfg,
-                                dropout_rng=rng, train=True, attn_fn=attn_fn)
+                                dropout_rng=rng, train=True, attn_fn=attn_fn,
+                                segments=segments, positions=positions)
 
     def train_step(state: TrainState, text_table, codebook,
-                   text_ids, targets, rng):
+                   text_ids, targets, rng, segments=None, positions=None):
+        # segments/positions: packed batches (train/data.py::
+        # collate_packed) — None (an empty pytree under jit) keeps the
+        # unpacked program unchanged.
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, text_table, codebook, text_ids, targets, rng)
+            state.params, text_table, codebook, text_ids, targets, rng,
+            segments, positions)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -66,10 +73,13 @@ def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16,
 
 def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16,
                    attn_fn=None):
-    def eval_step(params, text_table, codebook, text_ids, targets):
-        emb = build_decoder_inputs(text_table, codebook, text_ids, targets, cfg)
+    def eval_step(params, text_table, codebook, text_ids, targets,
+                  segments=None, positions=None):
+        emb = build_decoder_inputs(text_table, codebook, text_ids, targets,
+                                   cfg, pos_ids=positions)
         return dec.decoder_loss(params, emb.astype(compute_dtype), targets,
-                                cfg, train=False, attn_fn=attn_fn)
+                                cfg, train=False, attn_fn=attn_fn,
+                                segments=segments, positions=positions)
     return eval_step
 
 
@@ -169,12 +179,18 @@ class Trainer:
         self.state = TrainState(params, opt_state, jnp.int32(self.iter_num))
 
     # -- steps -----------------------------------------------------------
-    def step(self, text_ids: np.ndarray, targets: np.ndarray) -> float:
+    def step(self, text_ids: np.ndarray, targets: np.ndarray,
+             segments: Optional[np.ndarray] = None,
+             positions: Optional[np.ndarray] = None) -> float:
         key, self.rng = jax.random.split(self.rng)
         text_ids = jax.device_put(jnp.asarray(text_ids), self.bsh)
         targets = jax.device_put(jnp.asarray(targets), self.bsh)
+        if segments is not None:
+            segments = jax.device_put(jnp.asarray(segments), self.bsh)
+            positions = jax.device_put(jnp.asarray(positions), self.bsh)
         self.state, loss = self._step(self.state, self.text_table,
-                                      self.codebook, text_ids, targets, key)
+                                      self.codebook, text_ids, targets, key,
+                                      segments, positions)
         self.iter_num += 1
         return float(loss)
 
@@ -183,11 +199,10 @@ class Trainer:
         """Mean loss over eval_iters batches (src/utils.py:83-102)."""
         losses = []
         for _ in range(eval_iters):
-            text_ids, targets = next(batches)
+            batch = next(batches)          # (text, targets[, seg, pos])
+            dev = [jax.device_put(jnp.asarray(a), self.bsh) for a in batch]
             losses.append(float(self._eval(
-                self.state.params, self.text_table, self.codebook,
-                jax.device_put(jnp.asarray(text_ids), self.bsh),
-                jax.device_put(jnp.asarray(targets), self.bsh))))
+                self.state.params, self.text_table, self.codebook, *dev)))
         return float(np.mean(losses))
 
     # -- loop ------------------------------------------------------------
@@ -213,8 +228,9 @@ class Trainer:
                 if tcfg.always_save_checkpoint:
                     self.save_checkpoint(
                         f"{tcfg.checkpoint_filename}_{self.iter_num}")
-            text_ids, targets = next(batches)
-            loss = self.step(text_ids, targets)
+            batch = next(batches)          # (text, targets[, seg, pos])
+            text_ids = batch[0]
+            loss = self.step(*batch)
             if self.iter_num % tcfg.log_interval == 0:
                 dt = time.time() - t0
                 t0 = time.time()
