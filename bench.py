@@ -154,6 +154,7 @@ def main() -> None:
     # encoder's ~0.6 GB attention transients ran 7-10x slower with the
     # pools' caches resident (HBM pressure), which would understate ASR.
     from benchmarks.whisper_bench import (base_cfg, bench_wav, make_params,
+                                          run_utterance_stream,
                                           run_utterance)
     wcfg = base_cfg()
     wparams = make_params(wcfg, dev)
@@ -192,6 +193,18 @@ def main() -> None:
     lspec = measure_llama_spec(steps=200, k_draft=8, blocks=6, batch=8,
                                block=32, verbose=False)
     spec_mismatches += lspec["mismatches"]
+
+    # ---- spec accept-rate calibration on REALISTIC drafts --------------
+    # (VERDICT r3 #8; benchmarks/spec_calibrate.py).  The cycle rows
+    # above are the mechanism's upper bound; this trains heads on a
+    # noisy Markov process (partially predictable, like real speech
+    # codes) and sweeps decode-time k over ONE checkpoint — the curve
+    # picks the served default (utils/config.py spec_k_draft), and the
+    # speedup at the calibrated k is the realistic-drafts headline.
+    from benchmarks.spec_calibrate import calibrate
+    calib = calibrate(steps=150, noise=0.25, n_heads=16, ks=(4, 8, 12),
+                      blocks=3, block=64, reps=3, verbose=False)
+    spec_mismatches += sum(r["mismatches"] for r in calib["curve"])
 
     # ---- training perf rows (VERDICT r3 #2: regression-guard training
     # in the driver artifact) — decoder MFU at the best realistic bucket,
@@ -314,16 +327,18 @@ def main() -> None:
                                eos_text=scfg.eos_token)
     llm.warmup()
 
-    async def combined_request(i):
+    async def combined_request(i, texts=None, t_start=None):
         pengines = [PooledEngine(pool, scfg), PooledEngine(pool, scfg)]
         try:
             psched = StreamingScheduler(pengines, scfg)
             n_bytes = 0
-            t_start = time.perf_counter()
+            req = {"system": "You are a concise voice assistant.",
+                   "prompt": f"Benchmark question number {i}?"}
+            pred = (llm.predict_streaming(req, texts) if texts is not None
+                    else llm.predict(req))
+            t_start = t_start or time.perf_counter()
             first = None
-            async for chunk in psched.run(llm.predict(
-                    {"system": "You are a concise voice assistant.",
-                     "prompt": f"Benchmark question number {i}?"})):
+            async for chunk in psched.run(pred):
                 if first is None:
                     first = (time.perf_counter() - t_start) * 1000.0
                 n_bytes += len(chunk)
@@ -340,15 +355,43 @@ def main() -> None:
     # the pools' KV caches resident (deployment HBM pressure included —
     # unlike the clean ASR-only phase above).  Random ASR weights produce
     # garbage text, so the transcript is replaced by a fixed prompt of
-    # typical length; the COMPUTE is the full chain.
+    # typical length revealed in step with the REAL partial-transcript
+    # stream; the COMPUTE is the full chain.  OVERLAPPED (VERDICT r3 #3):
+    # stable transcript prefixes prefill into the LLM pool while the
+    # utterance's remaining decode blocks are still in flight
+    # (serve/server.py /voicechat runs the same shape through
+    # predict_streaming + transcribe_stream_async).
     wparams2 = make_params(wcfg, dev)
 
     async def s2s_request(i):
+        fixed = f"Benchmark question number {100 + i}?"
         t0 = time.perf_counter()
-        await asyncio.to_thread(run_utterance, wparams2, wcfg, wav1, 1)
-        asr_s = time.perf_counter() - t0
-        first, audio_s, wall = await combined_request(100 + i)
-        return 1000 * asr_s + first, 1000 * asr_s
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+        asr_s = [0.0]
+
+        def worker():
+            for upd in run_utterance_stream(wparams2, wcfg, wav1):
+                loop.call_soon_threadsafe(q.put_nowait, upd)
+            loop.call_soon_threadsafe(q.put_nowait, None)
+
+        async def texts():
+            while True:
+                upd = await q.get()
+                if upd is None:
+                    return
+                done, n, dt = upd
+                if done >= n:
+                    asr_s[0] = dt
+                    yield fixed
+                else:
+                    yield fixed[: (len(fixed) * done) // n]
+
+        task = asyncio.create_task(asyncio.to_thread(worker))
+        first, _audio_s, _wall = await combined_request(
+            100 + i, texts=texts(), t_start=t0)
+        await task
+        return first, 1000 * asr_s[0]
 
     async def llm_only_wave(n=8, max_tokens=128):
         """Text-only pooled generation: aggregate tok/s with n concurrent
@@ -505,6 +548,12 @@ def main() -> None:
         "llm_spec_sampled_t08_agg_tok_s_b8":
             lspec["sampled_t08_spec_agg_tok_s"],
         "spec_vs_greedy_token_mismatches": spec_mismatches,
+        "spec_calib_curve": {str(r["k"]): [r["accepted_per_iter"],
+                                           r["speedup"]]
+                             for r in calib["curve"]},
+        "spec_calib_best_k": calib["best_k"],
+        "spec_calib_speedup_at_best_k": calib["best_speedup"],
+        "spec_calib_accept_ceiling": calib["accept_ceiling_per_iter"],
         "llama1B_bf16_ms_per_block16": round(llama1b_bf16_ms, 1),
         "llama1B_int8_ms_per_block16": round(llama1b_int8_ms, 1),
         "llama1B_int8_speedup": round(llama1b_bf16_ms

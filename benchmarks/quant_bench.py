@@ -165,6 +165,31 @@ def main() -> None:
         "w4": (quantize_llama_params(lparams, "w4"), lcfg),
     })
 
+    # MoE shapes (VERDICT r3 #5): expert weights are where an 8-expert
+    # model's parameter memory explodes — quantizing them is the
+    # capacity lever.  Same decode loops, Mixtral-style E=8/top_k=2 at
+    # the 30M-class trunk; param_bytes shows the HBM footprint each mode
+    # buys.  (Inference paths run drop-free, so routing is identical
+    # across modes — only the expert matmul precision differs.)
+    from llmvox_tpu.ops.quant import quantized_bytes
+    mcfg = llama.LlamaConfig(vocab_size=384, n_layer=8, n_head=8,
+                             n_kv_head=4, n_embd=512,
+                             intermediate_size=1408, max_seq_len=1024,
+                             n_experts=8, moe_top_k=2)
+    res["llamaMoE_E8"] = {}
+    for mode in ("bf16", "w8", "w4"):
+        mparams = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            llama.init_llama_params(jax.random.PRNGKey(3), mcfg))
+        if mode != "bf16":
+            mparams = quantize_llama_params(mparams, mode)
+        res["llamaMoE_E8"][f"{mode}_param_mb"] = round(
+            quantized_bytes(mparams) / 1e6, 1)
+        mparams = jax.device_put(mparams, dev)
+        row = bench_llama(dev, {mode: (mparams, mcfg)})
+        res["llamaMoE_E8"].update(row)
+        del mparams
+
     # 1B-class: where B=1 decode is genuinely weight-bandwidth-bound
     # (~2.2 GB of bf16 streamed per token) — the regime the production
     # llm_checkpoint (Llama-3.1-8B) serves in.  Quantized variants are

@@ -68,6 +68,40 @@ def run_utterance(params, cfg, wav1: np.ndarray, batch: int,
     return t_enc - t0, t1 - t_enc, t1 - t0
 
 
+def run_utterance_stream(params, cfg, wav1: np.ndarray,
+                         n_tokens: int = 32, block: int = 16):
+    """``run_utterance``'s B=1 chain as a PARTIAL-RESULT stream: yields
+    ``(blocks_done, n_blocks, seconds_since_start)`` after each decode
+    block's tokens land on the host — the harness twin of
+    JAXWhisperASR.transcribe_stream (same pipelining: block N+1 is in
+    flight before block N is fetched), used by bench.py's overlapped
+    speech-to-speech measurement."""
+    import jax.numpy as jnp
+
+    from llmvox_tpu.models import whisper as W
+    t0 = time.perf_counter()
+    mel = W.log_mel(jnp.asarray(wav1), cfg)
+    enc = W.encode(params, mel, cfg)
+    cross = W.make_cross_kv(params, enc, cfg)
+    st = W.init_whisper_decode_state(cfg, 1, jnp.bfloat16)
+    forced = jnp.full((1, 4), 3, jnp.int32)
+    lg, st = W.prefill(params, forced, st, cross, cfg)
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+    n_blocks = (n_tokens + block - 1) // block
+    pend = None
+    done = 0
+    for _ in range(n_blocks):
+        toks, st = W.decode_block(params, tok, st, cross, cfg, block=block)
+        tok = toks[:, -1]
+        if pend is not None:
+            np.asarray(pend)        # fetch N-1 while N is in flight
+            done += 1
+            yield done, n_blocks, time.perf_counter() - t0
+        pend = toks
+    np.asarray(pend)
+    yield done + 1, n_blocks, time.perf_counter() - t0
+
+
 def bench_wav(cfg) -> np.ndarray:
     from llmvox_tpu.models import whisper as W
     rng = np.random.default_rng(0)

@@ -194,7 +194,8 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
                  train: bool = True,
                  mtp_weight: float = 0.2, attn_fn=None,
                  positions: Optional[jnp.ndarray] = None,
-                 segments: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 segments: Optional[jnp.ndarray] = None,
+                 perm: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cross-entropy with ignore_index (src/model.py:229-230).
 
     With ``cfg.n_draft_heads > 0`` (params carry ``draft_heads``), adds
@@ -208,19 +209,20 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
     :func:`apply_decoder`); the MTP shifted targets additionally mask
     positions whose shifted target falls in a DIFFERENT sentence —
     without that, every packed boundary would train head j on the next
-    sentence's codes."""
-    if "draft_heads" not in params:
-        logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
-                               train=train, attn_fn=attn_fn,
-                               positions=positions, segments=segments)
-        return _masked_ce(logits, targets, cfg.ignore_index)
-    logits, hidden = apply_decoder(params, emb, cfg,
-                                   dropout_rng=dropout_rng, train=train,
-                                   return_hidden=True, attn_fn=attn_fn,
-                                   positions=positions, segments=segments)
-    loss = _masked_ce(logits, targets, cfg.ignore_index)
-    n_heads = params["draft_heads"].shape[0]
-    aux = 0.0
+    sentence's codes.
+
+    ``perm``: static (T,) zigzag permutation for the balanced sp ring
+    layout (ops/ring_attention.py::zigzag_permutation) — emb, targets
+    and the MTP shifted targets (computed in ORIGINAL time order first,
+    because "t+shift" means adjacent original positions, not adjacent
+    rows) are gathered through it and the positional table is indexed by
+    it, so the loss equals the unpermuted loss exactly while attention
+    (``attn_fn = make_zigzag_ring_attention(mesh)``) runs in the zigzag
+    layout.  Cross-entropy is a masked mean over positions, so row order
+    cancels.  Not composable with packed segments."""
+    n_heads = (params["draft_heads"].shape[0]
+               if "draft_heads" in params else 0)
+    shifted = []
     for j in range(n_heads):
         shift = j + 1
         # hidden at position t predicts targets[t + shift]
@@ -234,8 +236,28 @@ def decoder_loss(params: Dict, emb: jnp.ndarray, targets: jnp.ndarray,
                  jnp.zeros((segments.shape[0], shift),
                            segments.dtype)], axis=1)
             tgt = jnp.where(seg_shift == segments, tgt, cfg.ignore_index)
+        shifted.append(tgt)
+    if perm is not None:
+        assert segments is None and positions is None, \
+            "zigzag perm is not composable with packed batches"
+        emb = emb[:, perm]
+        targets = targets[:, perm]
+        shifted = [t[:, perm] for t in shifted]
+        positions = perm
+    if n_heads == 0:
+        logits = apply_decoder(params, emb, cfg, dropout_rng=dropout_rng,
+                               train=train, attn_fn=attn_fn,
+                               positions=positions, segments=segments)
+        return _masked_ce(logits, targets, cfg.ignore_index)
+    logits, hidden = apply_decoder(params, emb, cfg,
+                                   dropout_rng=dropout_rng, train=train,
+                                   return_hidden=True, attn_fn=attn_fn,
+                                   positions=positions, segments=segments)
+    loss = _masked_ce(logits, targets, cfg.ignore_index)
+    aux = 0.0
+    for j in range(n_heads):
         lj = nn.linear(hidden, params["draft_heads"][j]).astype(jnp.float32)
-        aux = aux + _masked_ce(lj, tgt, cfg.ignore_index)
+        aux = aux + _masked_ce(lj, shifted[j], cfg.ignore_index)
     return loss + mtp_weight * aux / n_heads
 
 

@@ -269,7 +269,7 @@ def _mode_cls(mode: str):
 # matmul-weight key sets per model family (everything is (…, Cin, Cout))
 DECODER_MATMUL_KEYS = ("wqkv", "wo", "wfc", "wproj", "head")
 LLAMA_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "wgate", "wup", "wdown",
-                     "head")
+                     "head", "moe_wgate", "moe_wup", "moe_wdown")
 WHISPER_MATMUL_KEYS = ("wq", "wk", "wv", "wo", "xwq", "xwk", "xwv", "xwo",
                        "fc1_w", "fc2_w")
 HEAD_KEYS = ("head",)
@@ -291,9 +291,12 @@ def quantize_llama_params(params: Dict, mode: str = "w8") -> Dict:
     stays dense: it is an embedding gather, and for tied-embedding
     models its transpose doubles as the head.  In ``w8a8`` mode the lm
     head stays weight-only (sampling fidelity).  MoE expert weights
-    (``moe_*``/``router``, ops/moe.py) deliberately stay full precision:
-    the expert einsums don't route through ops.linear's quantized
-    dispatch — int8 experts are a follow-up, not a silent partial."""
+    (``moe_wgate/wup/wdown``) quantize too — per-(expert, out-channel)
+    scales (per group for w4), applied through
+    ``ops.moe.expert_matmul``'s container dispatch; the ROUTER stays
+    full precision (its argmax-like top-k picks experts — rounding there
+    changes routing, not just values — and it is one (C, E) matmul per
+    layer, not a parameter-memory term)."""
     return _quantize_named(params, LLAMA_MATMUL_KEYS, _mode_cls(mode),
                            keep_w8=HEAD_KEYS)
 

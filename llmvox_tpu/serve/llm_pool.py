@@ -30,15 +30,30 @@ import numpy as np
 from llmvox_tpu.models import llama
 
 
+class PromptRestart(Exception):
+    """Raised by a streaming-prompt producer when already-submitted ids
+    turned out wrong (a tokenizer revised its own earlier output — rare
+    BPE boundary merges).  Carries the FINAL prompt ids; the pool
+    recovers with one plain fresh prefill of them, so the output is
+    always exactly ``generate(final_ids)``."""
+
+    def __init__(self, ids: List[int]):
+        super().__init__("streaming prompt restarted")
+        self.ids = list(ids)
+
+
 class _PrefillReq:
-    __slots__ = ("slot", "ids", "future", "prefix")
+    __slots__ = ("slot", "ids", "future", "prefix", "final", "extend")
 
     def __init__(self, slot: int, ids: List[int], future: asyncio.Future,
-                 prefix: bool = False):
+                 prefix: bool = False, final: bool = True,
+                 extend: bool = False):
         self.slot = slot
         self.ids = ids              # suffix ids when prefix=True
         self.future = future
         self.prefix = prefix        # reuse the pool's shared-prefix KV
+        self.final = final          # False: a streaming-prompt part —
+        self.extend = extend        # more ids follow before sampling
 
 
 class _LSlot:
@@ -208,10 +223,11 @@ class LLMPool:
         self.slots[idx].blocks_done = 0
         return idx
 
-    def release(self, idx: int) -> None:
-        slot = self.slots[idx]
-        slot.active = False
-        slot.clear()
+    def _drop_slot_prefills(self, idx: int) -> None:
+        """Cancel QUEUED prefills for a slot.  Two fresh prefills for one
+        slot must never share a dispatch cycle (the merge would scatter
+        both rows into the same slot in one program) — the restart path
+        drops the stale ones before resubmitting."""
         keep: Deque[_PrefillReq] = deque()
         while self._prefills:
             r = self._prefills.popleft()
@@ -221,6 +237,12 @@ class LLMPool:
             else:
                 keep.append(r)
         self._prefills = keep
+
+    def release(self, idx: int) -> None:
+        slot = self.slots[idx]
+        slot.active = False
+        slot.clear()
+        self._drop_slot_prefills(idx)
         self._ensure_free_queue().put_nowait(idx)
 
     # -- request API ----------------------------------------------------
@@ -293,15 +315,38 @@ class LLMPool:
         ids2 = list(ids)[-limit:] or [0]
         return False, ids2, len(ids2)
 
-    def submit_prefill(self, idx: int, ids: List[int]) -> asyncio.Future:
+    def submit_prefill(self, idx: int, ids: List[int],
+                       final: bool = True) -> asyncio.Future:
         """Enqueue a prompt prefill into slot ``idx``; resolves with the
         first sampled token (int).  Prompts longer than the largest bucket
         are left-truncated (keep the tail, like the B=1 path); prompts
-        starting with the pinned prefix prefill only their suffix."""
+        starting with the pinned prefix prefill only their suffix.
+        ``final=False``: a streaming-prompt head — more ids will follow
+        via :meth:`submit_prefill_extend` before any decode block, so the
+        resolved token is mid-prompt garbage the caller must ignore."""
         loop = asyncio.get_running_loop()
         fut = loop.create_future()
         use_pfx, ids, _ = self._plan(list(ids))
-        self._prefills.append(_PrefillReq(idx, ids, fut, use_pfx))
+        self._prefills.append(_PrefillReq(idx, ids, fut, use_pfx,
+                                          final=final))
+        if self._wake is not None:
+            self._wake.set()
+        return fut
+
+    def submit_prefill_extend(self, idx: int, ids: List[int],
+                              final: bool = True) -> asyncio.Future:
+        """Enqueue MORE prompt ids for a slot whose head already
+        prefilled (streaming prompts, e.g. a live ASR transcript): the
+        chunk lands at the slot's current cached upper bound through the
+        same compiled ``prefill_slots_continue`` program the chunked-
+        prefill path uses.  ``final=True`` samples the real first token
+        at the last new position (the caller guarantees ``ids`` is then
+        non-empty).  FIFO with submit_prefill, so the head's program
+        always runs first."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._prefills.append(_PrefillReq(idx, list(ids), fut,
+                                          final=final, extend=True))
         if self._wake is not None:
             self._wake.set()
         return fut
@@ -375,6 +420,8 @@ class LLMPool:
         Arrival counts still pad to 1 (the steady-state single arrival)
         or PREFILL_BATCH, so the compiled-program set is unchanged."""
         out = []
+        exts = [r for r in reqs if r.extend]
+        reqs = [r for r in reqs if not r.extend]
         for pfx in (False, True):
             rs = [r for r in reqs if r.prefix == pfx]
             if not rs:
@@ -426,7 +473,44 @@ class LLMPool:
                 for r in part:
                     self._ub[r.slot] = plen + len(r.ids)
                 out.append((first, part))
+        # streaming-prompt extensions AFTER fresh heads: a head and its
+        # extend submitted in the same cycle still run in program order,
+        # so the extend's pos (the slot's _ub) is always set by then
+        for r in exts:
+            out.append(self._run_extend(r))
         return out
+
+    def _run_extend(self, r: _PrefillReq
+                    ) -> Tuple[jnp.ndarray, List[_PrefillReq]]:
+        """Extend a slot's cached prompt with more ids (the streaming-
+        prompt path — VERDICT r3 #3's ASR/LLM overlap): chunks of the
+        top bucket width run through the SAME compiled
+        :func:`llama.prefill_slots_continue` program the chunked-prefill
+        path uses (ragged lengths ride the per-row ``valid_lens``),
+        landing at the slot's current cached upper bound.  The last chunk
+        samples the real first token when ``r.final``."""
+        cw = self.buckets[-1]
+        pos = self._ub[r.slot]
+        rest = list(r.ids) or [0]   # callers guarantee non-empty finals
+        first = None
+        while rest:
+            chunk, rest = rest[:cw], rest[cw:]
+            tokens = np.zeros((1, cw), np.int32)
+            tokens[0, : len(chunk)] = chunk
+            first, self.state = llama.prefill_slots_continue(
+                self.params, jnp.asarray(tokens),
+                jnp.asarray([len(chunk)], jnp.int32), self.state,
+                jnp.asarray([r.slot], jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray([pos], jnp.int32), self._next_key(),
+                self.cfg, final=r.final and not rest,
+                temperature=self.temperature, top_k=self.top_k,
+                top_p=self.top_p,
+                attn_len=self._attn_bucket(pos + cw),
+                rows=self._rows_for([r.slot]))
+            self.prefill_calls += 1
+            pos += len(chunk)
+        self._ub[r.slot] = pos
+        return first, [r]
 
     def _run_chunked(self, r: _PrefillReq, pfx: bool,
                      buckets: Tuple[int, ...], plen: int
@@ -857,34 +941,116 @@ class LLMPool:
         try:
             _, _, cached = self._plan(list(ids))
             first_fut = self.submit_prefill(idx, ids)
-            n_sub = 0
-            # block n+1 writes cache indices up to cached+(n+1)*block-1
-            # (+ the verifier's probe rows under speculation), so it fits
-            # iff cached + (n+1)*block + spec_margin <= max_seq_len
-            def room() -> bool:
-                return (cached + (n_sub + 1) * self.block
-                        + self._spec_margin <= self.cfg.max_seq_len)
-            # first block chains on the device-carried token: submit
-            # before the prefill result is known
-            if room():
-                blk_fut = self.submit_block(idx)
-                n_sub += 1
-            else:
-                blk_fut = None
-            first = await first_fut
-            yield [first]
-            produced = 1
-            while blk_fut is not None and produced < max_tokens:
-                nxt_fut = None
-                if room() and produced + self.block < max_tokens:
-                    nxt_fut = self.submit_block(idx)   # issue-ahead
-                    n_sub += 1
-                try:
-                    toks = await blk_fut
-                except asyncio.CancelledError:
-                    break
-                produced += len(toks)
+            async for toks in self._stream_blocks(idx, cached, first_fut,
+                                                  max_tokens):
                 yield toks
-                blk_fut = nxt_fut
+        finally:
+            self.release(idx)
+
+    async def _stream_blocks(self, idx: int, cached: int,
+                             first_fut: asyncio.Future, max_tokens: int
+                             ) -> AsyncIterator[List[int]]:
+        """Shared decode-block loop: yield [first], then block token
+        lists, keeping one block in flight ahead of the consumer."""
+        n_sub = 0
+
+        # block n+1 writes cache indices up to cached+(n+1)*block-1
+        # (+ the verifier's probe rows under speculation), so it fits
+        # iff cached + (n+1)*block + spec_margin <= max_seq_len
+        def room() -> bool:
+            return (cached + (n_sub + 1) * self.block
+                    + self._spec_margin <= self.cfg.max_seq_len)
+
+        # first block chains on the device-carried token: submit
+        # before the prefill result is known
+        if room():
+            blk_fut = self.submit_block(idx)
+            n_sub += 1
+        else:
+            blk_fut = None
+        first = await first_fut
+        yield [first]
+        produced = 1
+        while blk_fut is not None and produced < max_tokens:
+            nxt_fut = None
+            if room() and produced + self.block < max_tokens:
+                nxt_fut = self.submit_block(idx)   # issue-ahead
+                n_sub += 1
+            try:
+                toks = await blk_fut
+            except asyncio.CancelledError:
+                break
+            produced += len(toks)
+            yield toks
+            blk_fut = nxt_fut
+
+    async def generate_streaming_prompt(self, parts,
+                                        max_tokens: int = 512,
+                                        sampling: Optional[Dict] = None
+                                        ) -> AsyncIterator[List[int]]:
+        """Like :meth:`generate`, for a prompt that is still being
+        PRODUCED (VERDICT r3 #3 — the overlapped voice-chat path):
+        ``parts`` is an async iterator of token-id lists; each part
+        prefills into the slot as it arrives, overlapping prompt
+        ingestion (e.g. a streaming ASR transcript's decode blocks) with
+        the LLM's prefill work.  Generation begins when the iterator
+        ends, needing only the LAST part's prefill instead of the whole
+        prompt's.
+
+        Contract: the LAST part must be non-empty (the final chunk
+        samples the first token at its last position) — the
+        PooledJAXStreamModel adapter enforces this with token hold-back.
+        A producer that discovers its earlier ids were wrong raises
+        :class:`PromptRestart` with the final ids; recovery is one plain
+        fresh prefill (the head's cache rows are simply overwritten), so
+        the output law is always exactly ``generate(final_ids)``.
+        Streaming prompts past the context cap drop their TAIL (a
+        streaming consumer cannot keep the tail without re-prefilling;
+        the plain path keeps the tail instead)."""
+        self.start()
+        idx = await self.acquire()
+        if self.per_request:
+            self.set_sampling(idx, **(sampling or {}))
+        try:
+            cap = self._ctx_cap()
+            flush_at = max(16, self.buckets[0])
+            buf: List[int] = []
+            cached = 0
+            started = False
+            restart: Optional[List[int]] = None
+            try:
+                async for part in parts:
+                    buf.extend(int(t) for t in part)
+                    if started and cached + 1 >= cap:
+                        continue        # full: keep draining the producer
+                    if not started and len(buf) >= 2:
+                        head, buf = buf[: cap - 1][:-1], buf[-1:]
+                        _, _, cached = self._plan(list(head))
+                        self.submit_prefill(idx, head, final=False)
+                        started = True
+                    elif started and len(buf) > flush_at:
+                        head, buf = buf[:-1], buf[-1:]
+                        head = head[: cap - 1 - cached]
+                        if head:
+                            self.submit_prefill_extend(idx, head,
+                                                       final=False)
+                            cached += len(head)
+            except PromptRestart as e:
+                restart = list(e.ids)
+            if restart is not None:
+                self._drop_slot_prefills(idx)   # never two fresh prefills
+                _, _, cached = self._plan(restart)   # for one slot per cycle
+                first_fut = self.submit_prefill(idx, restart)
+            elif not started:
+                _, _, cached = self._plan(list(buf))
+                first_fut = self.submit_prefill(idx, buf)
+            else:
+                tail = buf[: max(1, cap - cached)]
+                first_fut = self.submit_prefill_extend(idx, tail,
+                                                       final=True)
+                cached += len(tail)
+            async for toks in self._stream_blocks(idx, cached, first_fut,
+                                                  max_tokens):
+                yield toks
         finally:
             self.release(idx)

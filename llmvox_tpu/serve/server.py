@@ -74,6 +74,33 @@ class TTSServer:
             return self.stream_model.predict(
                 {"system": system, "prompt": prompt, **knobs})
         if path == "/voicechat":
+            # Overlapped s2s (VERDICT r3 #3): stream stable partial
+            # transcripts into the LLM pool's prefill while the ASR
+            # decode finishes, instead of the reference's serial chain
+            # (streaming_server.py:543-583).  Requires the JAX Whisper
+            # backend + the pooled JAX LLM; single-window audio only.
+            if (getattr(cfg, "s2s_overlap", True)
+                    and hasattr(self.asr_model, "transcribe_stream_async")
+                    and hasattr(self.stream_model, "predict_streaming")):
+                audio = self.asr_model.decode_base64_audio(
+                    body["audio_base64"])
+                if self.asr_model.stream_supported(audio):
+                    source = body.get("source_language",
+                                      cfg.asr_default_language)
+                    target = body.get("target_language", source)
+                    task = ("translate" if source != target
+                            else "transcribe")
+                    texts = self.asr_model.transcribe_stream_async(
+                        audio, task=task, language=source)
+
+                    async def stripped(src):
+                        # run_asr strips the final transcript; partial
+                        # prompts must match its final text exactly
+                        async for txt, done in src:
+                            yield txt.strip(), done
+
+                    return self.stream_model.predict_streaming(
+                        {"system": system, **knobs}, stripped(texts))
             prompt = self.asr_model.run_asr(body)
             return self.stream_model.predict(
                 {"system": system, "prompt": prompt, **knobs})

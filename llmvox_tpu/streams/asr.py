@@ -248,8 +248,11 @@ class JAXWhisperASR:
         texts = self.transcribe_batch(windows, task=task, language=language)
         return " ".join(t.strip() for t in texts if t.strip())
 
-    def transcribe(self, audio: np.ndarray, task: str = "transcribe",
-                   language: Optional[str] = None) -> str:
+    def _prep_single(self, audio: np.ndarray, task: str,
+                     language: Optional[str]):
+        """Shared single-utterance setup: encode, (optional) language
+        detect, forced-prefix prefill.  Returns
+        ``(state, cross, forced_len, first_token)``."""
         import jax.numpy as jnp
 
         from llmvox_tpu.models import whisper as W
@@ -265,7 +268,8 @@ class JAXWhisperASR:
         lang_id = self._lang_token(language)
         if lang_id is None and self.lang_to_id:
             # HF detect_language: one [sot] forward, argmax restricted to
-            # the language tokens
+            # the language tokens.  (Passing ``language`` skips this — one
+            # fewer serial round trip on the voice-chat path.)
             st = W.init_whisper_decode_state(cfg, 1, dtype)
             logits, _ = W.prefill(
                 self.params, jnp.asarray([[sot]], jnp.int32), st, cross, cfg)
@@ -291,28 +295,80 @@ class JAXWhisperASR:
         row = np.array(logits[0, -1], np.float32)
         for t in self.suppress + self.begin_suppress:
             row[t] = -np.inf
-        first = int(np.argmax(row))
-        max_new = max(self.max_length - len(forced), 1)
+        return state, cross, len(forced), int(np.argmax(row))
+
+    def transcribe(self, audio: np.ndarray, task: str = "transcribe",
+                   language: Optional[str] = None) -> str:
+        text = ""
+        for text, _done in self.transcribe_stream(audio, task=task,
+                                                  language=language):
+            pass
+        return text
+
+    def transcribe_stream(self, audio: np.ndarray,
+                          task: str = "transcribe",
+                          language: Optional[str] = None):
+        """Streaming transcription: a generator yielding
+        ``(text_so_far, done)`` after every decode block.  Greedy decode
+        makes every emitted token FINAL (no beam to revise it), so a
+        consumer may act on the prefix immediately — the overlapped
+        voice-chat path feeds these stable prefixes into the LLM pool's
+        streaming-prompt prefill while the tail of the utterance is
+        still decoding (reference serial path:
+        streaming_server.py:543-583 runs ASR to completion, THEN starts
+        the LLM).
+
+        Pipelined dispatch: block N+1 chains on block N's on-device
+        last-token slice and is dispatched BEFORE block N's tokens are
+        fetched, so each iteration costs max(decode, tunnel RTT) instead
+        of their sum (the pool lesson, serve/pool.py::_step_loop)."""
+        from llmvox_tpu.models import whisper as W
+        import jax.numpy as jnp
+
+        state, cross, n_forced, first = self._prep_single(
+            audio, task, language)
+        cfg = self.cfg
+        eos = cfg.eos_token_id
+        if first == eos:
+            yield "", True
+            return
         out = [first]
-        if first != cfg.eos_token_id:
-            tok = jnp.asarray([first], jnp.int32)
-            while len(out) < max_new:
-                block = min(self.decode_block_size, max_new - len(out))
-                toks, state = W.decode_block(
-                    self.params, tok, state, cross, cfg, block=block,
-                    suppress=self.suppress)
-                row_t = [int(t) for t in np.asarray(toks[0])]
-                for t in row_t:
-                    if t == cfg.eos_token_id:
-                        break
-                    out.append(t)
-                else:
-                    tok = toks[:, -1]
-                    continue
-                break
-        if out and out[-1] == cfg.eos_token_id:
-            out = out[:-1]
-        return self.tokenizer.decode(out, skip_special_tokens=True)
+        max_new = max(self.max_length - n_forced, 1)
+        block = self.decode_block_size
+        tok = jnp.asarray([first], jnp.int32)
+        dispatched = 1
+
+        def issue(tok, state):
+            toks, state = W.decode_block(self.params, tok, state, cross,
+                                         cfg, block=block,
+                                         suppress=self.suppress)
+            return toks, toks[:, -1], state
+
+        pending = None
+        if dispatched < max_new:
+            pending, tok, state = issue(tok, state)
+            dispatched += block
+        while pending is not None:
+            nxt = None
+            if dispatched + block <= max_new:
+                nxt, tok, state = issue(tok, state)   # issue-ahead
+                dispatched += block
+            hit_eos = False
+            for t in (int(t) for t in np.asarray(pending[0])):
+                if t == eos:
+                    hit_eos = True
+                    break
+                out.append(t)
+                if len(out) >= max_new:
+                    hit_eos = True   # budget: stop like the eager path
+                    break
+            text = self.tokenizer.decode(out, skip_special_tokens=True)
+            if hit_eos or nxt is None:
+                yield text, True
+                return
+            yield text, False
+            pending = nxt
+        yield self.tokenizer.decode(out, skip_special_tokens=True), True
 
     def transcribe_batch(self, audios, task: str = "transcribe",
                          language: Optional[str] = None):
@@ -394,6 +450,46 @@ class JAXWhisperASR:
             texts.append(self.tokenizer.decode(row,
                                                skip_special_tokens=True))
         return texts
+
+    def stream_supported(self, audio: np.ndarray) -> bool:
+        """Streaming transcription covers a single model window (30 s);
+        longer audio takes the batched multi-window path instead."""
+        if self.params is None:
+            self.load()
+        win = self.cfg.n_audio_frames * self.cfg.hop_length
+        return np.asarray(audio).reshape(-1).shape[0] <= win
+
+    async def transcribe_stream_async(self, audio: np.ndarray,
+                                      task: str = "transcribe",
+                                      language: Optional[str] = None):
+        """:meth:`transcribe_stream` bridged onto the event loop: the
+        blocking device fetches run on a worker thread, the
+        ``(text, done)`` updates flow through an asyncio queue — so the
+        voice-chat handler can feed partial transcripts into the LLM
+        pool without blocking the server loop."""
+        import asyncio
+        import threading
+
+        loop = asyncio.get_running_loop()
+        q: "asyncio.Queue" = asyncio.Queue()
+
+        def worker():
+            try:
+                for item in self.transcribe_stream(audio, task=task,
+                                                   language=language):
+                    loop.call_soon_threadsafe(q.put_nowait, item)
+                loop.call_soon_threadsafe(q.put_nowait, None)
+            except BaseException as e:   # surface device errors
+                loop.call_soon_threadsafe(q.put_nowait, e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = await q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     # -- request interface (same semantics as WhisperASR) ---------------
     decode_base64_audio = WhisperASR.decode_base64_audio

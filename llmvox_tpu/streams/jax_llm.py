@@ -246,25 +246,91 @@ class PooledJAXStreamModel:
             n += 1
         self.pool.set_prefix(a[:n])
 
+    @staticmethod
+    def _request_sampling(request: Dict) -> Optional[Dict]:
+        # per-request sampling knobs (honored when the pool was
+        # built with per_request_sampling; ignored otherwise)
+        sampling = {}
+        if "temperature" in request:
+            sampling["temperature"] = float(request["temperature"])
+        if "top_p" in request:
+            sampling["top_p"] = float(request["top_p"])
+        if "top_k" in request:
+            sampling["top_k"] = int(request["top_k"])
+        return sampling or None
+
+    def predict_streaming(self, request: Dict,
+                          texts) -> AsyncIterator[str]:
+        """``predict`` for a prompt whose user text is still being
+        produced — ``texts`` is an async iterator of CUMULATIVE
+        transcript strings (e.g. JAXWhisperASR.transcribe_stream_async).
+        Stable prompt-id prefixes prefill into the pool while later text
+        still decodes (the ASR/LLM overlap, VERDICT r3 #3); generation
+        starts when the transcript completes.
+
+        Chat templates put their generation-prompt tokens AFTER the user
+        content, so successive ``build_prompt_ids`` calls usually extend
+        each other; a HOLDBACK of tokens is never submitted early (BPE
+        can merge across the boundary), and if the tokenizer nonetheless
+        revises already-submitted ids, the producer raises PromptRestart
+        and the pool recovers with one plain prefill — the output law is
+        always exactly ``predict(final_text)``'s."""
+        from llmvox_tpu.serve.llm_pool import PromptRestart
+        HOLDBACK = 4
+
+        cap = self.pool._ctx_cap()
+
+        async def parts():
+            submitted: List[int] = []
+            final_ids: List[int] = []
+            ok = True
+            async for item in texts:
+                text = item[0] if isinstance(item, tuple) else item
+                ids = build_prompt_ids(self.tokenizer,
+                                       {**request, "prompt": text})
+                final_ids = ids
+                if len(ids) > cap:
+                    # over the context cap the PLAIN path's left-
+                    # truncation (keep the tail — the user's question)
+                    # is the right semantics; streaming would keep the
+                    # head.  Degrade via restart: one plain prefill,
+                    # identical output law.
+                    ok = False
+                if not ok:
+                    continue            # drain; restart at the end
+                if ids[: len(submitted)] != submitted:
+                    ok = False
+                    continue
+                stable = ids[: max(len(submitted),
+                                   len(ids) - HOLDBACK)]
+                new = stable[len(submitted):]
+                if new:
+                    submitted.extend(new)
+                    yield new
+            if not ok or len(final_ids) <= len(submitted) \
+                    or final_ids[: len(submitted)] != submitted:
+                raise PromptRestart(final_ids)
+            yield final_ids[len(submitted):]   # non-empty (HOLDBACK >= 1)
+
+        max_toks = min(int(request.get("max_tokens", self.max_tokens)),
+                       self.max_tokens)
+        gen = self.pool.generate_streaming_prompt(
+            parts(), max_tokens=max_toks,
+            sampling=self._request_sampling(request))
+        return self._detok_stream(gen)
+
     def predict(self, request: Dict) -> AsyncIterator[str]:
+        ids = build_prompt_ids(self.tokenizer, request)
+        max_toks = min(int(request.get("max_tokens", self.max_tokens)),
+                       self.max_tokens)
+        gen = self.pool.generate(ids, max_tokens=max_toks,
+                                 sampling=self._request_sampling(request))
+        return self._detok_stream(gen)
+
+    def _detok_stream(self, gen) -> AsyncIterator[str]:
         async def agen():
-            ids = build_prompt_ids(self.tokenizer, request)
             out: List[int] = []
             emitted = ""
-            # per-request sampling knobs (honored when the pool was
-            # built with per_request_sampling; ignored otherwise)
-            sampling = {}
-            if "temperature" in request:
-                sampling["temperature"] = float(request["temperature"])
-            if "top_p" in request:
-                sampling["top_p"] = float(request["top_p"])
-            if "top_k" in request:
-                sampling["top_k"] = int(request["top_k"])
-            max_toks = min(int(request.get("max_tokens",
-                                           self.max_tokens)),
-                           self.max_tokens)
-            gen = self.pool.generate(ids, max_tokens=max_toks,
-                                     sampling=sampling or None)
             try:
                 async for toks in gen:
                     done = False

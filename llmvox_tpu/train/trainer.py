@@ -37,24 +37,40 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _zigzag_perm(t: int, n: int):
+    """Static (T,) zigzag gather index for the balanced sp layout —
+    computed at trace time per sequence width, baked into the program as
+    a constant (ops/ring_attention.py::zigzag_permutation)."""
+    from llmvox_tpu.ops.ring_attention import zigzag_permutation
+    return jnp.asarray(zigzag_permutation(t, n)[0])
+
+
 def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16,
-                    attn_fn=None):
+                    attn_fn=None, zigzag_sp: int = 0):
     """Returns train_step(state, text_table, codebook, text_ids, targets, rng).
 
     ``attn_fn`` (optional) replaces the attention op — the
     sequence-parallel trainer passes ``make_ring_attention(mesh)`` so the
     T axis shards over the mesh's sp ring (ops/ring_attention.py); the
     shard_map inside doubles as the sharding constraint that keeps the
-    surrounding activations T-sharded under GSPMD."""
+    surrounding activations T-sharded under GSPMD.  ``zigzag_sp = n > 0``
+    pairs a ``make_zigzag_ring_attention`` attn_fn with the device-side
+    T-permutation of emb/targets (decoder_loss ``perm=``): inputs arrive
+    in ORIGINAL order with the usual (dp, sp) sharding, the jitted step
+    gathers them into the balanced layout (one all-to-all, negligible
+    next to the T^2 attention term)."""
 
     def loss_fn(params, text_table, codebook, text_ids, targets, rng,
                 segments, positions):
         emb = build_decoder_inputs(text_table, codebook, text_ids, targets,
                                    cfg, pos_ids=positions)
         emb = emb.astype(compute_dtype)
+        perm = (_zigzag_perm(targets.shape[1], zigzag_sp)
+                if zigzag_sp else None)
         return dec.decoder_loss(params, emb, targets, cfg,
                                 dropout_rng=rng, train=True, attn_fn=attn_fn,
-                                segments=segments, positions=positions)
+                                segments=segments, positions=positions,
+                                perm=perm)
 
     def train_step(state: TrainState, text_table, codebook,
                    text_ids, targets, rng, segments=None, positions=None):
@@ -72,14 +88,17 @@ def make_train_step(cfg: DecoderConfig, tx, compute_dtype=jnp.bfloat16,
 
 
 def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16,
-                   attn_fn=None):
+                   attn_fn=None, zigzag_sp: int = 0):
     def eval_step(params, text_table, codebook, text_ids, targets,
                   segments=None, positions=None):
         emb = build_decoder_inputs(text_table, codebook, text_ids, targets,
                                    cfg, pos_ids=positions)
+        perm = (_zigzag_perm(targets.shape[1], zigzag_sp)
+                if zigzag_sp else None)
         return dec.decoder_loss(params, emb.astype(compute_dtype), targets,
                                 cfg, train=False, attn_fn=attn_fn,
-                                segments=segments, positions=positions)
+                                segments=segments, positions=positions,
+                                perm=perm)
     return eval_step
 
 
@@ -107,9 +126,17 @@ class Trainer:
         # (even when the mesh was passed in, honor its sp extent)
         sp = int(self.mesh.shape.get(pmesh.SP_AXIS, 1))
         attn_fn = None
+        zigzag = 0
         if sp > 1:
-            from llmvox_tpu.ops.ring_attention import make_ring_attention
-            attn_fn = make_ring_attention(self.mesh)
+            if getattr(tcfg, "sp_layout", "ring") == "zigzag":
+                from llmvox_tpu.ops.ring_attention import (
+                    make_zigzag_ring_attention)
+                attn_fn = make_zigzag_ring_attention(self.mesh)
+                zigzag = sp
+            else:
+                from llmvox_tpu.ops.ring_attention import make_ring_attention
+                attn_fn = make_ring_attention(self.mesh)
+        self._zigzag = zigzag
         self.rng = jax.random.PRNGKey(tcfg.seed + jax.process_index())
 
         key, self.rng = jax.random.split(self.rng)
@@ -139,10 +166,12 @@ class Trainer:
         self.codebook = jax.device_put(jnp.asarray(codebook), rep)
 
         self._step = jax.jit(
-            make_train_step(mcfg, self.tx, compute_dtype, attn_fn=attn_fn),
+            make_train_step(mcfg, self.tx, compute_dtype, attn_fn=attn_fn,
+                            zigzag_sp=zigzag),
             donate_argnums=(0,))
         self._eval = jax.jit(make_eval_step(mcfg, compute_dtype,
-                                            attn_fn=attn_fn))
+                                            attn_fn=attn_fn,
+                                            zigzag_sp=zigzag))
         self.n_params = dec.num_params(params)
         self.iter_num = 0
 

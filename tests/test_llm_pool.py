@@ -1135,3 +1135,224 @@ def test_pool_first_block_identity_and_widths(params):
 
     w1, w2, w3 = _run_pool(widths())
     assert (w1, w2, w3) == (4, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming prompts (VERDICT r3 #3 — the ASR/LLM overlap): a prompt fed
+# to the pool in parts must generate EXACTLY what the whole prompt
+# generates, for any split, including tokenizer-revision restarts.
+# ---------------------------------------------------------------------------
+
+async def _aiter(items):
+    for it in items:
+        await asyncio.sleep(0)
+        yield it
+
+
+@pytest.mark.parametrize("splits", [
+    [3],                     # head only, tail at end
+    [1],                     # 1-token head: buffering until >= 2
+    [1, 1, 1, 1, 1, 1],      # trickle
+    [5, 5, 5, 5, 5, 5, 5, 5],  # crosses the flush threshold (16)
+    [30, 10],                # extend crosses the top bucket width (32)
+])
+def test_pool_streaming_prompt_matches_generate(params, splits):
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    rng = np.random.default_rng(7)
+    total = max(sum(splits) + 3, 12)
+    prompt = [int(t) for t in rng.integers(1, 120, total)]
+    parts, i = [], 0
+    for s in splits:
+        parts.append(prompt[i: i + s])
+        i += s
+    parts.append(prompt[i:])
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+
+    async def go():
+        want, got = [], []
+        async for toks in pool.generate(prompt, max_tokens=13):
+            want.extend(toks)
+        async for toks in pool.generate_streaming_prompt(
+                _aiter(parts), max_tokens=13):
+            got.extend(toks)
+        pool.stop()
+        return want, got
+
+    want, got = _run_pool(go())
+    assert got == want
+    assert want[:13] == _b1_greedy(params, prompt, 13)
+
+
+def test_pool_streaming_prompt_restart_matches_generate(params):
+    """A producer that discovers its submitted ids were wrong raises
+    PromptRestart(final_ids); the output law is generate(final_ids)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool, PromptRestart
+
+    final = [9, 8, 7, 6, 5, 4, 3, 2]
+
+    async def parts():
+        yield [1, 2, 3, 4, 5]     # wrong head, already prefilled
+        await asyncio.sleep(0)
+        raise PromptRestart(final)
+
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+
+    async def go():
+        want, got = [], []
+        async for toks in pool.generate(final, max_tokens=9):
+            want.extend(toks)
+        async for toks in pool.generate_streaming_prompt(
+                parts(), max_tokens=9):
+            got.extend(toks)
+        pool.stop()
+        return want, got
+
+    want, got = _run_pool(go())
+    assert got == want
+
+
+def test_pool_streaming_prompt_edge_cases(params):
+    """Empty producer == generate([]); a single 1-token part == its
+    plain generate; a concurrent plain request is undisturbed."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+
+    pool = LLMPool(params, CFG, capacity=3, block=4,
+                   prefill_buckets=(8, 16, 32))
+
+    async def drain(gen):
+        out = []
+        async for toks in gen:
+            out.extend(toks)
+        return out
+
+    async def go():
+        w_empty = await drain(pool.generate([], max_tokens=6))
+        g_empty = await drain(pool.generate_streaming_prompt(
+            _aiter([]), max_tokens=6))
+        w_one = await drain(pool.generate([42], max_tokens=6))
+        g_one, w_conc = await asyncio.gather(
+            drain(pool.generate_streaming_prompt(_aiter([[42]]),
+                                                 max_tokens=6)),
+            drain(pool.generate(PROMPTS[1], max_tokens=6)))
+        pool.stop()
+        return w_empty, g_empty, w_one, g_one, w_conc
+
+    w_empty, g_empty, w_one, g_one, w_conc = _run_pool(go())
+    assert g_empty == w_empty
+    assert g_one == w_one
+    assert w_conc[:6] == _b1_greedy(params, PROMPTS[1], 6)
+
+
+def test_pooled_stream_model_predict_streaming_matches_predict(params):
+    """Adapter level: cumulative transcript strings through
+    predict_streaming produce EXACTLY predict(final_text)'s text."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+
+    tok = _ToyTokenizer()
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, tok, max_tokens=12)
+
+    full = "hello there, how are you"
+    cum = [full[:5], full[:9], full[:17], full]
+
+    async def drain(agen):
+        out = []
+        async for d in agen:
+            out.append(d)
+        return out
+
+    async def go():
+        want = await drain(model.predict(
+            {"system": "s", "prompt": full}))
+        got = await drain(model.predict_streaming(
+            {"system": "s"}, _aiter(cum)))
+        # (text, done) tuple protocol (transcribe_stream_async) works too
+        got2 = await drain(model.predict_streaming(
+            {"system": "s"},
+            _aiter([(c, c is cum[-1]) for c in cum])))
+        pool.stop()
+        return want, got, got2
+
+    want, got, got2 = _run_pool(go())
+    assert "".join(got) == "".join(want)
+    assert "".join(got2) == "".join(want)
+
+
+def test_pooled_stream_model_predict_streaming_tokenizer_revision(params):
+    """A tokenizer that REVISES earlier ids once the text grows (the BPE
+    boundary-merge hazard) trips the restart path; output still equals
+    predict(final_text)."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+
+    class RevisingTokenizer(_ToyTokenizer):
+        def encode(self, text):
+            ids = super().encode(text)
+            # long texts get a marker PREPENDED — earlier ids all shift
+            return ([99] + ids) if len(text) > 24 else ids
+
+    tok = RevisingTokenizer()
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, tok, max_tokens=12)
+
+    full = "hello there, how are you today"
+    cum = [full[:8], full[:16], full]
+    assert tok.encode("s\n\n" + full + "\n")[0] == 99   # revision happens
+
+    async def drain(agen):
+        out = []
+        async for d in agen:
+            out.append(d)
+        return out
+
+    async def go():
+        want = await drain(model.predict({"system": "s", "prompt": full}))
+        got = await drain(model.predict_streaming(
+            {"system": "s"}, _aiter(cum)))
+        pool.stop()
+        return want, got
+
+    want, got = _run_pool(go())
+    assert "".join(got) == "".join(want)
+
+
+def test_pooled_stream_model_streaming_over_cap_matches_plain(params):
+    """A streaming prompt that exceeds the context cap degrades to the
+    PLAIN path's left-truncation (keep the tail) via restart — identical
+    output to predict(full_text), never head-keeping truncation."""
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+
+    tok = _ToyTokenizer()
+    pool = LLMPool(params, CFG, capacity=2, block=4,
+                   prefill_buckets=(8, 16, 32))
+    model = PooledJAXStreamModel(pool, tok, max_tokens=8)
+
+    full = "x" * 120          # 120 ids > ctx cap (91) at CFG shapes
+    cum = [full[:40], full[:90], full]
+
+    async def drain(agen):
+        out = []
+        async for d in agen:
+            out.append(d)
+        return out
+
+    async def go():
+        want = await drain(model.predict({"system": "s", "prompt": full}))
+        got = await drain(model.predict_streaming(
+            {"system": "s"}, _aiter(cum)))
+        pool.stop()
+        return want, got
+
+    want, got = _run_pool(go())
+    assert "".join(got) == "".join(want)

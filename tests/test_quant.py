@@ -350,3 +350,109 @@ def test_llama_w4_decode_consistency():
         seq.append(int(np.asarray(jnp.argmax(full[0, -1]))))
     got = [int(tok[0])] + [int(t) for t in np.asarray(toks[0])]
     assert got == seq[12:]
+
+
+# ---------------------------------------------------------------------------
+# MoE expert quantization (VERDICT r3 #5): the expert weights are exactly
+# where an 8-expert model's parameter memory explodes, so they must ride
+# the same w8/w8a8/w4 containers as the dense matmuls.  Router/norms stay
+# full precision (rounding the router changes ROUTING, not just values).
+# ---------------------------------------------------------------------------
+
+def _moe_cfg(**kw):
+    from llmvox_tpu.models import llama
+    base = dict(vocab_size=64, n_layer=2, n_head=4, n_kv_head=2,
+                n_embd=32, intermediate_size=48, max_seq_len=64,
+                n_experts=4, moe_top_k=2, moe_capacity_factor=8.0)
+    base.update(kw)
+    return llama.LlamaConfig(**base)
+
+
+def test_expert_matmul_parity_all_containers():
+    """ops.moe.expert_matmul: the (E, R, Cin) @ (E, Cin, Cout) batched
+    matmul matches the dense einsum under every quantized container,
+    within each container's error envelope."""
+    from llmvox_tpu.ops.moe import expert_matmul
+    from llmvox_tpu.ops.quant import quantize_weight4
+
+    rng = np.random.default_rng(30)
+    x = jnp.asarray(rng.standard_normal((3, 5, 32)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 32, 24)).astype(np.float32))
+    ref = np.asarray(jnp.einsum("erd,edc->erc", x, w))
+
+    for qw, bound in ((quantize_weight(w), 0.02),
+                      (quantize_weight(w, cls=Int8Linear), 0.03),
+                      (quantize_weight4(w, group=16), 0.12)):
+        out = np.asarray(expert_matmul(x, qw, None))
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < bound, (type(qw).__name__, rel)
+    # per-expert scale isolation: expert 0's wild column must not
+    # disturb expert 1's outputs at all
+    w_wild = w.at[0, :, 3].mul(100.0)
+    q = quantize_weight(w_wild)
+    out = np.asarray(expert_matmul(x, q, None))
+    ref_w = np.asarray(jnp.einsum("erd,edc->erc", x, w_wild))
+    rel1 = (np.linalg.norm(out[1] - ref_w[1])
+            / np.linalg.norm(ref_w[1]))
+    assert rel1 < 0.02
+
+
+@pytest.mark.parametrize("mode,bound", [("w8", 0.05), ("w8a8", 0.06),
+                                        ("w4", 0.15)])
+def test_llama_moe_quantized_tree_and_forward_parity(mode, bound):
+    """quantize_llama_params reaches the expert weights; the router stays
+    dense (identical routing); the full MoE forward stays inside the
+    dense-quant error envelope."""
+    from llmvox_tpu.models import llama
+    from llmvox_tpu.ops.quant import Int4Tensor
+
+    cfg = _moe_cfg()
+    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_llama_params(params, mode=mode)
+    cls = {"w8": QuantizedTensor, "w8a8": Int8Linear,
+           "w4": Int4Tensor}[mode]
+    for k in ("moe_wgate", "moe_wup", "moe_wdown"):
+        assert isinstance(qp["h"][k], cls), k
+    assert not isinstance(qp["h"]["router"],
+                          (QuantizedTensor, Int8Linear, Int4Tensor))
+    if mode != "w4":
+        # ~0.25 for the expert weights + the dense tok_emb/router/norm
+        # leftovers, which loom large at these tiny test shapes
+        assert quantized_bytes(qp) < 0.35 * quantized_bytes(params)
+
+    ids = jnp.asarray(np.random.default_rng(2).integers(
+        0, 64, (2, 9)), jnp.int32)
+    ref = np.asarray(llama.apply_llama(params, ids, cfg))
+    out = np.asarray(llama.apply_llama(qp, ids, cfg))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < bound, rel
+
+
+def test_moe_pooled_decode_quantized_matches_b1():
+    """Pooling exactness survives expert quantization: a pooled MoE row
+    with w8 experts produces exactly the tokens of its private B=1
+    quantized decode (the dense-quant invariant, at expert weights)."""
+    from llmvox_tpu.models import llama
+
+    cfg = _moe_cfg()
+    params = llama.init_llama_params(jax.random.PRNGKey(1), cfg)
+    qp = quantize_llama_params(params)
+    prompt = np.random.default_rng(4).integers(0, 64, (1, 5))
+
+    state = llama.init_llama_decode_state(cfg, batch=1)
+    logits, state = llama.prefill(qp, jnp.asarray(prompt, jnp.int32),
+                                  state, cfg)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ref, _ = llama.decode_block(qp, first, state, jax.random.PRNGKey(0),
+                                cfg, block=6)
+
+    pstate = llama.init_llama_pool_state(cfg, batch=3)
+    pfirst, pstate = llama.prefill_slots(
+        qp, jnp.asarray(prompt, jnp.int32),
+        jnp.asarray([5], jnp.int32), pstate, jnp.asarray([1], jnp.int32),
+        jnp.asarray([True]), jax.random.PRNGKey(0), cfg)
+    assert int(pfirst[0]) == int(first[0])
+    toks, pstate = llama.decode_block_pooled(
+        qp, pstate, jnp.asarray([False, True, False]),
+        jax.random.PRNGKey(0), cfg, block=6)
+    assert np.asarray(toks)[1].tolist() == np.asarray(ref)[0].tolist()

@@ -410,3 +410,146 @@ def test_build_asr_backend_selection():
     assert isinstance(build_asr(ServeConfig()), WhisperASR)
     assert isinstance(build_asr(ServeConfig(asr_backend="jax")),
                       JAXWhisperASR)
+
+
+def test_transcribe_stream_matches_batch_path(tiny_whisper_dir):
+    """Streaming transcription (VERDICT r3 #3): the pipelined
+    block-by-block generator ends with done=True and its final text
+    equals the INDEPENDENT batched path's for the same audio (greedy
+    decode — every yielded prefix is final)."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    audio = _speechish(5)
+    updates = list(asr.transcribe_stream(audio, language="english"))
+    assert len(updates) >= 1
+    texts, dones = zip(*updates)
+    assert dones[-1] is True and not any(dones[:-1])
+    want = asr.transcribe_batch([audio], language="english")[0]
+    assert texts[-1] == want
+    assert asr.stream_supported(audio)
+    assert not asr.stream_supported(np.zeros(16000 * 31, np.float32))
+
+
+def test_transcribe_stream_async_bridge(tiny_whisper_dir):
+    """The asyncio bridge yields the same updates as the sync generator
+    without blocking the loop."""
+    import asyncio
+
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax"))
+    asr.load()
+    audio = _speechish(6)
+    want = list(asr.transcribe_stream(audio, language="english"))
+
+    async def go():
+        out = []
+        ticks = 0
+
+        async def ticker():
+            nonlocal ticks
+            while True:
+                ticks += 1
+                await asyncio.sleep(0.001)
+
+        t = asyncio.ensure_future(ticker())
+        async for item in asr.transcribe_stream_async(audio,
+                                                      language="english"):
+            out.append(item)
+        t.cancel()
+        return out, ticks
+
+    got, ticks = asyncio.run(asyncio.wait_for(go(), timeout=300))
+    assert got == want
+    assert ticks > 0          # the loop stayed live during device work
+
+
+def test_voicechat_overlapped_matches_serial(tiny_whisper_dir):
+    """/voicechat through the OVERLAPPED path (JAX ASR partial
+    transcripts streaming into the pooled LLM's prefill) returns
+    byte-identical audio to the serial path — overlap changes timing,
+    never results."""
+    import asyncio
+    import base64
+    import dataclasses
+    import socket
+    import threading
+    import time
+
+    import jax
+
+    from llmvox_tpu.models import llama
+    from llmvox_tpu.serve.client import collect_audio, stream_request
+    from llmvox_tpu.serve.llm_pool import LLMPool
+    from llmvox_tpu.serve.scheduler import StreamingScheduler
+    from llmvox_tpu.serve.server import TTSServer
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.streams.jax_llm import PooledJAXStreamModel
+    from tests.test_llama import _ToyTokenizer
+    from tests.test_server import _free_port
+    from tests.tiny_stack import SERVE_CFG, make_engines
+
+    # max_seq_len 384: SERVE_CFG's ~150-token system prompt + transcript
+    # must FIT the context cap so this exercises the true overlap path
+    # (over-cap prompts degrade to the plain path by design — that
+    # fallback is unit-tested at the adapter level)
+    lcfg = llama.LlamaConfig(vocab_size=128, n_layer=2, n_head=4,
+                             n_kv_head=2, n_embd=32, intermediate_size=64,
+                             max_seq_len=384)
+    lparams = llama.init_llama_params(jax.random.PRNGKey(0), lcfg)
+    pcm = (_speechish(7) * 32768.0).astype(np.int16)
+    body = {"audio_base64": base64.b64encode(pcm.tobytes()).decode(),
+            "source_language": "english", "target_language": "english"}
+
+    def run_server(overlap: bool) -> np.ndarray:
+        port = _free_port()
+        cfg = dataclasses.replace(
+            SERVE_CFG, api_host="127.0.0.1", api_port=port,
+            asr_model=tiny_whisper_dir, asr_backend="jax",
+            s2s_overlap=overlap)
+        engines = make_engines(0, cfg)
+        scheduler = StreamingScheduler(engines, cfg)
+        pool = LLMPool(lparams, lcfg, capacity=2, block=4,
+                       prefill_buckets=(8, 16, 32))
+        stream_model = PooledJAXStreamModel(pool, _ToyTokenizer(),
+                                            max_tokens=10,
+                                            eos_text=cfg.eos_token)
+        asr = JAXWhisperASR(cfg)
+        asr.load()
+        srv = TTSServer(scheduler, cfg, stream_model=stream_model,
+                        asr_model=asr)
+        loop = asyncio.new_event_loop()
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(srv.serve())
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        try:
+            for _ in range(100):
+                try:
+                    with socket.create_connection(("127.0.0.1", port),
+                                                  timeout=0.2):
+                        break
+                except OSError:
+                    time.sleep(0.1)
+            wav, _ = collect_audio(stream_request(
+                "127.0.0.1", port, "/voicechat", body, timeout=300))
+            return wav
+        finally:
+            loop.call_soon_threadsafe(pool.stop)
+            srv.shutdown()
+            t.join(timeout=10)
+            loop.close()
+
+    wav_overlap = run_server(True)
+    wav_serial = run_server(False)
+    assert len(wav_overlap) > 0 and np.isfinite(wav_overlap).all()
+    np.testing.assert_array_equal(wav_overlap, wav_serial)
