@@ -50,8 +50,13 @@ def _frame(x: jnp.ndarray, win: int, hop: int) -> jnp.ndarray:
     """(B, T) -> (B, n_frames, win) sliding frames."""
     b, t = x.shape
     n_frames = 1 + (t - win) // hop
-    idx = (np.arange(n_frames)[:, None] * hop +
-           np.arange(win)[None, :])
+    # jnp (traced iota), NOT np: a concrete (n_frames, win) i32 index
+    # matrix gets embedded in the MLIR as a decimal-printed dense
+    # constant — ~9 MB per STFT resolution at 3 s crops, which pushed the
+    # codec GAN step past the AOT compile helper's memory cap (round-4
+    # finding: 27.7 MB of the disc step's 32.5 MB module was these).
+    idx = (jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop +
+           jnp.arange(win, dtype=jnp.int32)[None, :])
     return x[:, idx]
 
 

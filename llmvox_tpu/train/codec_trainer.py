@@ -114,8 +114,14 @@ def warmup_cosine_lr(tcfg: CodecTrainConfig):
     return fn
 
 
-def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
-                        tx_g, tx_d, axis_name: Optional[str] = None):
+def make_codec_gan_steps(cfg: CodecConfig, tcfg: CodecTrainConfig,
+                         tx_g, tx_d, axis_name: Optional[str] = None):
+    """The alternating GAN step split at the reference's optimizer
+    boundary (experiment.py:86-218 runs two `optimizer_step`s per batch):
+    returns ``(disc_step, gen_step)``, each a separately-jittable
+    half-size program.  Chained with the same key the pair traces the
+    exact computation of the fused `make_codec_gan_step` (equality up to
+    XLA fusion ordering: test_split_step_matches_fused)."""
     nperiods = len(tcfg.mpd_periods)
     nres = len(tcfg.mrd_resolutions)
 
@@ -169,13 +175,19 @@ def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
                "dac_feat": dac_feat, "vq_state": new_vq, "y_hat": yh_c}
         return total, aux
 
-    def step(state: CodecTrainState, audio: jnp.ndarray, key: jax.Array):
-        k_bw, k_vq, k_drop = jax.random.split(key, 3)
+    def _keys_and_gates(state: CodecTrainState, key: jax.Array):
+        # Both halves derive the SAME bandwidth / VQ keys and pretrain
+        # gate from (state.step, key), so the split pair traces the same
+        # computation as the fused step.
+        k_bw, k_vq, _ = jax.random.split(key, 3)
         bandwidth_id = jax.random.randint(k_bw, (), 0,
                                           cfg.adanorm_num_embeddings)
         train_disc = (state.step >= tcfg.pretrain_mel_steps).astype(jnp.float32)
+        return k_vq, bandwidth_id, train_disc
 
+    def disc_step(state: CodecTrainState, audio: jnp.ndarray, key: jax.Array):
         # ---- optimizer 0: discriminators (generator frozen, no VQ update)
+        k_vq, bandwidth_id, train_disc = _keys_and_gates(state, key)
         y_hat_detached, _, _ = generator_forward(
             state.gen_params, state.vq_state, audio, bandwidth_id, k_vq,
             cfg, tcfg, train=False, axis_name=axis_name)
@@ -188,27 +200,52 @@ def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
                                        state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, d_updates)
+        logs = {**d_logs, "disc_total": d_total}
+        return state._replace(disc_params=disc_params, opt_d=opt_d), logs
 
+    def gen_step(state: CodecTrainState, audio: jnp.ndarray, key: jax.Array):
         # ---- optimizer 1: generator (disc frozen) -----------------------
+        # state.step is untouched by disc_step, so the gates recompute
+        # identically here.
+        k_vq, bandwidth_id, train_disc = _keys_and_gates(state, key)
         (g_total, aux), g_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(
-                state.gen_params, disc_params, state.vq_state, audio,
+                state.gen_params, state.disc_params, state.vq_state, audio,
                 bandwidth_id, k_vq, train_disc)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g,
                                       state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
-        logs = {**d_logs, "disc_total": d_total,
-                # generator grad norm (GradNormCallback parity,
-                # WavTokenizer/decoder/helpers.py)
-                "grad_norm_gen": optax.global_norm(g_grads),
-                **{k: v for k, v in aux.items()
-                   if k not in ("vq_state", "y_hat")}}
-        new_state = CodecTrainState(
-            gen_params=gen_params, disc_params=disc_params,
-            vq_state=aux["vq_state"], opt_g=opt_g, opt_d=opt_d,
+        logs = {
+            # generator grad norm (GradNormCallback parity,
+            # WavTokenizer/decoder/helpers.py)
+            "grad_norm_gen": optax.global_norm(g_grads),
+            **{k: v for k, v in aux.items()
+               if k not in ("vq_state", "y_hat")}}
+        new_state = state._replace(
+            gen_params=gen_params, vq_state=aux["vq_state"], opt_g=opt_g,
             step=state.step + 1)
         return new_state, logs
+
+    return disc_step, gen_step
+
+
+def make_codec_gan_step(cfg: CodecConfig, tcfg: CodecTrainConfig,
+                        tx_g, tx_d, axis_name: Optional[str] = None):
+    """The fused single-program alternating step: disc update then gen
+    update against the updated discriminators (experiment.py:86-218).
+
+    Kept for parity testing and small configs; `CodecTrainer` defaults to
+    the split pair because the deployed-shape fused program's ~4.8 MB
+    MLIR gets the tunnel's AOT compile helper OOM-killed (round-4 finding
+    — each half compiles fine)."""
+    disc_step, gen_step = make_codec_gan_steps(cfg, tcfg, tx_g, tx_d,
+                                               axis_name)
+
+    def step(state: CodecTrainState, audio: jnp.ndarray, key: jax.Array):
+        state, d_logs = disc_step(state, audio, key)
+        state, g_logs = gen_step(state, audio, key)
+        return state, {**d_logs, **g_logs}
 
     return step
 
@@ -239,17 +276,23 @@ class CodecTrainer:
         opt_d = jax.jit(self.tx_d.init, out_shardings=rep)(disc_params)
         self.state = CodecTrainState(gen_params, disc_params, vq_state,
                                      opt_g, opt_d, jnp.int32(0))
-        self._step = jax.jit(
-            make_codec_gan_step(cfg, tcfg, self.tx_g, self.tx_d),
-            donate_argnums=(0,))
+        # Two jitted programs, not one: the fused alternating step's
+        # ~4.8 MB MLIR gets the tunnel AOT compile helper OOM-killed at
+        # deployed shapes; each optimizer half compiles fine and the
+        # chain traces the same math (test_split_step_matches_fused).
+        disc_step, gen_step = make_codec_gan_steps(
+            cfg, tcfg, self.tx_g, self.tx_d)
+        self._disc_step = jax.jit(disc_step, donate_argnums=(0,))
+        self._gen_step = jax.jit(gen_step, donate_argnums=(0,))
         self.iter_num = 0
 
     def step(self, audio: np.ndarray) -> Dict[str, float]:
         key, self.rng = jax.random.split(self.rng)
         audio = jax.device_put(jnp.asarray(audio, jnp.float32), self.bsh)
-        self.state, logs = self._step(self.state, audio, key)
+        self.state, d_logs = self._disc_step(self.state, audio, key)
+        self.state, g_logs = self._gen_step(self.state, audio, key)
         self.iter_num += 1
-        return {k: float(v) for k, v in logs.items()}
+        return {k: float(v) for k, v in {**d_logs, **g_logs}.items()}
 
     def validation_metrics(self, audio: np.ndarray,
                            full: bool = False) -> Dict[str, float]:

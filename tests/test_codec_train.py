@@ -148,6 +148,57 @@ def test_codec_gan_step_end_to_end():
     assert np.isfinite(m["val_mel_loss"])
 
 
+def test_split_step_matches_fused():
+    """The trainer's split (disc_step, gen_step) pair equals the fused
+    single-program alternating step — same params, vq state, and logs
+    (tolerance covers one-jit vs two-jit XLA fusion ordering only)."""
+    import jax
+    from llmvox_tpu.parallel import create_mesh
+    from llmvox_tpu.train.codec_trainer import make_codec_gan_step
+
+    trainer = CodecTrainer(TINY_CODEC, TINY_TRAIN,
+                           mesh=create_mesh(dp_size=2, tp_size=1))
+    audio = 0.1 * RNG.standard_normal(
+        (TINY_TRAIN.batch_size, TINY_TRAIN.num_samples)).astype(np.float32)
+    # trainer.step donates its state buffers — keep host copies so the
+    # fused replay below starts from live arrays.  The replay must run
+    # under the SAME mesh placement (replicated state, dp-sharded audio):
+    # a single-device replay sums gradients in a different order than the
+    # dp=2 GSPMD program and drifts ~4e-3 on grad norms.
+    from llmvox_tpu.parallel.sharding import batch_sharding, replicated
+    state0 = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                          trainer.state)
+    state0 = jax.device_put(state0, replicated(trainer.mesh))
+    audio_d = jax.device_put(jnp.asarray(audio), batch_sharding(trainer.mesh))
+    rng0 = trainer.rng
+    fused = jax.jit(make_codec_gan_step(
+        TINY_CODEC, TINY_TRAIN, trainer.tx_g, trainer.tx_d))
+
+    logs_split = [trainer.step(audio), trainer.step(audio)]
+
+    state, rng = state0, rng0
+    logs_fused = []
+    for _ in range(2):
+        key, rng = jax.random.split(rng)
+        state, logs = fused(state, audio_d, key)
+        logs_fused.append({k: float(v) for k, v in logs.items()})
+
+    for ls, lf in zip(logs_split, logs_fused):
+        assert set(ls) == set(lf)
+        for k in ls:
+            np.testing.assert_allclose(ls[k], lf[k], rtol=2e-4, atol=2e-5,
+                                       err_msg=k)
+    assert int(state.step) == int(trainer.state.step) == 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        state.gen_params, trainer.state.gen_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        state.disc_params, trainer.state.disc_params)
+
+
 @pytest.mark.slow
 def test_codec_main_cli_smoke(tmp_path):
     """The training CLI (WavTokenizer/train.py:7-15 counterpart) runs
