@@ -398,6 +398,52 @@ def run(argv=None, virtual: bool = False) -> None:
                      "tokens_per_s": round(16 * b / moe_s, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
+        # GSPMD einsum partitioning vs the hand-written all_to_all
+        # dispatch (ops/moe.py::moe_ffn_a2a) at a prefill-ish token
+        # count — the day-one real-slice decision row for which MoE
+        # dispatch path serves production shapes (STATUS r3 candidate;
+        # parity is proven in tests/test_moe.py, this row is the speed).
+        from llmvox_tpu.ops.moe import make_moe_a2a, moe_ffn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        e, c, inter = ecfg.n_experts, ecfg.n_embd, ecfg.intermediate_size
+        ntok = 2048
+        kx = jax.random.PRNGKey(11)
+        xg = jax.device_put(
+            jax.random.normal(kx, (ntok, c), jnp.bfloat16),
+            NamedSharding(mesh_ep, P("ep", None)))
+        rw = jax.device_put(0.02 * jax.random.normal(
+            jax.random.PRNGKey(12), (c, e), jnp.bfloat16),
+            NamedSharding(mesh_ep, P()))
+        exp_sh = NamedSharding(mesh_ep, P("ep", None, None))
+        wg = jax.device_put(jax.random.normal(
+            jax.random.PRNGKey(13), (e, c, inter), jnp.bfloat16)
+            / np.sqrt(c), exp_sh)
+        wu = jax.device_put(jax.random.normal(
+            jax.random.PRNGKey(14), (e, c, inter), jnp.bfloat16)
+            / np.sqrt(c), exp_sh)
+        wd = jax.device_put(jax.random.normal(
+            jax.random.PRNGKey(15), (e, inter, c), jnp.bfloat16)
+            / np.sqrt(inter), exp_sh)
+
+        n_loc = ntok // args.ep_size
+        gspmd = jax.jit(lambda x: moe_ffn(
+            x, rw, wg, wu, wd, top_k=2, group_size=n_loc,
+            drop_free=True)[0])
+        a2a = jax.jit(make_moe_a2a(mesh_ep, top_k=2, drop_free=True))
+        jax.block_until_ready(gspmd(xg))
+        ta = _timed(lambda: jax.block_until_ready(gspmd(xg)), args.reps)
+        ya = a2a(xg, rw, wg, wu, wd)
+        jax.block_until_ready(ya)
+        tb = _timed(lambda: jax.block_until_ready(
+            a2a(xg, rw, wg, wu, wd)[0]), args.reps)
+        rows.append({"what": "moe_ffn_dispatch_gspmd_vs_a2a",
+                     "ep": args.ep_size, "experts": e, "tokens": ntok,
+                     "gspmd_ms": round(ta * 1e3, 2),
+                     "a2a_ms": round(tb * 1e3, 2),
+                     "a2a_speedup": round(ta / max(tb, 1e-9), 2)})
+        print(json.dumps(rows[-1]), flush=True)
+
     report = {"virtual": virtual, "n_devices": len(jax.devices()),
               "scale": s, "rows": rows}
     print(json.dumps(report))

@@ -53,10 +53,16 @@ choice of G, also tested).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+try:  # jax >= 0.7 moved shard_map out of experimental
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - version-dependent import path
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 from llmvox_tpu.ops import nn as ops
 from llmvox_tpu.ops import quant
@@ -233,3 +239,142 @@ def moe_ffn(x: jnp.ndarray, router_w: jnp.ndarray, wgate: jnp.ndarray,
                     axis=0) / denom
     aux = e * jnp.sum((f / top_k) * pmean)
     return y.reshape(orig_shape), aux
+
+
+def moe_ffn_a2a(x: jnp.ndarray, router_w: jnp.ndarray, wgate: jnp.ndarray,
+                wup: jnp.ndarray, wdown: jnp.ndarray, top_k: int,
+                axis_name: str, capacity_factor: float = 2.0,
+                token_mask: Optional[jnp.ndarray] = None,
+                drop_free: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hand-written expert-parallel MoE: explicit ``all_to_all`` dispatch
+    inside a ``shard_map`` (the fallback STATUS.md r3 reserved for the day
+    GSPMD's partitioning of :func:`moe_ffn`'s dispatch/combine einsums
+    disappoints at production shapes).
+
+    Call ONLY inside ``shard_map`` with ``axis_name`` sharding BOTH the
+    token rows (``x``: this chip's ``(n_loc, C)`` shard) and the expert
+    axis (``wgate``/``wup``/``wdown``: ``(E_loc, C, I)`` local experts);
+    ``router_w`` (C, E_global) is replicated.  Each chip routes its own
+    tokens against ALL experts, packs them into per-(chip, expert)
+    capacity slots, and ONE tiled ``all_to_all`` moves every row to the
+    chip owning its expert (the exact collective GSPMD would have to
+    infer); the inverse ``all_to_all`` brings the expert outputs home for
+    the local weighted combine.  Wire traffic is the theoretical minimum
+    for GShard dispatch: 2 x (E_global * cap * C) per chip per layer,
+    plus one scalar psum pair for the global load-balancing loss.
+
+    Semantics match :func:`moe_ffn` with ``group_size = n_loc`` and
+    groups aligned to chip shards: per-(chip, expert) capacity
+    ``moe_capacity(n_loc, ...)`` (or ``n_loc`` when ``drop_free``),
+    earlier-token-wins priority WITHIN a chip, masked tokens consume no
+    capacity.  Differentiable end to end (``all_to_all`` transposes to
+    the inverse exchange), so it trains; the aux loss psums the
+    route/probability statistics so it equals the single-program global
+    value.  Parity with :func:`moe_ffn` — forward and grads, capped and
+    drop-free — is proven on the virtual mesh in tests/test_moe.py.
+    """
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    e = router_w.shape[-1]
+    e_loc = wgate.shape[0] if not isinstance(wgate, (quant.QuantizedTensor,
+                                                     quant.Int8Linear,
+                                                     quant.Int4Tensor)) \
+        else wgate.q.shape[0]
+    n_ep = e // e_loc
+    xf = x.reshape(-1, c)
+    n = xf.shape[0]
+    mask = (jnp.ones((n,), bool) if token_mask is None
+            else token_mask.reshape(-1).astype(bool))
+    cap = n if drop_free else moe_capacity(n, e, top_k, capacity_factor)
+
+    logits = ops.linear(xf, router_w).astype(jnp.float32)         # (n, E)
+    probs = jax.nn.softmax(logits, axis=-1)
+    topv, topi = jax.lax.top_k(logits, top_k)
+    w = jax.nn.softmax(topv, axis=-1)
+
+    onehot_e = (jax.nn.one_hot(topi, e, dtype=jnp.int32)
+                * mask[:, None, None].astype(jnp.int32))          # (n, K, E)
+    flat = onehot_e.reshape(1, n * top_k, e)
+    pos_f = jnp.cumsum(flat, axis=1) - flat
+    pos = jnp.sum(pos_f.reshape(n, top_k, e) * onehot_e, axis=-1)
+    keep = (pos < cap) & mask[:, None]
+
+    dtype = x.dtype
+    dispatch = jnp.zeros((n, e, cap), dtype)
+    combine = jnp.zeros((n, e, cap), dtype)
+    for k in range(top_k):
+        hot = (jax.nn.one_hot(topi[:, k], e, dtype=dtype)[:, :, None]
+               * jax.nn.one_hot(pos[:, k], cap, dtype=dtype)[:, None, :]
+               * keep[:, k, None, None].astype(dtype))
+        dispatch = dispatch + hot
+        combine = combine + hot * w[:, k, None, None].astype(dtype)
+
+    prec = ops.mm_precision(dtype)
+    # local pack: (E_global, cap, C) rows destined for each expert
+    xin = jnp.einsum("nec,nd->ecd", dispatch, xf, precision=prec)
+    # ONE exchange: axis-0 blocks of E_loc experts go to their owner;
+    # received axis 0 is ordered by SOURCE chip — (src, E_loc, cap, C)
+    xin = jax.lax.all_to_all(xin, axis_name, split_axis=0, concat_axis=0,
+                             tiled=True)
+    xin = (xin.reshape(n_ep, e_loc, cap, c)
+           .transpose(1, 0, 2, 3).reshape(e_loc, n_ep * cap, c))
+    gate = expert_matmul(xin, wgate, prec)
+    up = expert_matmul(xin, wup, prec)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    xout = expert_matmul(h, wdown, prec)
+    # inverse exchange: results go home, axis 0 back to global expert id
+    xout = (xout.reshape(e_loc, n_ep, cap, c)
+            .transpose(1, 0, 2, 3).reshape(e, cap, c))
+    xout = jax.lax.all_to_all(xout, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)
+    y = jnp.einsum("nec,ecd->nd", combine, xout, precision=prec)
+
+    # global load-balancing stats: psum the masked-in sums so the loss
+    # equals moe_ffn's single-program value over the full token set
+    denom = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis_name)
+    denom = jnp.maximum(denom, 1.0)
+    f = jax.lax.psum(
+        jnp.sum(jnp.sum(onehot_e, axis=1).astype(jnp.float32), axis=0),
+        axis_name) / denom
+    pmean = jax.lax.psum(
+        jnp.sum(probs * mask[:, None].astype(jnp.float32), axis=0),
+        axis_name) / denom
+    aux = e * jnp.sum((f / top_k) * pmean)
+    return y.reshape(orig_shape), aux
+
+
+def make_moe_a2a(mesh, *, top_k: int, ep_axis: str = "ep",
+                 capacity_factor: float = 2.0, drop_free: bool = False):
+    """Build ``moe(x, router_w, wgate, wup, wdown, token_mask=None) ->
+    (y, aux)`` over GLOBAL arrays: token rows (axis 0 of ``x`` (N, C))
+    shard over ``ep_axis``, experts (axis 0 of the weights) likewise,
+    router replicated — the :func:`moe_ffn_a2a` shard_map wrapper, shaped
+    like :func:`ops.ring_attention.make_ring_attention`.  N must divide
+    by the ep size; per-chip capacity follows the chip's token shard
+    (``group_size = N/ep`` semantics)."""
+    n_ep = int(mesh.shape[ep_axis])
+    P = jax.sharding.PartitionSpec
+    body = partial(moe_ffn_a2a, top_k=top_k, axis_name=ep_axis,
+                   capacity_factor=capacity_factor, drop_free=drop_free)
+
+    def wrapped(x, rw, wg, wu, wd, token_mask):
+        return body(x, rw, wg, wu, wd, token_mask=token_mask)
+
+    row = P(ep_axis, None)
+    exp = P(ep_axis, None, None)
+    kwargs = dict(mesh=mesh,
+                  in_specs=(row, P(), exp, exp, exp, P(ep_axis)),
+                  out_specs=(row, P()))
+    try:
+        sm = _shard_map(wrapped, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - flag name depends on version
+        sm = _shard_map(wrapped, check_rep=False, **kwargs)
+
+    def moe(x, rw, wg, wu, wd, token_mask=None):
+        if x.shape[0] % n_ep:
+            raise ValueError(f"N={x.shape[0]} not divisible by ep={n_ep}")
+        if token_mask is None:
+            token_mask = jnp.ones((x.shape[0],), bool)
+        return sm(x, rw, wg, wu, wd, token_mask)
+
+    return moe

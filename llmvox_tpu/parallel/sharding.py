@@ -134,6 +134,47 @@ def opt_state_shardings(mesh: Mesh, tx, params, param_shardings):
     return jax.tree_util.tree_map(pick, abstract, is_leaf=is_param_tree)
 
 
+def llama_fsdp_shardings(mesh: Mesh, params: Dict) -> Dict:
+    """ZeRO-3 for the Llama LLM, expert-aware: dense matrices shard one
+    non-tp dimension over dp (like :func:`decoder_fsdp_shardings`), and
+    MoE expert weights — where an 8-expert model's parameter memory
+    actually lives — keep their expert axis over ep AND shard a matrix
+    dim over dp, so per-chip expert parameter + Adam-moment memory drops
+    by ep*dp together.  The router stays replicated (tiny, and every
+    chip routes).  Optimizer moments inherit these specs through
+    :func:`opt_state_shardings`, giving MoE training ZeRO-sharded expert
+    state — the ep-aware FSDP compose STATUS r3 queued."""
+    from llmvox_tpu.parallel.mesh import EP_AXIS
+    specs = {
+        "tok_emb": P(DP_AXIS, None),
+        "lnf_s": P(),
+        "head": P(DP_AXIS, None),
+        "draft_heads": P(None, DP_AXIS, None),
+        "h": {
+            "ln1_s": P(), "ln2_s": P(),
+            "wq": P(None, DP_AXIS, TP_AXIS),
+            "wk": P(None, DP_AXIS, TP_AXIS),
+            "wv": P(None, DP_AXIS, TP_AXIS),
+            "wo": P(None, TP_AXIS, DP_AXIS),
+            "wgate": P(None, DP_AXIS, TP_AXIS),
+            "wup": P(None, DP_AXIS, TP_AXIS),
+            "wdown": P(None, TP_AXIS, DP_AXIS),
+            "router": P(),
+            "moe_wgate": P(None, EP_AXIS, DP_AXIS, TP_AXIS),
+            "moe_wup": P(None, EP_AXIS, DP_AXIS, TP_AXIS),
+            "moe_wdown": P(None, EP_AXIS, TP_AXIS, DP_AXIS),
+        },
+    }
+
+    def pick(path, leaf):
+        node = specs
+        for p in path:
+            node = node[p.key]
+        return NamedSharding(mesh, node)
+
+    return jax.tree_util.tree_map_with_path(pick, params)
+
+
 def llama_param_shardings(mesh: Mesh, params: Dict) -> Dict:
     """Megatron TP specs for the Llama text LLM (models/llama.py): q/k/v,
     gate and up column-parallel (output dim over tp), o and down

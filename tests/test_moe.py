@@ -466,3 +466,177 @@ def test_moe_loss_grads_reach_router():
     cfg0 = _moe_cfg(moe_aux_weight=0.0)
     loss0 = llama.llama_loss(params, toks, cfg0)
     assert abs(float(loss) - float(loss0)) > 1e-9
+
+
+# ---- hand-written all-to-all expert parallelism (moe_ffn_a2a) ----------
+
+def _a2a_setup(seed=0, e=8, c=16, i=32, n=64):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    rw = jnp.asarray(rng.normal(size=(c, e)).astype(np.float32))
+    wg = jnp.asarray((rng.normal(size=(e, c, i)) / np.sqrt(c))
+                     .astype(np.float32))
+    wu = jnp.asarray((rng.normal(size=(e, c, i)) / np.sqrt(c))
+                     .astype(np.float32))
+    wd = jnp.asarray((rng.normal(size=(e, i, c)) / np.sqrt(i))
+                     .astype(np.float32))
+    return x, rw, wg, wu, wd
+
+
+@pytest.mark.parametrize("drop_free,cf,masked", [
+    (True, 0.0, False),      # inference semantics (no drops possible)
+    (False, 1.0, False),     # capped: drops exercise per-chip priority
+    (False, 1.0, True),      # masked rows consume no capacity
+])
+def test_moe_a2a_matches_single_program(drop_free, cf, masked):
+    """The hand-written shard_map all-to-all dispatch (ops/moe.py::
+    moe_ffn_a2a — the fallback for when GSPMD's einsum partitioning
+    disappoints) equals moe_ffn with groups aligned to the chip shards,
+    forward AND aux, at drop-free and drop-prone capacities."""
+    from llmvox_tpu.ops.moe import make_moe_a2a
+
+    ep = 4
+    x, rw, wg, wu, wd = _a2a_setup()
+    n = x.shape[0]
+    mask = None
+    if masked:
+        mask = jnp.asarray(
+            np.random.default_rng(3).random(n) > 0.25)
+    ref_y, ref_aux = moe_ffn(x, rw, wg, wu, wd, top_k=2,
+                             capacity_factor=cf, token_mask=mask,
+                             group_size=n // ep, drop_free=drop_free)
+
+    mesh = create_mesh(dp_size=8 // ep, ep_size=ep)
+    moe = make_moe_a2a(mesh, top_k=2, capacity_factor=cf,
+                       drop_free=drop_free)
+    got_y, got_aux = moe(x, rw, wg, wu, wd, token_mask=mask)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(got_aux), float(ref_aux), rtol=1e-5)
+
+
+def test_moe_a2a_grads_match_single_program():
+    """all_to_all differentiates (its transpose is the inverse exchange):
+    grads through the hand-written dispatch equal the single-program
+    groups twin for every parameter, router included."""
+    from llmvox_tpu.ops.moe import make_moe_a2a
+
+    ep = 4
+    x, rw, wg, wu, wd = _a2a_setup(seed=1)
+    n = x.shape[0]
+    mesh = create_mesh(dp_size=8 // ep, ep_size=ep)
+    moe = make_moe_a2a(mesh, top_k=2, drop_free=True)
+
+    def loss_ref(p):
+        y, aux = moe_ffn(x, p["rw"], p["wg"], p["wu"], p["wd"], top_k=2,
+                         group_size=n // ep, drop_free=True)
+        return jnp.sum(y * y) + aux
+
+    def loss_a2a(p):
+        y, aux = moe(x, p["rw"], p["wg"], p["wu"], p["wd"])
+        return jnp.sum(y * y) + aux
+
+    p = {"rw": rw, "wg": wg, "wu": wu, "wd": wd}
+    ref_l, ref_g = jax.value_and_grad(loss_ref)(p)
+    got_l, got_g = jax.value_and_grad(loss_a2a)(p)
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(got_g[k]),
+                                   np.asarray(ref_g[k]),
+                                   rtol=5e-5, atol=5e-6, err_msg=k)
+
+
+def test_moe_fsdp_expert_sharded_train_step():
+    """ep-aware ZeRO-3 (parallel/sharding.py::llama_fsdp_shardings): MoE
+    expert weights AND their Adam moments shard over ep plus a matrix dim
+    over dp, and one adamw train step on the dp2 x ep4 mesh matches the
+    replicated single-program twin — expert-sharded optimizer state for
+    MoE training (the STATUS r3 follow-up)."""
+    import optax
+
+    from llmvox_tpu.parallel.mesh import DP_AXIS, EP_AXIS
+    from llmvox_tpu.parallel.sharding import (llama_fsdp_shardings,
+                                              opt_state_shardings)
+
+    cfg = _moe_cfg()
+    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray(np.random.default_rng(7).integers(0, 64, (8, 12)),
+                       jnp.int32)
+    tx = optax.adamw(1e-3)
+
+    def step(p, s, batch):
+        loss, grads = jax.value_and_grad(llama.llama_loss)(p, batch, cfg)
+        upd, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    # replicated twin
+    ref_p, _, ref_loss = step(params, tx.init(params), toks)
+
+    mesh = create_mesh(dp_size=2, ep_size=4)
+    psh = llama_fsdp_shardings(mesh, params)
+    sp = jax.device_put(params, psh)
+    osh = opt_state_shardings(mesh, tx, params, psh)
+    st = jax.jit(tx.init, out_shardings=osh)(sp)
+
+    w = sp["h"]["moe_wgate"]                        # (L, E, C, I)
+    assert EP_AXIS in tuple(w.sharding.spec)
+    assert DP_AXIS in tuple(w.sharding.spec)
+    shard = w.addressable_shards[0].data.shape
+    assert shard[1] * 4 == w.shape[1] and shard[2] * 2 == w.shape[2]
+    # Adam mu/nu carry the same expert sharding
+    mus = [x for x in jax.tree.leaves(st)
+           if hasattr(x, "shape") and x.shape == w.shape]
+    assert mus and all(EP_AXIS in tuple(m.sharding.spec) for m in mus)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    stoks = jax.device_put(toks, NamedSharding(mesh, P(DP_AXIS, None)))
+    got_p, _, got_loss = jax.jit(step)(sp, st, stoks)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss),
+                               rtol=1e-5)
+    for k in ("moe_wgate", "moe_wdown", "router", "wq"):
+        np.testing.assert_allclose(np.asarray(got_p["h"][k]),
+                                   np.asarray(ref_p["h"][k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_moe_spec_pooled_matches_greedy():
+    """Speculative pooled decode routes the verify forward (T=k_draft+1)
+    through the drop-free MoE `_mlp` — tokens must equal the plain MoE
+    pooled path exactly, random (never-accepting) draft heads included.
+    Closes the STATUS r3 'LLM-pool speculation x MoE' follow-up: the
+    verify forward cannot drop (inference capacity = group size), so
+    speculation is safe to serve on MoE checkpoints."""
+    cfg = _moe_cfg(n_experts=8, moe_capacity_factor=2.0, n_draft_heads=3)
+    params = llama.init_llama_params(jax.random.PRNGKey(3), cfg)
+    prompts = [[5, 9, 2], [7, 11, 13, 17, 19], [3] * 9, [42]]
+    tokens = np.zeros((4, 16), np.int32)
+    valid = np.zeros((4,), np.int32)
+    for i, p in enumerate(prompts):
+        tokens[i, : len(p)] = p
+        valid[i] = len(p)
+
+    def prefill():
+        st = llama.init_llama_pool_state(cfg, batch=4)
+        _, st = llama.prefill_slots(
+            params, jnp.asarray(tokens), jnp.asarray(valid), st,
+            jnp.arange(4, dtype=jnp.int32), jnp.ones((4,), bool),
+            jax.random.PRNGKey(1), cfg)
+        return st
+
+    active = jnp.asarray([True] * 4)
+    st_g = prefill()
+    want = []
+    for i in range(2):
+        toks, st_g = llama.decode_block_pooled(
+            params, st_g, active, jax.random.PRNGKey(7 + i), cfg, block=8)
+        want.append(np.asarray(toks))
+
+    st = prefill()
+    got = []
+    for _ in range(2):
+        toks, st, _iters = llama.decode_block_spec_pooled(
+            params, st, active, cfg, block=8, k_draft=3)
+        got.append(np.asarray(toks))
+    np.testing.assert_array_equal(np.concatenate(got, 1),
+                                  np.concatenate(want, 1))
+    np.testing.assert_array_equal(np.asarray(st.pos), np.asarray(st_g.pos))
