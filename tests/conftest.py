@@ -18,3 +18,29 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _n_maps() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+# Every compiled XLA:CPU executable holds mmap'd JIT code regions for the
+# life of the process; a full-suite run accumulates ~60k+ mappings and
+# SIGSEGVs when it crosses the kernel's vm.max_map_count (default 65530)
+# — observed twice at the 78-93% mark, at whichever test compiled next.
+# Dropping jax's executable caches when we near the limit frees the maps;
+# the handful of cross-file recompiles it causes are cheap next to a
+# segfaulted suite.
+_MAP_BUDGET = 48_000
+
+
+def pytest_runtest_teardown(item, nextitem):  # noqa: ARG001
+    if _n_maps() > _MAP_BUDGET:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
