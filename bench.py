@@ -343,8 +343,14 @@ def main() -> None:
     dec_s, _, _, _ = _blocks(tok, lstate, lpos, n=7)
     llama_tok_s = 7 * 16 / dec_s
 
+    # first_block=32 (not 16): the BYTE-level bench LLM's deltas shrink
+    # through clean_text (~0.57 printable chars/byte for random bytes),
+    # so a 16-token first block yields ~9 chars < the scheduler's
+    # dump_size=10 and TTS start slips a whole extra LLM block (~60 ms,
+    # measured via LLMVOX_SCHED_DEBUG).  A BPE checkpoint (~4 chars/tok)
+    # keeps the shorter 16 default (utils/config.py llm_first_block).
     llm_pool = LLMPool(lparams, lcfg, capacity=8, block=32,
-                       first_block=16, temperature=0.8, top_k=0,
+                       first_block=32, temperature=0.8, top_k=0,
                        top_p=1.0, dtype=jnp.bfloat16,
                        prefill_buckets=(256,))
     llm = PooledJAXStreamModel(llm_pool, ByteTokenizer(), max_tokens=96,

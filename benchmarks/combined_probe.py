@@ -23,7 +23,7 @@ def main() -> None:
     ap.add_argument("--pool_block", type=int, default=None)
     ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--no_merge", action="store_true")
-    ap.add_argument("--llm_first_block", type=int, default=16)
+    ap.add_argument("--llm_first_block", type=int, default=32)
     cli = ap.parse_args()
 
     import jax

@@ -479,22 +479,53 @@ class DecodePool:
         Consumers issue ahead one block (scheduler + PooledEngine), so
         two requests per slot are outstanding at steady state — exactly
         what depth 2 needs.
+
+        Fused burst: a FUSED (sentence-first) request arriving while the
+        loop is parked on the oldest fetch used to wait for ``depth``
+        whole fetch cycles before its own dispatch — at every sentence
+        boundary the previous sentence leaves up to ``depth`` issued-
+        ahead speculative steps in flight (their queued tail is dropped
+        by ``reset_slot``, the dispatched ones can't be), so the next
+        sentence's first audio queued behind ~2 dead steps (measured
+        119 ms dispatch->fetch vs ~40 ms steady-state at 1-way).  A
+        fused head now (a) wakes the parked loop and (b) may dispatch
+        ONE step beyond ``depth`` — its device execution chains right
+        after the in-flight steps instead of after their fetches.
+        Throughput is untouched: the burst only triggers on sentence
+        starts, and the pipeline drains back to ``depth`` immediately.
         """
         self._inflight = deque()   # (record, fetch task), oldest first
         depth = max(1, int(getattr(self.scfg, "pool_pipeline_depth", 1)))
+
+        def fused_waiting() -> bool:
+            return any(s.active and s.queue and s.queue[0].fused_dump > 0
+                       for s in self.slots)
+
         while True:
-            while len(self._inflight) < depth:
+            while len(self._inflight) < depth + int(fused_waiting()):
                 nxt = self._dispatch_step()
                 if nxt is None:
                     break
                 self._inflight.append(
                     (nxt, asyncio.create_task(self._resolve_task(nxt))))
             if self._inflight:
-                _, task = self._inflight.popleft()
-                await task
-                # yield so consumers see results and enqueue follow-ups
-                # before the next gather
-                await asyncio.sleep(0)
+                _, task = self._inflight[0]
+                if not task.done():
+                    # wait for the oldest fetch OR a new arrival (a fused
+                    # head must be able to burst-dispatch mid-wait)
+                    self._wake.clear()
+                    waker = asyncio.create_task(self._wake.wait())
+                    await asyncio.wait({task, waker},
+                                       return_when=asyncio.FIRST_COMPLETED)
+                    if not waker.done():
+                        waker.cancel()
+                if task.done():
+                    self._inflight.popleft()
+                    await task
+                    # yield so consumers see results and enqueue
+                    # follow-ups before the next gather
+                    await asyncio.sleep(0)
+                # else: woken by a submit — refill (fused burst) first
             elif not any(s.active and s.queue for s in self.slots):
                 await self._wake.wait()
                 self._wake.clear()

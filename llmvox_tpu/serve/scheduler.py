@@ -39,6 +39,9 @@ from llmvox_tpu.serve.engine import TTSEngine
 from llmvox_tpu.text.byt5 import ByT5Tokenizer
 from llmvox_tpu.text.cleaning import clean_text
 from llmvox_tpu.utils.config import ServeConfig
+
+import os as _os
+_SCHED_DEBUG = bool(_os.environ.get("LLMVOX_SCHED_DEBUG"))
 from llmvox_tpu.utils.trace import Trace
 
 # Control-signal protocol on the audio queues (streaming_server.py:397-404):
@@ -236,6 +239,11 @@ class StreamingScheduler:
                 # -- text intake until the sentence is complete -----------
                 if not st.sentence_done:
                     delta = await text_q.get()
+                    if _SCHED_DEBUG:
+                        import time as _t
+                        print(f"[sched r{index} {_t.perf_counter()%100:.3f}] "
+                              f"intake {delta!r:.40} ids={len(st.text_ids)}",
+                              flush=True)
                     if delta is _STREAM_CLOSED:
                         if st.n_generated == 0 and not st.text_ids:
                             await synth_q.put(END)
@@ -333,6 +341,13 @@ class StreamingScheduler:
                         window = np.full(cur, dcfg.pad_token_id, np.int32)
                         avail = st.text_ids[issued:issued + cur]
                         window[:len(avail)] = avail
+                        if _SCHED_DEBUG:
+                            import time as _t
+                            print(f"[sched r{index} "
+                                  f"{_t.perf_counter()%100:.3f}] dispatch "
+                                  f"cur={cur} limit={limit} issued={issued} "
+                                  f"gen={st.n_generated} dump={dump_size}",
+                                  flush=True)
                         if (can_fuse and issued == 0
                                 and st.n_generated == 0
                                 and dump_size <= limit
@@ -361,6 +376,11 @@ class StreamingScheduler:
 
                     with trace.span(f"decode_r{index}"):
                         got = await pending.popleft().afetch()
+                    if _SCHED_DEBUG:
+                        import time as _t
+                        print(f"[sched r{index} {_t.perf_counter()%100:.3f}] "
+                              f"fetched gen={st.n_generated} "
+                              f"fused={isinstance(got, tuple)}", flush=True)
                     if isinstance(got, tuple):   # fused: (tokens, audio)
                         tokens, st.fused_audio = got
                         st.fused_dump = dump_size
