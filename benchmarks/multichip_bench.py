@@ -426,17 +426,22 @@ def run(argv=None, virtual: bool = False) -> None:
             jax.random.PRNGKey(15), (e, inter, c), jnp.bfloat16)
             / np.sqrt(inter), exp_sh)
 
+        # Time the two paths IDENTICALLY (ADVICE r4): both jits take the
+        # weights as runtime args (no closed-over constants) and return
+        # only y, so the aux loss and its reductions are dead-code in
+        # BOTH programs, not just one.
         n_loc = ntok // args.ep_size
-        gspmd = jax.jit(lambda x: moe_ffn(
-            x, rw, wg, wu, wd, top_k=2, group_size=n_loc,
+        gspmd = jax.jit(lambda x, r, g, u, d: moe_ffn(
+            x, r, g, u, d, top_k=2, group_size=n_loc,
             drop_free=True)[0])
-        a2a = jax.jit(make_moe_a2a(mesh_ep, top_k=2, drop_free=True))
-        jax.block_until_ready(gspmd(xg))
-        ta = _timed(lambda: jax.block_until_ready(gspmd(xg)), args.reps)
-        ya = a2a(xg, rw, wg, wu, wd)
-        jax.block_until_ready(ya)
+        _a2a_full = make_moe_a2a(mesh_ep, top_k=2, drop_free=True)
+        a2a = jax.jit(lambda x, r, g, u, d: _a2a_full(x, r, g, u, d)[0])
+        jax.block_until_ready(gspmd(xg, rw, wg, wu, wd))
+        ta = _timed(lambda: jax.block_until_ready(
+            gspmd(xg, rw, wg, wu, wd)), args.reps)
+        jax.block_until_ready(a2a(xg, rw, wg, wu, wd))
         tb = _timed(lambda: jax.block_until_ready(
-            a2a(xg, rw, wg, wu, wd)[0]), args.reps)
+            a2a(xg, rw, wg, wu, wd)), args.reps)
         rows.append({"what": "moe_ffn_dispatch_gspmd_vs_a2a",
                      "ep": args.ep_size, "experts": e, "tokens": ntok,
                      "gspmd_ms": round(ta * 1e3, 2),

@@ -69,16 +69,22 @@ def run_utterance(params, cfg, wav1: np.ndarray, batch: int,
 
 
 def run_utterance_stream(params, cfg, wav1: np.ndarray,
-                         n_tokens: int = 32, block: int = 16):
+                         n_tokens: int = 32, block: int = 16,
+                         ctx_frames=None):
     """``run_utterance``'s B=1 chain as a PARTIAL-RESULT stream: yields
     ``(blocks_done, n_blocks, seconds_since_start)`` after each decode
     block's tokens land on the host — the harness twin of
     JAXWhisperASR.transcribe_stream (same pipelining: block N+1 is in
     flight before block N is fetched), used by bench.py's overlapped
-    speech-to-speech measurement."""
+    speech-to-speech measurement.  ``ctx_frames`` runs the encoder at a
+    short bucket window (the audio_ctx ladder, streams/asr.py::_pick_ctx)
+    — pass the bucket the serve path would pick for this utterance."""
     import jax.numpy as jnp
 
     from llmvox_tpu.models import whisper as W
+    if ctx_frames is not None:
+        wav1 = W.pad_or_trim(wav1[:, :ctx_frames * cfg.hop_length], cfg,
+                             ctx_frames)
     t0 = time.perf_counter()
     mel = W.log_mel(jnp.asarray(wav1), cfg)
     enc = W.encode(params, mel, cfg)

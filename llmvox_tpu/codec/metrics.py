@@ -241,13 +241,15 @@ def pitch_metrics(y_hat: np.ndarray, y: np.ndarray, sr: int = 16000,
 def pesq_score(y_hat: np.ndarray, y: np.ndarray,
                sr: int = 16000) -> Optional[float]:
     """Wideband PESQ (experiment.py:246-255): registered backend first,
-    else the pesq package, else None."""
+    then the pesq package, else the built-in dependency-free
+    implementation (``codec/pesq.py``)."""
     if "pesq" in _PLUGINS:
         return float(_PLUGINS["pesq"](y_hat, y, sr))
     try:
         from pesq import pesq
     except ImportError:
-        return None
+        from llmvox_tpu.codec.pesq import pesq_wb
+        return float(pesq_wb(y, y_hat, sr))
     return float(pesq(sr, y, y_hat, "wb", on_error=1))
 
 

@@ -152,10 +152,18 @@ def log_mel(audio: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
     return (jnp.maximum(logspec, floor) + 4.0) / 4.0
 
 
-def pad_or_trim(audio: np.ndarray, cfg: WhisperConfig) -> np.ndarray:
-    """(T,) or (B, T) -> (B, 30 s) zero-padded/truncated host-side."""
+def pad_or_trim(audio: np.ndarray, cfg: WhisperConfig,
+                n_frames: int | None = None) -> np.ndarray:
+    """(T,) or (B, T) -> (B, window) zero-padded/truncated host-side.
+
+    ``n_frames`` overrides the 30 s window with a shorter mel-frame
+    count (the whisper.cpp ``audio_ctx`` trick): the encoder slices its
+    positional table to the actual length, so a short utterance can run
+    in a proportionally cheaper window.  Callers pick ``n_frames`` from
+    a bucket ladder so each bucket compiles exactly once
+    (streams/asr.py::JAXWhisperASR._pick_ctx)."""
     audio = np.atleast_2d(np.asarray(audio, np.float32))
-    n = cfg.n_audio_frames * cfg.hop_length
+    n = (n_frames or cfg.n_audio_frames) * cfg.hop_length
     if audio.shape[1] >= n:
         return audio[:, :n]
     return np.pad(audio, ((0, 0), (0, n - audio.shape[1])))

@@ -290,7 +290,14 @@ class DecodePool:
         self.slots[idx].queue.append(
             _Request(np.array(window, np.int32), text_len, limit, fut,
                      fused_dump))
-        if self._wake is not None:
+        # Wake the parked step loop only when the arrival can change what
+        # it should dispatch RIGHT NOW (ADVICE r4): a fused head may
+        # burst-dispatch past ``depth`` mid-wait, and an idle loop (no
+        # steps in flight) must start.  A plain issue-ahead request under
+        # load needs no wake — the loop picks it up at the next refill —
+        # so we skip the per-submit waker-task churn.
+        if self._wake is not None and (
+                fused_dump > 0 or not getattr(self, "_inflight", None)):
             self._wake.set()
         return fut
 

@@ -29,6 +29,8 @@ eos token still terminates the request.
 from __future__ import annotations
 
 import asyncio
+import os
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from typing import AsyncIterator, Deque, List, Optional
@@ -40,9 +42,10 @@ from llmvox_tpu.text.byt5 import ByT5Tokenizer
 from llmvox_tpu.text.cleaning import clean_text
 from llmvox_tpu.utils.config import ServeConfig
 
-import os as _os
-_SCHED_DEBUG = bool(_os.environ.get("LLMVOX_SCHED_DEBUG"))
 from llmvox_tpu.utils.trace import Trace
+
+# Timing prints for chasing dispatch/fetch interleavings; off by default.
+_SCHED_DEBUG = bool(os.environ.get("LLMVOX_SCHED_DEBUG"))
 
 # Control-signal protocol on the audio queues (streaming_server.py:397-404):
 # bytes = audio chunk; int 0/1 = switch mux to that replica; "end" = finish.
@@ -240,8 +243,7 @@ class StreamingScheduler:
                 if not st.sentence_done:
                     delta = await text_q.get()
                     if _SCHED_DEBUG:
-                        import time as _t
-                        print(f"[sched r{index} {_t.perf_counter()%100:.3f}] "
+                        print(f"[sched r{index} {time.perf_counter()%100:.3f}] "
                               f"intake {delta!r:.40} ids={len(st.text_ids)}",
                               flush=True)
                     if delta is _STREAM_CLOSED:
@@ -342,9 +344,8 @@ class StreamingScheduler:
                         avail = st.text_ids[issued:issued + cur]
                         window[:len(avail)] = avail
                         if _SCHED_DEBUG:
-                            import time as _t
-                            print(f"[sched r{index} "
-                                  f"{_t.perf_counter()%100:.3f}] dispatch "
+                                print(f"[sched r{index} "
+                                  f"{time.perf_counter()%100:.3f}] dispatch "
                                   f"cur={cur} limit={limit} issued={issued} "
                                   f"gen={st.n_generated} dump={dump_size}",
                                   flush=True)
@@ -377,8 +378,7 @@ class StreamingScheduler:
                     with trace.span(f"decode_r{index}"):
                         got = await pending.popleft().afetch()
                     if _SCHED_DEBUG:
-                        import time as _t
-                        print(f"[sched r{index} {_t.perf_counter()%100:.3f}] "
+                        print(f"[sched r{index} {time.perf_counter()%100:.3f}] "
                               f"fetched gen={st.n_generated} "
                               f"fused={isinstance(got, tuple)}", flush=True)
                     if isinstance(got, tuple):   # fused: (tokens, audio)

@@ -309,4 +309,7 @@ def build_server(cfg: ServeConfig, engines, stream_model=None,
         # pooled TPU-hosted LLM: compile prefill buckets + the batched
         # decode block before traffic
         stream_model.warmup()
+    if hasattr(asr_model, "warmup"):
+        # TPU-hosted Whisper: compile every encoder-context bucket
+        asr_model.warmup()
     return TTSServer(scheduler, cfg, stream_model, asr_model, pool=pool)

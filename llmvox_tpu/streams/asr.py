@@ -211,6 +211,15 @@ class JAXWhisperASR:
         ml = gen.get("max_length")
         self.max_length = int(ml) if ml else self.cfg.max_target_positions
         self.decode_block_size = 16
+        # encoder-context bucket ladder (mel frames); () / None = always
+        # the full 30 s window.  Buckets beyond the model window are
+        # clamped; the full window is always the last rung.
+        raw = getattr(self.config, "asr_ctx_buckets", ()) or ()
+        full = self.cfg.n_audio_frames
+        self.ctx_buckets = tuple(sorted(
+            {min(int(b), full) for b in raw} | ({full} if raw else set())))
+        self.ctx_verify = bool(getattr(self.config, "asr_ctx_verify",
+                                       False))
 
     def _lang_token(self, language: Optional[str]) -> Optional[int]:
         """Language name/code -> language token id, or None to detect."""
@@ -248,18 +257,51 @@ class JAXWhisperASR:
         texts = self.transcribe_batch(windows, task=task, language=language)
         return " ".join(t.strip() for t in texts if t.strip())
 
+    def warmup(self) -> None:
+        """Compile the per-bucket program chains (mel/encode/cross/
+        prefill/decode) before traffic.  Every bucket must actually be
+        REACHED — an unwarmed bucket pays its full compile on the first
+        live utterance of that length."""
+        if self.params is None:
+            self.load()
+        hop = self.cfg.hop_length
+        for b in (self.ctx_buckets or (self.cfg.n_audio_frames,)):
+            n = max(int((b - 60) * hop), hop)   # lands in bucket b
+            audio = np.zeros(n, np.float32)
+            audio[:1600] = 0.1                  # not pure silence
+            for _ in self.transcribe_stream(audio):
+                pass
+
+    def _pick_ctx(self, n_samples: int) -> Optional[int]:
+        """Smallest encoder-context bucket (mel frames) that holds the
+        utterance plus ~0.5 s of slack (the decoder needs some padded
+        tail to place EOS), or None for the full window."""
+        if not self.ctx_buckets:
+            return None
+        need = n_samples // self.cfg.hop_length + 50
+        for b in self.ctx_buckets:
+            if b >= need:
+                return b if b < self.cfg.n_audio_frames else None
+        return None
+
     def _prep_single(self, audio: np.ndarray, task: str,
-                     language: Optional[str]):
+                     language: Optional[str],
+                     ctx_frames: Optional[int] = None):
         """Shared single-utterance setup: encode, (optional) language
         detect, forced-prefix prefill.  Returns
-        ``(state, cross, forced_len, first_token)``."""
+        ``(state, cross, forced_len, first_token)``.
+
+        ``ctx_frames`` runs the encoder at a short bucket window
+        (models/whisper.py::pad_or_trim) — the cross-KV and every decode
+        program downstream shrink with it."""
         import jax.numpy as jnp
 
         from llmvox_tpu.models import whisper as W
         if self.params is None:
             self.load()
         cfg = self.cfg
-        mel = W.log_mel(jnp.asarray(W.pad_or_trim(audio, cfg)), cfg)
+        mel = W.log_mel(
+            jnp.asarray(W.pad_or_trim(audio, cfg, ctx_frames)), cfg)
         enc = W.encode(self.params, mel, cfg)
         cross = W.make_cross_kv(self.params, enc, cfg)
         dtype = self.params["dec"]["tok_emb"].dtype
@@ -325,12 +367,30 @@ class JAXWhisperASR:
         from llmvox_tpu.models import whisper as W
         import jax.numpy as jnp
 
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        ctx = self._pick_ctx(len(audio))
         state, cross, n_forced, first = self._prep_single(
-            audio, task, language)
+            audio, task, language, ctx_frames=ctx)
         cfg = self.cfg
         eos = cfg.eos_token_id
+
+        def verified(text: str) -> str:
+            """Optional full-window re-check of a bucketed transcript
+            (the PromptRestart-style degrade): re-transcribe at the full
+            30 s window and return that text — identical in the stable
+            case, corrected otherwise.  Runs AFTER the partial stream
+            already went out, so it costs latency only when it differs
+            and the consumer must revise."""
+            if ctx is None or not self.ctx_verify:
+                return text
+            saved, self.ctx_buckets = self.ctx_buckets, ()
+            try:
+                return self.transcribe(audio, task=task, language=language)
+            finally:
+                self.ctx_buckets = saved
+
         if first == eos:
-            yield "", True
+            yield verified(""), True
             return
         out = [first]
         max_new = max(self.max_length - n_forced, 1)
@@ -364,11 +424,12 @@ class JAXWhisperASR:
                     break
             text = self.tokenizer.decode(out, skip_special_tokens=True)
             if hit_eos or nxt is None:
-                yield text, True
+                yield verified(text), True
                 return
             yield text, False
             pending = nxt
-        yield self.tokenizer.decode(out, skip_special_tokens=True), True
+        yield verified(
+            self.tokenizer.decode(out, skip_special_tokens=True)), True
 
     def transcribe_batch(self, audios, task: str = "transcribe",
                          language: Optional[str] = None):

@@ -272,6 +272,18 @@ class ServeConfig:
     # (streaming_server.py:543-583).  Falls back to the serial path for
     # other backends or multi-window audio.
     s2s_overlap: bool = True
+    # Encoder-context bucket ladder in mel frames (whisper.cpp
+    # "audio_ctx" trick; VERDICT r4 #3): a short utterance is padded to
+    # the smallest bucket instead of the full 30 s window, and the
+    # encoder slices its positional table — a 5 s utterance runs the
+    # encoder + cross-attention at 1/5 the positions.  Each bucket is a
+    # separately compiled program chain (warm them all).  Empty tuple
+    # disables (full-window parity behavior).  The last decode of the
+    # stream can re-verify at the full window (asr_ctx_verify) and
+    # yield a corrected final transcript — the overlapped voice-chat
+    # consumer already revises via PromptRestart.
+    asr_ctx_buckets: tuple = (600, 1200, 3000)
+    asr_ctx_verify: bool = False
 
     # TPU runtime knobs (new; no reference counterpart)
     decode_block: int = 32        # tokens generated per device call

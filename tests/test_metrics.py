@@ -1,5 +1,6 @@
 """Metric sanity tests."""
 import numpy as np
+import pytest
 
 from llmvox_tpu.codec import metrics
 
@@ -282,3 +283,72 @@ def test_builtin_stoi_tiny_clip_returns_nan_not_crash():
     from llmvox_tpu.codec.stoi import stoi
     x = np.random.default_rng(0).standard_normal(300)
     assert np.isnan(stoi(x, x, 16000))
+
+
+def test_builtin_pesq_identity_and_snr_ladder():
+    """Dependency-free wideband PESQ (codec/pesq.py): an identical pair
+    scores the package's wb maximum (4.644), additive white noise falls
+    monotonically over a 40->0 dB SNR ladder with a wide spread, and the
+    score is invariant to gain and small constant delay (VERDICT r4 #7)."""
+    from llmvox_tpu.codec.pesq import pesq_wb
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    x = sum(np.sin(2 * np.pi * 120 * k * t) / k for k in range(1, 9))
+    x *= 0.5 + 0.5 * np.sin(2 * np.pi * 3 * t)
+    x = x / np.abs(x).max() * 0.3
+
+    assert abs(pesq_wb(x, x, sr) - 4.644) < 2e-3
+
+    rng = np.random.default_rng(0)
+    scores = []
+    for snr in (40, 30, 20, 10, 0):
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt(np.mean(x ** 2) / np.mean(n ** 2)) * 10 ** (-snr / 20)
+        scores.append(pesq_wb(x, x + n, sr))
+    assert all(a > b for a, b in zip(scores, scores[1:]))
+    assert scores[0] > 4.0          # 40 dB: nearly transparent
+    assert scores[-1] < 1.6         # 0 dB: bad
+
+    # invariances the perceptual model must have
+    assert pesq_wb(x, 2.0 * x, sr) > 4.6                     # level align
+    delayed = np.concatenate([np.zeros(128), x])[:len(x)]
+    assert pesq_wb(x, delayed, sr) > 4.5                     # time align
+    # deletions are penalized through the symmetric disturbance
+    cut = x.copy()
+    cut[len(x) // 3:2 * len(x) // 3] = 0.0
+    assert pesq_wb(x, cut, sr) < 3.0
+    assert pesq_wb(x, np.zeros_like(x), sr) < 3.0
+
+
+def test_builtin_pesq_tracks_quantization_depth():
+    """Coarser quantization must score strictly worse — the distortion
+    family codec evaluation actually cares about."""
+    from llmvox_tpu.codec.pesq import pesq_wb
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = sum(np.sin(2 * np.pi * 150 * k * t) / k for k in range(1, 7))
+    x *= 0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t)
+    x = x / np.abs(x).max() * 0.4
+    s = [pesq_wb(x, np.round(x * 2 ** b) / 2 ** b, sr) for b in (10, 7, 5)]
+    assert s[0] > s[1] > s[2]
+    assert s[0] > 4.0 and s[2] < 3.2
+
+
+def test_pesq_score_uses_builtin_without_pesq_package():
+    """metrics.pesq_score now always returns a value: plug-in, pesq
+    package, or the built-in implementation (this image has neither
+    package)."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    s = metrics.pesq_score(x, x, sr)
+    assert s is not None and s > 4.6
+
+
+def test_builtin_pesq_package_signature_shim():
+    from llmvox_tpu.codec.pesq import pesq
+    sr = 16000
+    x = 0.2 * np.sin(2 * np.pi * 200 * np.arange(sr) / sr)
+    assert pesq(sr, x, x, "wb") > 4.6
+    with pytest.raises(ValueError):
+        pesq(sr, x, x, "nb")

@@ -553,3 +553,78 @@ def test_voicechat_overlapped_matches_serial(tiny_whisper_dir):
     wav_serial = run_server(False)
     assert len(wav_overlap) > 0 and np.isfinite(wav_overlap).all()
     np.testing.assert_array_equal(wav_overlap, wav_serial)
+
+
+def test_ctx_bucket_stream_matches_full_window(tiny_whisper_dir):
+    """Encoder-context bucketing (whisper.cpp audio_ctx trick, VERDICT
+    r4 #3): a short utterance transcribed in its small bucket yields the
+    same text as the full 30 s window on the tiny model, and the bucket
+    chooser picks the smallest rung that holds the utterance."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    audio = _speechish(7, seconds=2.0)
+
+    full = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                     asr_backend="jax",
+                                     asr_ctx_buckets=()))
+    full.load()
+    want = full.transcribe(audio)
+
+    buck = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                     asr_backend="jax",
+                                     asr_ctx_buckets=(600, 1200, 3000)))
+    buck.load()
+    # 2 s utterance = 200 mel frames + 50 slack -> bucket 600
+    assert buck._pick_ctx(len(audio)) == 600
+    # 11 s -> 1100 frames + 50 -> bucket 1200; 29 s -> full window (None)
+    assert buck._pick_ctx(11 * 16000) == 1200
+    assert buck._pick_ctx(29 * 16000) is None
+    got = buck.transcribe(audio)
+    assert got == want
+
+    # streaming emits monotonic prefixes and the same final text
+    texts = list(buck.transcribe_stream(audio))
+    assert texts[-1][1] is True
+    assert texts[-1][0] == want
+
+
+def test_ctx_bucket_verify_reruns_full_window(tiny_whisper_dir):
+    """asr_ctx_verify: the final yield re-transcribes at the full window
+    (PromptRestart-style degrade) — equal text in the stable case, and
+    the bucket ladder is restored afterwards."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    audio = _speechish(9, seconds=1.5)
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax",
+                                    asr_ctx_buckets=(600, 3000),
+                                    asr_ctx_verify=True))
+    asr.load()
+    final = [t for t, _ in asr.transcribe_stream(audio)][-1]
+    assert asr.ctx_buckets == (600, 3000)    # restored after verify
+
+    ref = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax",
+                                    asr_ctx_buckets=()))
+    ref.load()
+    assert final == ref.transcribe(audio)
+
+
+def test_asr_warmup_compiles_every_bucket(tiny_whisper_dir):
+    """warmup() must REACH each bucket (an unwarmed bucket pays compile
+    on the first live utterance of that length)."""
+    from llmvox_tpu.streams.asr import JAXWhisperASR
+    from llmvox_tpu.utils.config import ServeConfig
+
+    asr = JAXWhisperASR(ServeConfig(asr_model=tiny_whisper_dir,
+                                    asr_backend="jax",
+                                    asr_ctx_buckets=(600, 1200)))
+    asr.load()
+    picked = []
+    orig = asr._pick_ctx
+    asr._pick_ctx = lambda n: picked.append(orig(n)) or orig(n)
+    asr.warmup()
+    # ladder = (600, 1200, 3000-full); full rung reports as None
+    assert picked == [600, 1200, None]
