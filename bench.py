@@ -559,9 +559,11 @@ def main() -> None:
         await llm_only_wave()                # warm the 8-way shape
         llm8 = max([await llm_only_wave() for _ in range(2)])
         # speech-to-speech: one warm trial (ASR steady-state executables
-        # with the pools resident), then 3 measured
+        # with the pools resident), then 5 measured (VERDICT r4 #3:
+        # median-of-5 — the row must be *reliably* under the bar, not a
+        # coin-flip around it)
         await s2s_request(0)
-        s2s = [await s2s_request(1 + k) for k in range(3)]
+        s2s = [await s2s_request(1 + k) for k in range(5)]
         llm_pool.stop()
         pool.stop()
         return (f1, rtf1, firsts4, rtf4, llm8,

@@ -23,12 +23,19 @@ from llmvox_tpu.train.codec_trainer import CodecTrainer  # noqa: E402
 from llmvox_tpu.utils.config import CodecConfig, CodecTrainConfig  # noqa: E402
 
 
-def measure_codec_gan(batch: int = 40, repeats: int = 5) -> dict:
+def measure_codec_gan(batch: int = 40, repeats: int = 5,
+                      step_impl: str = "micro") -> dict:
     """One jitted alternating GAN step at the reference's per-device
     shape; returns step time + train-audio throughput (the codec-GAN
-    regression row bench.py records — VERDICT r3 #2)."""
+    regression row bench.py records — VERDICT r3 #2).
+
+    Default step_impl="micro": at this shape both the fused program and
+    the split halves exceed the tunnel AOT compile helper's memory
+    budget (SIGKILL — BENCH_r04's null row); the per-sub-discriminator
+    micro programs compile.  Same math, proven by
+    test_micro_step_matches_fused."""
     cfg = CodecConfig()                      # deployed large-320-24k
-    tcfg = CodecTrainConfig(batch_size=batch)
+    tcfg = CodecTrainConfig(batch_size=batch, step_impl=step_impl)
     trainer = CodecTrainer(cfg, tcfg)
     rng = np.random.default_rng(0)
     audio = 0.1 * rng.standard_normal(
@@ -57,7 +64,8 @@ def measure_codec_gan(batch: int = 40, repeats: int = 5) -> dict:
 
 def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    print(measure_codec_gan(batch))
+    impl = sys.argv[2] if len(sys.argv) > 2 else "micro"
+    print(measure_codec_gan(batch, step_impl=impl))
 
 
 if __name__ == "__main__":

@@ -83,11 +83,37 @@ def measure_train_perf(steps: int = 5, mix_n: int = 160,
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     tokens = 8 * 1024
+    # seq_len=actual T: the pre-r5 rows used cfg.block_size=8192 in the
+    # attention term and overstated this row ~2x (see estimate_mfu)
     out = {
         "train_mfu_bs8_t1024": round(
-            estimate_mfu(mcfg, trainer.n_params, tokens, dt) * 100, 2),
+            estimate_mfu(mcfg, trainer.n_params, tokens, dt,
+                         seq_len=1024) * 100, 2),
         "train_tok_s_bs8_t1024": round(tokens / dt, 0),
+        "train_step_ms_bs8_t1024": round(dt * 1e3, 1),
     }
+
+    # -- deployed-block row (VERDICT r4 #5): the reference's configured
+    # training shape is block 8192 x bs2 (configs/train_config.py:20,54-68)
+    # — the attention-dominated regime the model actually trains at.
+    big = [dmod.Sample(
+        text_ids=rng.integers(0, 384, 256).astype(np.int32),
+        codes=rng.integers(0, mcfg.vocab_size, 8191).astype(np.int32))
+        for _ in range(2)]
+    text8, tgt8 = dmod.collate(big, mcfg, bucket=8192)
+    trainer.step(text8, tgt8)                # compile
+    trainer.step(text8, tgt8)                # steady state
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        trainer.step(text8, tgt8)
+        times.append(time.perf_counter() - t0)
+    dt8 = float(np.median(times))
+    out["train_mfu_bs2_t8192"] = round(
+        estimate_mfu(mcfg, trainer.n_params, 2 * 8192, dt8,
+                     seq_len=8192) * 100, 2)
+    out["train_tok_s_bs2_t8192"] = round(2 * 8192 / dt8, 0)
+    out["train_step_ms_bs2_t8192"] = round(dt8 * 1e3, 1)
 
     # -- packing gain on the realistic mix --------------------------------
     mix = _realistic_mix(mcfg, rng, mix_n)
@@ -162,7 +188,7 @@ def main():
             times.append(time.time() - t0)
         dt = float(np.median(times))
         tokens = bs * t
-        mfu = estimate_mfu(mcfg, trainer_t.n_params, tokens, dt)
+        mfu = estimate_mfu(mcfg, trainer_t.n_params, tokens, dt, seq_len=t)
         print(f"bs{bs} T={t}: {dt * 1000:.0f} ms/step, "
               f"{tokens / dt:.0f} tok/s, "
               f"MFU {mfu * 100:.1f}% (vs TPU bf16 peak)")

@@ -24,7 +24,10 @@ streaming_server.py:287,425); the unreachable ``active_model`` flag is
 gone; eos stripping removes the token substring instead of ``rstrip``'s
 character-set behavior (which eats trailing letters, e.g.
 "Hide<|eot_id|>".rstrip(eos) -> "H"); a text stream that ends without an
-eos token still terminates the request.
+eos token still terminates the request; the EOA control token is
+stripped before vocoding (the reference decodes 453 as an audio code in
+each sentence's final chunk, streaming_server.py:378-391 — caught by
+tests/test_e2e_quality.py's trained-weights loop).
 """
 from __future__ import annotations
 
@@ -206,7 +209,14 @@ class StreamingScheduler:
                                 cfg.max_dump_size)
 
         async def synthesize(codes: List[int]) -> None:
-            await synth_q.put(list(codes))
+            # EOA is a control token, not an audio code: the reference
+            # vocodes it in each sentence's final chunk
+            # (streaming_server.py:378-391 token_batch = speech_outputs
+            # with 453 still inside) — ~13 ms of wrong audio per
+            # sentence with a trained model.  Defect #7; strip it.
+            codes = [c for c in codes if c != dcfg.eoa_token_id]
+            if codes:
+                await synth_q.put(codes)
 
         issued = 0          # absolute decode position dispatched so far
         # In-flight PendingTokens, oldest first.  Dedicated engines
@@ -397,7 +407,11 @@ class StreamingScheduler:
                                                 st.buffer[dump_size:])
                             if (st.fused_audio is not None
                                     and not st.first_dump_done
-                                    and len(chunk) == st.fused_dump):
+                                    and len(chunk) == st.fused_dump
+                                    and dcfg.eoa_token_id not in chunk):
+                                # (EOA inside the fused dump falls back
+                                # to host synthesis of the stripped
+                                # chunk — defect #7 fix)
                                 # chunk == the sentence's first
                                 # fused_dump tokens, already vocoded
                                 # on-device with the decode block

@@ -103,10 +103,18 @@ def make_eval_step(cfg: DecoderConfig, compute_dtype=jnp.bfloat16,
 
 
 def estimate_mfu(cfg: DecoderConfig, n_params: int, tokens_per_iter: int,
-                 dt: float, peak: float = TPU_PEAK_FLOPS) -> float:
-    """PaLM-style MFU (reference src/model.py:367-381), vs TPU peak."""
+                 dt: float, peak: float = TPU_PEAK_FLOPS,
+                 seq_len: int = 0) -> float:
+    """PaLM-style MFU (reference src/model.py:367-381), vs TPU peak.
+
+    ``seq_len`` is the ACTUAL training sequence width; the attention
+    term is quadratic in it.  The reference hardcodes ``cfg.block_size``
+    because it always trains at the full block; we train at bucketed
+    widths, so defaulting to block_size (pre-r5 behavior) overstated the
+    short-bucket rows ~2x (attention at T=8192 is 302 MFLOPs/token vs
+    38 at T=1024, against 6N = 207).  Pass the step's real T."""
     l, h, q = cfg.n_layer, cfg.n_head, cfg.head_dim
-    t = cfg.block_size
+    t = seq_len or cfg.block_size
     flops_per_token = 6 * n_params + 12 * l * h * q * t
     return flops_per_token * tokens_per_iter / dt / peak
 
@@ -268,7 +276,9 @@ class Trainer:
                 n_iters = max(self.iter_num - last_log_iter, 1)
                 last_log_iter = self.iter_num
                 tokens = text_ids.shape[0] * text_ids.shape[1] * n_iters
-                mfu = estimate_mfu(self.mcfg, self.n_params, tokens, max(dt, 1e-9))
+                mfu = estimate_mfu(self.mcfg, self.n_params, tokens,
+                                   max(dt, 1e-9),
+                                   seq_len=text_ids.shape[1])
                 log(f"iter {self.iter_num}: loss {loss:.4f}, "
                     f"time {dt * 1000:.1f}ms, mfu {mfu * 100:.2f}%")
                 if logger is not None:

@@ -490,6 +490,13 @@ class CodecTrainConfig:
     evaluate_pesq: bool = False
     evaluate_periodicity: bool = False
 
+    # GAN-step compilation granularity: "fused" (one program), "split"
+    # (disc/gen halves — experiment.py's two optimizer_steps), "micro"
+    # (per-sub-discriminator grad programs + cotangent-accumulated
+    # generator VJP — same math, chosen when the deployed-shape halves
+    # exceed the tunnel compile helper's memory budget)
+    step_impl: str = "split"
+
     seed: int = 3407
     out_dir: str = "results_codec"
     log_interval: int = 100

@@ -199,6 +199,59 @@ def test_split_step_matches_fused():
         state.disc_params, trainer.state.disc_params)
 
 
+def test_micro_step_matches_fused():
+    """The per-sub-discriminator micro step (disc grads concatenated
+    across param-disjoint units; generator VJP pulled back on the summed
+    per-term y_hat cotangents) equals the fused alternating step — the
+    compile-granularity ladder's finest rung must be the same math
+    (codec_trainer.py make_codec_gan_micro)."""
+    import dataclasses
+
+    import jax
+    from llmvox_tpu.parallel import create_mesh
+    from llmvox_tpu.parallel.sharding import batch_sharding, replicated
+    from llmvox_tpu.train.codec_trainer import make_codec_gan_step
+
+    tcfg = dataclasses.replace(TINY_TRAIN, step_impl="micro")
+    trainer = CodecTrainer(TINY_CODEC, tcfg,
+                           mesh=create_mesh(dp_size=2, tp_size=1))
+    # own generator: the shared module RNG makes the drawn audio (and so
+    # the parity margins) depend on which tests ran before in-process
+    audio = 0.1 * np.random.default_rng(11).standard_normal(
+        (TINY_TRAIN.batch_size, TINY_TRAIN.num_samples)).astype(np.float32)
+    state0 = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                          trainer.state)
+    state0 = jax.device_put(state0, replicated(trainer.mesh))
+    audio_d = jax.device_put(jnp.asarray(audio), batch_sharding(trainer.mesh))
+    rng0 = trainer.rng
+    fused = jax.jit(make_codec_gan_step(
+        TINY_CODEC, TINY_TRAIN, trainer.tx_g, trainer.tx_d))
+
+    logs_micro = [trainer.step(audio), trainer.step(audio)]
+
+    state, rng = state0, rng0
+    logs_fused = []
+    for _ in range(2):
+        key, rng = jax.random.split(rng)
+        state, logs = fused(state, audio_d, key)
+        logs_fused.append({k: float(v) for k, v in logs.items()})
+
+    for lm, lf in zip(logs_micro, logs_fused):
+        assert set(lm) == set(lf)
+        for k in lm:
+            np.testing.assert_allclose(lm[k], lf[k], rtol=2e-3, atol=1e-4,
+                                       err_msg=k)
+    assert int(state.step) == int(trainer.state.step) == 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5),
+        state.gen_params, trainer.state.gen_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5),
+        state.disc_params, trainer.state.disc_params)
+
+
 @pytest.mark.slow
 def test_codec_main_cli_smoke(tmp_path):
     """The training CLI (WavTokenizer/train.py:7-15 counterpart) runs

@@ -294,7 +294,9 @@ def test_mfu_accounts_for_log_interval():
 
     mfus = [d["mfu"] for _, d in logged if "mfu" in d]
     assert len(mfus) == 2  # logged at iters 2 and 4
-    expect = estimate_mfu(TINY, tr.n_params, b * t, 1.0)
+    # seq_len = the batch's actual T (r5: the attention term follows the
+    # step's real width, not cfg.block_size — see estimate_mfu)
+    expect = estimate_mfu(TINY, tr.n_params, b * t, 1.0, seq_len=t)
     for m in mfus:
         np.testing.assert_allclose(m, expect, rtol=1e-6)
 
