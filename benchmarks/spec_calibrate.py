@@ -74,7 +74,8 @@ def calibrate(steps: int = 300, noise: float = 0.25, n_heads: int = 16,
     from llmvox_tpu.utils.config import DecoderConfig
 
     dev = jax.devices()[0]
-    cfg = DecoderConfig(n_draft_heads=n_heads)
+    cfg = DecoderConfig(n_draft_heads=n_heads,
+                        use_pallas_attention=(dev.platform != "cpu"))
     cfg = dataclasses.replace(cfg, eoa_token_id=10_000)
     params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
@@ -165,7 +166,14 @@ def calibrate(steps: int = 300, noise: float = 0.25, n_heads: int = 16,
         if verbose:
             print(json.dumps(row), flush=True)
 
-    best = max(curve, key=lambda r: r["tok_s"])
+    # Decision stability (VERDICT r4 #4: best_k flipped 8<->12 between
+    # runs at noise level): prefer the SMALLEST k unless a larger one is
+    # >3% faster — ties and noise-level differences resolve to the
+    # cheaper verify width.
+    best = curve[0]
+    for r in curve[1:]:
+        if r["tok_s"] > 1.03 * best["tok_s"]:
+            best = r
     return {
         "model": "deployed 30M decoder + trained MTP heads",
         "process": f"noisy Markov, noise={noise}",

@@ -68,20 +68,40 @@ def measure_train_perf(steps: int = 5, mix_n: int = 160,
                        eval_interval=10**9)
     trainer = Trainer(tcfg, mcfg, table, codebook)
 
+    def chained_step_ms(text_ids, targets, n=10):
+        """Device step time with ONE fetch per chain: per-call
+        ``trainer.step`` floats the loss, paying a full tunnel sync per
+        step (~25 ms on round-5 hosts — comparable to the step itself,
+        so the r4 MFU rows measured the tunnel).  Chain the jitted step
+        through donated state and fetch once at the end."""
+        import jax
+        import jax.numpy as jnp
+        ti = jax.device_put(jnp.asarray(text_ids), trainer.bsh)
+        tg = jax.device_put(jnp.asarray(targets), trainer.bsh)
+        key = jax.random.PRNGKey(0)
+        state = trainer.state
+        state, loss = trainer._step(state, trainer.text_table,
+                                    trainer.codebook, ti, tg, key)
+        float(loss)                           # compile + settle
+        state, loss = trainer._step(state, trainer.text_table,
+                                    trainer.codebook, ti, tg, key)
+        float(loss)                           # steady-state executable
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = trainer._step(state, trainer.text_table,
+                                        trainer.codebook, ti, tg, key)
+        float(loss)
+        dt = (time.perf_counter() - t0) / n
+        trainer.state = state
+        return dt
+
     # -- fixed-shape MFU row (bs8 / T1024) --------------------------------
     samples = [dmod.Sample(
         text_ids=rng.integers(0, 384, 256).astype(np.int32),
         codes=rng.integers(0, mcfg.vocab_size, 1023).astype(np.int32))
         for _ in range(8)]
     text_ids, targets = dmod.collate(samples, mcfg, bucket=1024)
-    trainer.step(text_ids, targets)          # compile
-    trainer.step(text_ids, targets)          # steady state
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        trainer.step(text_ids, targets)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = chained_step_ms(text_ids, targets)
     tokens = 8 * 1024
     # seq_len=actual T: the pre-r5 rows used cfg.block_size=8192 in the
     # attention term and overstated this row ~2x (see estimate_mfu)
@@ -101,14 +121,7 @@ def measure_train_perf(steps: int = 5, mix_n: int = 160,
         codes=rng.integers(0, mcfg.vocab_size, 8191).astype(np.int32))
         for _ in range(2)]
     text8, tgt8 = dmod.collate(big, mcfg, bucket=8192)
-    trainer.step(text8, tgt8)                # compile
-    trainer.step(text8, tgt8)                # steady state
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        trainer.step(text8, tgt8)
-        times.append(time.perf_counter() - t0)
-    dt8 = float(np.median(times))
+    dt8 = chained_step_ms(text8, tgt8)
     out["train_mfu_bs2_t8192"] = round(
         estimate_mfu(mcfg, trainer.n_params, 2 * 8192, dt8,
                      seq_len=8192) * 100, 2)
@@ -122,22 +135,38 @@ def measure_train_perf(steps: int = 5, mix_n: int = 160,
     # BatchIterator's collate); warm each distinct bucket shape first
     ub = [dmod.collate(mix[i:i + 8], mcfg, bucket=256)
           for i in range(0, len(mix) - 7, 8)]
+    def chained_epoch_s(batches):
+        """Whole-epoch wall with ONE final fetch (per-step float(loss)
+        syncs would bias the pack comparison: the unpacked side runs ~2x
+        the steps and would pay ~2x the tunnel syncs)."""
+        import jax
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(0)
+        state = trainer.state
+        t0 = time.perf_counter()
+        loss = None
+        for b in batches:
+            args = [jax.device_put(jnp.asarray(x), trainer.bsh)
+                    for x in b]
+            seg_pos = args[2:] if len(args) > 2 else [None, None]
+            state, loss = trainer._step(state, trainer.text_table,
+                                        trainer.codebook, args[0],
+                                        args[1], key, *seg_pos)
+        float(loss)
+        dt = time.perf_counter() - t0
+        trainer.state = state
+        return dt
+
     for shape in {b[0].shape for b in ub}:
         probe = next(b for b in ub if b[0].shape == shape)
         trainer.step(*probe)
     real_u = sum(int((b[1] != mcfg.ignore_index).sum()) for b in ub)
-    t0 = time.perf_counter()
-    for b in ub:
-        trainer.step(*b)
-    dt_u = time.perf_counter() - t0          # step() syncs on float(loss)
+    dt_u = chained_epoch_s(ub)
 
     pb = _packed_epoch(mix, mcfg, rows=8, seq_len=1024)
     trainer.step(*pb[0])                      # compile the packed program
     real_p = sum(int((b[1] != mcfg.ignore_index).sum()) for b in pb)
-    t0 = time.perf_counter()
-    for b in pb:
-        trainer.step(*b)
-    dt_p = time.perf_counter() - t0
+    dt_p = chained_epoch_s(pb)
 
     out["train_unpacked_real_tok_s"] = round(real_u / dt_u, 0)
     out["train_packed_real_tok_s"] = round(real_p / dt_p, 0)

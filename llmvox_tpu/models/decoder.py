@@ -632,7 +632,7 @@ def init_decode_state_batch(cfg: DecoderConfig, batch: int,
 # ---------------------------------------------------------------------------
 
 def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
-                 state: DecodeState, n: int):
+                 state: DecodeState, n: int, return_hidden: bool = False):
     """Teacher-forced verify forward: ``n`` new positions
     ``pos..pos+n-1`` in ONE pass (the speculative-decode verifier).
 
@@ -640,19 +640,22 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
     inputs, but the per-position sequential dependency is broken by
     feeding the DRAFT tokens as the previous-token features — the caller
     accepts only the prefix whose drafts matched.  Returns (argmax tokens
-    (n,), new_k, new_v)."""
+    (n,), new_k, new_v[, final hidden (n, C) when ``return_hidden``])."""
     pos = state.pos
     x = xs + lax.dynamic_slice_in_dim(params["wpe"], pos, n, 0).astype(
         xs.dtype)
     h_, d_ = cfg.n_head, cfg.head_dim
 
-    def verify_attention(q, kc, vc, chunk=512):
+    def verify_attention(q, kfull, vfull, layer, chunk=512):
         """Chunked online-softmax attention for the ``n`` verify queries,
         reading cache chunks only up to position ``pos + n - 1`` (the
         full-cache einsum this replaces streamed all ``S`` rows per
         verify — at the deployed S=8192 that alone made speculation a
-        net loss; measured in benchmarks/spec_bench.py)."""
-        s, c = kc.shape
+        net loss; measured in benchmarks/spec_bench.py).  Chunks are
+        sliced straight from the FULL (L, S, C) caches: indexing
+        ``cache[l]`` first materialized a 2x(S, C) layer copy per layer
+        per iteration (~100 MB at the deployed shape, r5 finding)."""
+        _, s, c = kfull.shape
         chunk = min(chunk, s)
         while s % chunk:
             # chunk must divide S: dynamic_slice clamps an out-of-range
@@ -666,8 +669,10 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
         def body(ci, carry):
             m, l, acc = carry
             start = ci * chunk
-            kch = lax.dynamic_slice(kc, (start, 0), (chunk, c))
-            vch = lax.dynamic_slice(vc, (start, 0), (chunk, c))
+            kch = lax.dynamic_slice(kfull, (layer, start, 0),
+                                    (1, chunk, c))
+            vch = lax.dynamic_slice(vfull, (layer, start, 0),
+                                    (1, chunk, c))
             kch = kch.reshape(chunk, h_, d_).astype(jnp.float32)
             vch = vch.reshape(chunk, h_, d_).astype(jnp.float32)
             logits = jnp.einsum("nhd,shd->nhs", qh, kch,
@@ -701,9 +706,13 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
             new_k, kk[None].astype(new_k.dtype), (l, pos, 0))
         new_v = lax.dynamic_update_slice(
             new_v, vv[None].astype(new_v.dtype), (l, pos, 0))
-        kc = lax.dynamic_index_in_dim(new_k, l, 0, keepdims=False)
-        vc = lax.dynamic_index_in_dim(new_v, l, 0, keepdims=False)
-        a = verify_attention(q, kc, vc).astype(x.dtype)
+        # NOTE(r5): routing this through pallas_verify_attention as a
+        # B=1 view (full caches + layer scalar) was built and measured:
+        # 8354 -> 5024 tok/s at k=8 in the calibration harness — kernel
+        # launch + grid overhead dominates a (1, kd+1)-query problem.
+        # The XLA chunked path stays for B=1; the kernel pays off only
+        # in the BATCHED verify (_decode_many_batch).
+        a = verify_attention(q, new_k, new_v, l).astype(x.dtype)
         x = x + nn.linear(a, p["wo"], _get(p, "bo"))
         hnorm = nn.layer_norm(x, p["ln2_s"], _get(p, "ln2_b"), cfg.ln_eps)
         m = nn.gelu_tanh(nn.linear(hnorm, p["wfc"], _get(p, "bfc")))
@@ -716,6 +725,8 @@ def _decode_many(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
+    if return_hidden:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v, x
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
 
 
@@ -729,27 +740,31 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
     """Speculative ``decode_block``: greedy-exact output in fewer
     sequential steps when drafts are good.
 
-    Each iteration runs ONE normal step (token t), drafts ``k_draft``
-    guesses for the following positions (from ``params["draft_heads"]``
-    on the step's hidden state, or from the explicit ``draft_tokens``
-    stream indexed by relative position), then verifies all drafts in one
-    parallel teacher-forced forward and commits the model's own argmax
-    for the matching prefix plus the first correction.  Output is
-    BIT-IDENTICAL to ``decode_block`` for any draft quality — drafts only
-    change how many iterations the block takes (``iters`` in the return,
-    for measurement).  Mis-speculated cache rows sit above ``pos`` and
-    are overwritten before any later query can attend them (the same
-    argument as the padded-prefill paths).
+    Each iteration runs ONE fused teacher-forced forward over ``k_draft
+    + 1`` positions: slot 0 is conditioned on the committed previous
+    token (always exact — a free greedy step), slots 1..k on the drafts
+    carried from the previous iteration (``params["draft_heads"]`` on
+    the hidden state at the last committed position, or the explicit
+    ``draft_tokens`` stream indexed by relative position).  The model's
+    own argmax is committed for slot 0 plus the prefix whose drafts
+    matched.  Output is BIT-IDENTICAL to ``decode_block`` for any draft
+    quality — drafts only change how many iterations the block takes
+    (``iters`` in the return, for measurement).  Mis-speculated cache
+    rows sit above ``pos`` and are overwritten before any later query
+    can attend them (the same argument as the padded-prefill paths).
 
-    The outer loop is a ``lax.while_loop``, so the program executes only
-    the iterations the drafts actually need (good drafts → ~block /
-    (1 + accepted) iterations; the first version's fixed-length scan ran
-    the worst-case (block+1)//2 iterations regardless, which erased the
-    win — benchmarks/spec_bench.py documents both the before and after).
-    The while bound is intrinsic: each iteration commits at least the
-    normal step's token plus the first verify token (the verifier's row
-    0 is conditioned on ``token1``, not a draft), so count advances >= 2
-    until ``limit`` or EOA.
+    Design history: the first version ran a fixed-length scan
+    ((block+1)//2 worst-case iterations regardless of accepts), the
+    second a while_loop of TWO forwards per iteration (a 1-position
+    step for the bonus token + hidden-state drafts, then a k-wide
+    verify).  Folding the step into the verify (drafts come from the
+    verify pass's OWN hidden at the last-committed slot — the same
+    hidden the separate step recomputed) halves the forwards and cache
+    scatters per iteration at identical commit semantics; the only cost
+    is cold drafts on each call's first iteration (VERDICT r4 #4,
+    benchmarks/spec_bench.py).  Progress is still intrinsic: slot 0
+    commits whenever the row is active, so count advances >= 1 per
+    iteration until ``limit`` or EOA.
 
     Returns (tokens (block,), n_generated, state, iters_used).
     The per-token speech-feature dependency (input at t+1 is
@@ -767,6 +782,7 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
             [jnp.maximum(jnp.asarray(draft_tokens, jnp.int32), 0),
              jnp.zeros((kd + 1,), jnp.int32)])
     out0 = jnp.full((block + kd + 1,), -1, jnp.int32)
+    offs1 = jnp.arange(kd + 1, dtype=jnp.int32)
 
     def build_x(tid, prev, pos):
         temb = text_table[tid]
@@ -775,74 +791,65 @@ def decode_block_spec(params: Dict, text_table: jnp.ndarray,
         return nn.l2_normalize(
             jnp.concatenate([temb, sfeat])).astype(compute_dtype)
 
-    def iteration(carry, _):
-        st, count, out, iters = carry
+    def drafts_for(count, hidden):
+        """Drafts for relative indices ``count..count+kd-1`` — head j
+        predicts j+1 positions ahead of ``hidden``'s position."""
+        if dpad is not None:
+            return lax.dynamic_slice(dpad, (count,), (kd,))
+        return jnp.argmax(
+            jnp.einsum("c,kcv->kv", hidden.astype(jnp.float32),
+                       params["draft_heads"][:kd].astype(jnp.float32)),
+            axis=-1).astype(jnp.int32)
+
+    def iteration(carry):
+        st, count, out, iters, d = carry
         active = jnp.logical_and(count < limit, jnp.logical_not(st.done))
 
-        # ---- one normal step at relative index `count` ----------------
-        tid = jnp.where(st.pos < text_len, wpad[count], cfg.pad_token_id)
-        x = build_x(tid, st.prev_token, st.pos)
-        token1, nk, nv, hidden = _decode_one(params, cfg, x, st,
-                                             return_hidden=True)
-        pos1 = jnp.where(active, st.pos + 1, st.pos)
-        done1 = jnp.logical_or(
-            st.done, jnp.logical_and(active, token1 == cfg.eoa_token_id))
-        st1 = DecodeState(nk, nv, pos1,
-                          jnp.where(active, token1, st.prev_token), done1)
-
-        # ---- drafts for the next k_draft positions --------------------
-        if dpad is not None:
-            d = lax.dynamic_slice(dpad, (count + 1,), (kd,))
-        else:
-            d = jnp.argmax(
-                jnp.einsum("c,kcv->kv", hidden.astype(jnp.float32),
-                           params["draft_heads"][:kd].astype(jnp.float32)),
-                axis=-1).astype(jnp.int32)
-
-        # ---- verify all drafts in one parallel forward ----------------
-        prevs = jnp.concatenate([token1[None], d[:-1]])
-        tseg = lax.dynamic_slice(wpad, (count + 1,), (kd,))
-        post = pos1 + jnp.arange(kd, dtype=jnp.int32)
+        # ---- ONE fused forward over kd+1 positions --------------------
+        prevs = jnp.concatenate([st.prev_token[None], d])
+        tseg = lax.dynamic_slice(wpad, (count,), (kd + 1,))
+        post = st.pos + offs1
         tids = jnp.where(post < text_len, tseg, cfg.pad_token_id)
         xs = jax.vmap(build_x)(tids, prevs, post)
-        a, nk2, nv2 = _decode_many(params, cfg, xs, st1, kd)
+        a, nk, nv, hidden = _decode_many(params, cfg, xs, st, kd + 1,
+                                         return_hidden=True)
 
-        # ---- accept the matching prefix + first correction ------------
-        match = d == a
+        # ---- commit slot 0 + the prefix whose drafts matched ----------
+        match = d == a[:kd]
         prefix_ok = jnp.concatenate(
             [jnp.ones((1,), bool),
-             jnp.cumprod(match[:-1].astype(jnp.int32)).astype(bool)])
+             jnp.cumprod(match.astype(jnp.int32)).astype(bool)])
         eoa_before = jnp.concatenate(
             [jnp.zeros((1,), bool),
              jnp.cumsum((a == cfg.eoa_token_id).astype(jnp.int32))[:-1]
              > 0])
-        commit = (active & jnp.logical_not(done1) & prefix_ok
-                  & (count + 1 + jnp.arange(kd, dtype=jnp.int32) < limit)
+        commit = (active & prefix_ok & (count + offs1 < limit)
                   & jnp.logical_not(eoa_before))
-        n_commit = jnp.sum(commit.astype(jnp.int32))
+        m = jnp.sum(commit.astype(jnp.int32))      # >= 1 while active
 
-        pos2 = pos1 + n_commit
-        last = jnp.where(n_commit > 0, a[jnp.maximum(n_commit - 1, 0)],
-                         st1.prev_token)
+        pos2 = st.pos + m
+        last = jnp.where(m > 0, a[jnp.maximum(m - 1, 0)], st.prev_token)
         done2 = jnp.logical_or(
-            done1, jnp.any(commit & (a == cfg.eoa_token_id)))
-        st2 = DecodeState(nk2, nv2, pos2, last, done2)
+            st.done, jnp.any(commit & (a == cfg.eoa_token_id)))
+        st2 = DecodeState(nk, nv, pos2, last, done2)
 
-        emitted = jnp.where(jnp.concatenate([active[None], commit]),
-                            jnp.concatenate([token1[None], a]),
-                            jnp.int32(-1))
-        out = lax.dynamic_update_slice(out, emitted, (count,))
-        count = count + active.astype(jnp.int32) + n_commit
+        # ---- next drafts from the last committed slot's hidden --------
+        d2 = drafts_for(count + m, hidden[jnp.maximum(m - 1, 0)])
+
+        out = lax.dynamic_update_slice(
+            out, jnp.where(commit, a, jnp.int32(-1)), (count,))
+        count = count + m
         iters = iters + active.astype(jnp.int32)
-        return (st2, count, out, iters), None
+        return st2, count, out, iters, d2
 
     def cond(carry):
-        st, count, _, _ = carry
+        st, count, _, _, _ = carry
         return jnp.logical_and(count < limit, jnp.logical_not(st.done))
 
-    st, count, out, iters = lax.while_loop(
-        cond, lambda c: iteration(c, None)[0],
-        (state, jnp.int32(0), out0, jnp.int32(0)))
+    d0 = (lax.dynamic_slice(dpad, (0,), (kd,)) if dpad is not None
+          else jnp.zeros((kd,), jnp.int32))
+    st, count, out, iters, _ = lax.while_loop(
+        cond, iteration, (state, jnp.int32(0), out0, jnp.int32(0), d0))
     return out[:block], count, st, iters
 
 
@@ -901,10 +908,12 @@ def _batched_verify_attention(q: jnp.ndarray, kc: jnp.ndarray,
 
 
 def _decode_many_batch(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
-                       state: DecodeState, n: int):
+                       state: DecodeState, n: int,
+                       return_hidden: bool = False):
     """Batched teacher-forced verify: B rows x ``n`` new positions each
     (row b at ``pos[b]..pos[b]+n-1``) in ONE pass.  xs: (B, n, C); caches
-    (L, B, S, C).  Returns (argmax tokens (B, n), new_k, new_v)."""
+    (L, B, S, C).  Returns (argmax tokens (B, n), new_k, new_v[, final
+    hidden (B, n, C) when ``return_hidden``])."""
     b = xs.shape[0]
     pos = state.pos                                             # (B,)
     posn = pos[:, None] + jnp.arange(n, dtype=jnp.int32)[None]  # (B, n)
@@ -950,6 +959,8 @@ def _decode_many_batch(params: Dict, cfg: DecoderConfig, xs: jnp.ndarray,
     x = nn.layer_norm(x, params["lnf_s"], _get(params, "lnf_b"), cfg.ln_eps)
     logits = jnp.dot(x, nn.dense_weight(params["head"], x.dtype),
                      preferred_element_type=jnp.float32)
+    if return_hidden:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v, x
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_k, new_v
 
 
@@ -966,15 +977,18 @@ def decode_block_spec_batch(params: Dict, text_table: jnp.ndarray,
     output BIT-IDENTICAL to ``decode_block_batch`` for any draft quality
     (the pooled serving path's speculation; no reference counterpart).
 
-    Per iteration: one batched normal step at each row's own relative
-    index, per-row drafts (``params["draft_heads"]`` on the step's hidden
-    states, or the explicit ``draft_tokens`` (B, block)), ONE batched
-    teacher-forced verify forward for all rows' drafts, then each row
-    commits its matching prefix + first correction.  Rows that exhaust
-    their ``limits`` or hit EOA freeze (their cache writes land above
-    ``pos`` and are overwritten before anything attends them); the
-    ``lax.while_loop`` runs until every row is done, so a batch's cost is
-    its slowest row's iterations — the same worst case as the fixed
+    Per iteration: ONE batched fused teacher-forced forward over
+    ``k_draft + 1`` positions per row — slot 0 conditioned on the row's
+    committed previous token (always exact), slots 1..k on the drafts
+    carried from the previous iteration (``params["draft_heads"]`` on
+    the hidden at the row's last committed slot, or the explicit
+    ``draft_tokens`` (B, block) stream).  Each row commits slot 0 plus
+    its matching draft prefix (see ``decode_block_spec`` for the
+    fused-iteration design history).  Rows that exhaust their
+    ``limits`` or hit EOA freeze (their cache writes land above ``pos``
+    and are overwritten before anything attends them); the
+    ``lax.while_loop`` runs until every row is done, so a batch's cost
+    is its slowest row's iterations — the same worst case as the fixed
     ``block``-step greedy scan, reached only when drafts never accept.
 
     Returns (tokens (B, block) with -1 at inactive slots, n (B,), states,
@@ -994,95 +1008,82 @@ def decode_block_spec_batch(params: Dict, text_table: jnp.ndarray,
     out0 = jnp.full((bsz, block + kd + 1), -1, jnp.int32)
     barange = jnp.arange(bsz)
     offs = jnp.arange(kd, dtype=jnp.int32)
+    offs1 = jnp.arange(kd + 1, dtype=jnp.int32)
 
     def iteration(carry):
-        st, count, out, iters = carry       # count/iters (B,)
+        st, count, out, iters, d = carry    # count/iters (B,), d (B, kd)
         active = jnp.logical_and(count < limits, jnp.logical_not(st.done))
 
-        # ---- one batched normal step at per-row relative index ---------
-        tid_w = jnp.take_along_axis(wpad, count[:, None], axis=1)[:, 0]
-        tid = jnp.where(st.pos < text_lens, tid_w, cfg.pad_token_id)
-        temb = text_table[tid]
-        sfeat = jnp.where((st.pos == 0)[:, None],
-                          jnp.zeros((1, cfg.speech_embed_dim)),
-                          codebook[st.prev_token])
-        x = nn.l2_normalize(jnp.concatenate([temb, sfeat], axis=-1))
-        token1, nk, nv, hidden = _decode_one_batch(
-            params, cfg, x.astype(compute_dtype), st, return_hidden=True)
-        pos1 = jnp.where(active, st.pos + 1, st.pos)
-        done1 = jnp.logical_or(
-            st.done, jnp.logical_and(active, token1 == cfg.eoa_token_id))
-        prev1 = jnp.where(active, token1, st.prev_token)
-        st1 = DecodeState(nk, nv, pos1, prev1, done1)
-
-        # ---- per-row drafts for the next k_draft positions --------------
-        if dpad is not None:
-            d = jnp.take_along_axis(
-                dpad, count[:, None] + 1 + offs[None], axis=1)
-        else:
-            d = jnp.argmax(
-                jnp.einsum("bc,kcv->bkv", hidden.astype(jnp.float32),
-                           params["draft_heads"][:kd].astype(jnp.float32)),
-                axis=-1).astype(jnp.int32)                       # (B, kd)
-
-        # ---- ONE batched verify forward for every row's drafts ----------
-        prevs = jnp.concatenate([token1[:, None], d[:, :-1]], axis=1)
-        tseg = jnp.take_along_axis(
-            wpad, count[:, None] + 1 + offs[None], axis=1)
-        post = pos1[:, None] + offs[None]                        # (B, kd)
+        # ---- ONE batched fused forward over kd+1 positions per row ----
+        prevs = jnp.concatenate([st.prev_token[:, None], d], axis=1)
+        tseg = jnp.take_along_axis(wpad, count[:, None] + offs1[None],
+                                   axis=1)
+        post = st.pos[:, None] + offs1[None]                 # (B, kd+1)
         tids = jnp.where(post < text_lens[:, None], tseg,
                          cfg.pad_token_id)
-        tembs = text_table[tids]                                 # (B,kd,Ct)
+        tembs = text_table[tids]
         sfeats = jnp.where((post == 0)[..., None],
                            jnp.zeros((1, 1, cfg.speech_embed_dim)),
                            codebook[prevs])
         xs = nn.l2_normalize(jnp.concatenate([tembs, sfeats], axis=-1))
-        a, nk2, nv2 = _decode_many_batch(params, cfg,
-                                         xs.astype(compute_dtype), st1, kd)
+        a, nk, nv, hidden = _decode_many_batch(
+            params, cfg, xs.astype(compute_dtype), st, kd + 1,
+            return_hidden=True)
 
-        # ---- each row accepts its matching prefix + first correction ----
-        match = d == a
+        # ---- each row commits slot 0 + its matching draft prefix ------
+        match = d == a[:, :kd]
         prefix_ok = jnp.concatenate(
             [jnp.ones((bsz, 1), bool),
-             jnp.cumprod(match[:, :-1].astype(jnp.int32),
-                         axis=1).astype(bool)], axis=1)
+             jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)],
+            axis=1)
         eoa_before = jnp.concatenate(
             [jnp.zeros((bsz, 1), bool),
              jnp.cumsum((a == cfg.eoa_token_id).astype(jnp.int32),
                         axis=1)[:, :-1] > 0], axis=1)
-        commit = (active[:, None] & jnp.logical_not(done1)[:, None]
-                  & prefix_ok
-                  & (count[:, None] + 1 + offs[None] < limits[:, None])
+        commit = (active[:, None] & prefix_ok
+                  & (count[:, None] + offs1[None] < limits[:, None])
                   & jnp.logical_not(eoa_before))
-        n_commit = jnp.sum(commit.astype(jnp.int32), axis=1)    # (B,)
+        m = jnp.sum(commit.astype(jnp.int32), axis=1)        # (B,)
 
-        pos2 = pos1 + n_commit
+        pos2 = st.pos + m
         last_a = jnp.take_along_axis(
-            a, jnp.maximum(n_commit - 1, 0)[:, None], axis=1)[:, 0]
-        last = jnp.where(n_commit > 0, last_a, st1.prev_token)
+            a, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0]
+        last = jnp.where(m > 0, last_a, st.prev_token)
         done2 = jnp.logical_or(
-            done1, jnp.any(commit & (a == cfg.eoa_token_id), axis=1))
-        st2 = DecodeState(nk2, nv2, pos2, last, done2)
+            st.done, jnp.any(commit & (a == cfg.eoa_token_id), axis=1))
+        st2 = DecodeState(nk, nv, pos2, last, done2)
 
-        emitted = jnp.where(
-            jnp.concatenate([active[:, None], commit], axis=1),
-            jnp.concatenate([token1[:, None], a], axis=1), jnp.int32(-1))
+        # ---- next drafts from each row's last committed hidden --------
+        h_last = jnp.take_along_axis(
+            hidden, jnp.maximum(m - 1, 0)[:, None, None], axis=1)[:, 0]
+        if dpad is not None:
+            d2 = jnp.take_along_axis(
+                dpad, (count + m)[:, None] + offs[None], axis=1)
+        else:
+            d2 = jnp.argmax(
+                jnp.einsum("bc,kcv->bkv", h_last.astype(jnp.float32),
+                           params["draft_heads"][:kd].astype(jnp.float32)),
+                axis=-1).astype(jnp.int32)                   # (B, kd)
+
         # frozen rows re-write -1 at [count..count+kd] — always >= their
         # final count, where out is still -1 (commits are prefix-shaped,
         # so nothing real was ever written at or above count)
         out = out.at[barange[:, None],
-                     count[:, None] + jnp.arange(kd + 1)[None]].set(emitted)
-        count = count + active.astype(jnp.int32) + n_commit
+                     count[:, None] + offs1[None]].set(
+            jnp.where(commit, a, jnp.int32(-1)))
+        count = count + m
         iters = iters + active.astype(jnp.int32)
-        return st2, count, out, iters
+        return st2, count, out, iters, d2
 
     def cond(carry):
-        st, count, _, _ = carry
+        st, count, _, _, _ = carry
         return jnp.any(jnp.logical_and(count < limits,
                                        jnp.logical_not(st.done)))
 
-    st, count, out, iters = lax.while_loop(
+    d0 = (dpad[:, :kd] if dpad is not None
+          else jnp.zeros((bsz, kd), jnp.int32))
+    st, count, out, iters, _ = lax.while_loop(
         cond, iteration,
         (states, jnp.zeros((bsz,), jnp.int32), out0,
-         jnp.zeros((bsz,), jnp.int32)))
+         jnp.zeros((bsz,), jnp.int32), d0))
     return out[:, :block], count, st, iters

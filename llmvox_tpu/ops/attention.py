@@ -78,6 +78,8 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     tile-skipping and O(block) memory are unchanged.
     """
     b, t, h, d = q.shape
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
     assert t % block_q == 0 and t % block_k == 0
     scale = 1.0 / math.sqrt(d)
     nq = t // block_q

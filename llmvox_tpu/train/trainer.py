@@ -124,16 +124,17 @@ class Trainer:
 
     def __init__(self, tcfg: TrainConfig, mcfg: DecoderConfig,
                  text_table: np.ndarray, codebook: np.ndarray,
-                 mesh=None, compute_dtype=jnp.bfloat16):
+                 mesh=None, compute_dtype=jnp.bfloat16, attn_fn=None):
         self.tcfg, self.mcfg = tcfg, mcfg
         sp = getattr(tcfg, "sp_size", 1)
         self.mesh = mesh or pmesh.create_mesh(tcfg.dp_size, tcfg.tp_size,
                                               sp)
         self.compute_dtype = compute_dtype
         # sequence parallelism: ring attention over the mesh's sp axis
-        # (even when the mesh was passed in, honor its sp extent)
+        # (even when the mesh was passed in, honor its sp extent);
+        # an explicit ``attn_fn`` (e.g. a different flash threshold,
+        # benchmarks/train_attn_probe.py) is honored on sp=1 meshes
         sp = int(self.mesh.shape.get(pmesh.SP_AXIS, 1))
-        attn_fn = None
         zigzag = 0
         if sp > 1:
             if getattr(tcfg, "sp_layout", "ring") == "zigzag":

@@ -88,8 +88,9 @@ def test_garbage_drafts_still_exact(stack):
                              limits, drafts)
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(n, n_want)
-    # rejected drafts still commit step + first correction = 2/iteration
-    assert iters.max() <= int(np.ceil(32 / 2))
+    # rejected drafts: the fused forward's exact slot 0 still commits
+    # 1 token per iteration (worst case = the greedy step count)
+    assert iters.max() <= 32
 
 
 def test_random_draft_heads_exact(stack):
