@@ -221,6 +221,14 @@ def main() -> None:
                                block=32, verbose=False)
     spec_mismatches += lspec["mismatches"]
 
+    # ---- MoE x speculation (VERDICT r4 #8): same harness, E=8/top-2
+    # MoE FFN — the T=k_draft+1 verify forward must hold the drop-free
+    # routing invariant AND still win wall clock
+    from benchmarks.llama_spec_bench import measure_llama_spec as _mls
+    lspec_moe = _mls(steps=200, k_draft=8, blocks=6, batch=8, block=32,
+                     verbose=False, moe=True)
+    spec_mismatches += lspec_moe["mismatches"]
+
     # ---- spec accept-rate calibration on REALISTIC drafts --------------
     # (VERDICT r3 #8; benchmarks/spec_calibrate.py).  The cycle rows
     # above are the mechanism's upper bound; this trains heads on a
@@ -686,6 +694,9 @@ def main() -> None:
         "llm_spec_sampled_t08_speedup_b8": lspec["sampled_t08_speedup"],
         "llm_spec_sampled_t08_agg_tok_s_b8":
             lspec["sampled_t08_spec_agg_tok_s"],
+        "llm_spec_moe_speedup_b8": lspec_moe["speedup"],
+        "llm_spec_moe_agg_tok_s_b8": lspec_moe["spec_agg_tok_s"],
+        "llm_spec_moe_mismatches": lspec_moe["mismatches"],
         "spec_vs_greedy_token_mismatches": spec_mismatches,
         "spec_calib_curve": {str(r["k"]): [r["accepted_per_iter"],
                                            r["speedup"]]

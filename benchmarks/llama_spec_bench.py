@@ -42,11 +42,16 @@ def cycle_batch(rng: np.random.Generator, bs: int, t: int) -> np.ndarray:
 def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
                        batch: int = 8, block: int = 32,
                        train_batch: int = 32, train_seq: int = 256,
-                       verbose: bool = True) -> dict:
+                       verbose: bool = True, moe: bool = False) -> dict:
     """Train MTP draft heads on the cycle, then time
     ``decode_block_pooled`` vs ``decode_block_spec_pooled`` at ``batch``
     concurrent rows (the LLM pool's serving shape).  Returns the result
-    dict; the ``mismatches`` key is the live token-exactness check."""
+    dict; the ``mismatches`` key is the live token-exactness check.
+
+    ``moe=True`` swaps the dense FFN for an E=8/top-2 MoE (VERDICT r4
+    #8): the verify forward at T=k_draft+1 must keep the drop-free
+    routing invariant (proven in tests/test_llama_spec.py) AND still
+    pay off in wall clock — this is the artifact row for that."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -55,11 +60,17 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
 
     dev = jax.devices()[0]
 
-    # bench.py's served 30M-class byte-llama, plus draft heads
+    # bench.py's served 30M-class byte-llama, plus draft heads.
+    # moe: GShard token groups bound the dense-dispatch tensors and the
+    # head-training batch drops to fit one chip (the bs32 MoE train step
+    # wanted 46 GB of HBM at compile)
+    moe_kw = dict(n_experts=8, moe_top_k=2, moe_group_size=256) if moe else {}
+    if moe:
+        train_batch = min(train_batch, 8)
     cfg = llama.LlamaConfig(vocab_size=384, n_layer=8, n_head=8,
                             n_kv_head=4, n_embd=512,
                             intermediate_size=1408, max_seq_len=1024,
-                            n_draft_heads=k_draft)
+                            n_draft_heads=k_draft, **moe_kw)
     params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
@@ -158,8 +169,9 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
 
     greedy_rollout(); spec_rollout()          # compile
     greedy_rollout(); spec_rollout()          # steady-state executables
-    greedy_rollout_sampled(); spec_rollout_sampled()
-    greedy_rollout_sampled(); spec_rollout_sampled()
+    if not moe:                               # moe row: greedy pair only
+        greedy_rollout_sampled(); spec_rollout_sampled()
+        greedy_rollout_sampled(); spec_rollout_sampled()
 
     g_t, s_t, gs_t, ss_t = [], [], [], []
     for _ in range(5):
@@ -169,6 +181,8 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
         t0 = time.perf_counter()
         s_out, iters = spec_rollout()
         s_t.append(time.perf_counter() - t0)
+        if moe:
+            continue
         t0 = time.perf_counter()
         greedy_rollout_sampled()
         gs_t.append(time.perf_counter() - t0)
@@ -178,7 +192,19 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
 
     n_tok = blocks * block
     g_s, s_s = float(np.median(g_t)), float(np.median(s_t))
-    gs_s, ss_s = float(np.median(gs_t)), float(np.median(ss_t))
+    gs_s = float(np.median(gs_t)) if gs_t else 0.0
+    ss_s = float(np.median(ss_t)) if ss_t else 1.0
+    if moe:
+        return {
+            "model": "bench 30M-class byte-llama + E=8/top-2 MoE FFN",
+            "final_train_loss": round(float(loss), 4),
+            "k_draft": k_draft,
+            "greedy_agg_tok_s": round(batch * n_tok / g_s, 1),
+            "spec_agg_tok_s": round(batch * n_tok / s_s, 1),
+            "speedup": round(g_s / s_s, 2),
+            "iters_per_block_worst_row": round(iters / blocks, 2),
+            "mismatches": int(np.sum(g_out != s_out)),
+        }
     return {
         "sampled_t08_greedy_agg_tok_s": round(batch * n_tok / gs_s, 1),
         "sampled_t08_spec_agg_tok_s": round(batch * n_tok / ss_s, 1),
@@ -206,10 +232,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--moe", action="store_true")
     args = ap.parse_args()
     out = measure_llama_spec(steps=args.steps, k_draft=args.k_draft,
                              batch=args.batch, blocks=args.blocks,
-                             block=args.block)
+                             block=args.block, moe=args.moe)
     print(json.dumps(out, indent=2))
 
 
