@@ -98,6 +98,54 @@ def main() -> None:
     dev = jax.devices()[0]
     host = _host_provenance(dev)
     key = jax.random.PRNGKey(0)
+
+    def _probe(name: str) -> None:
+        """Sync checkpoint between sections: on this tunnel platform an
+        async program failure poisons every LATER dispatch in the
+        process, so the first fetch after the bad section gets blamed
+        (r5: a healthy llama twin wore an earlier section's
+        INVALID_ARGUMENT).  A tiny fetch per boundary pins the blame."""
+        try:
+            float(jnp.zeros((), jnp.float32) + 1.0)
+            print(f"[probe ok] {name}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[probe FAILED] {name}: {e!r}", flush=True)
+            raise
+
+    # A failed section must cost its own rows, not the whole artifact:
+    # the heavy training sections compile the biggest programs in the
+    # repo through the tunnel's compile helper, which can be resource-
+    # killed on small round hosts (observed: SIGKILL at the codec GAN
+    # compile).  Record an error marker and keep going.
+    # Every section's fate lands in the final JSON (VERDICT r4 #2): a
+    # null row in the artifact must carry its own explanation, not send
+    # the judge to stdout archaeology.
+    section_status: dict = {}
+
+    def _section(name, fn, fallback):
+        try:
+            out = fn()
+            section_status[name] = "ok"
+            return out
+        except Exception as e:              # noqa: BLE001 — record, go on
+            print(f"SECTION FAILED {name}: {e!r}", flush=True)
+            section_status[name] = f"FAILED: {type(e).__name__}: " \
+                                   f"{str(e)[:200]}"
+            out = dict(fallback)
+            out[f"{name}_error"] = str(e)[:200]
+            return out
+
+    # ---- codec GAN step at the reference's per-device training shape ---
+    # FIRST, before anything else allocates: the remat'd batch-40 x 3 s
+    # alternating step is the hungriest program in the repo — it fits an
+    # empty chip but OOMs next to the resident serving engines (r5).
+    from benchmarks.codec_train_bench import measure_codec_gan
+    codec_gan = _section("codec_gan",
+                         lambda: measure_codec_gan(batch=40, repeats=3),
+                         {"step_ms": None, "train_audio_s_per_s": None})
+    _probe("codec_gan")
+    gc.collect()
+
     params = dec.init_decoder_params(key, dcfg)
     text_table = np.asarray(
         0.02 * jax.random.normal(jax.random.PRNGKey(1),
@@ -141,6 +189,7 @@ def main() -> None:
     tf_s = min(_fused_chain(2) for _ in range(3))
     tf_l = min(_fused_chain(8) for _ in range(3))
     first_chunk_dev_ms = max(tf_l - tf_s, 1e-9) / 6 * 1e3
+    _probe("first_chunk_twin")
 
     deltas = ["This is the first benchmark sentence for measuring",
               "streaming latency.",
@@ -173,6 +222,7 @@ def main() -> None:
         firsts.append(f)
         rtfs.append(r)
         audio_s, wall = a, w
+    _probe("dedicated_trials")
 
     # ---- TPU-hosted Whisper ASR (voice-chat input leg) -----------------
     # whisper-base shapes, random bf16 weights; the measurement harness is
@@ -194,6 +244,7 @@ def main() -> None:
     asr_b8_utt_s = 8 / statistics.median(
         [run_utterance(wparams, wcfg, wav1, 8)[2] for _ in range(3)])
     del wparams
+    _probe("asr")
 
     # ---- speculative decode with trained MTP draft heads ----------------
     # (benchmarks/spec_bench.py shares the harness).  Short train on the
@@ -210,6 +261,7 @@ def main() -> None:
                        + spec["pooled_mismatches"])
     spec_pooled_speedup = spec["pooled_speedup"]
     spec_pooled_tok_s = spec["pooled_spec_tok_s"]
+    _probe("spec_bench")
 
     # ---- pooled LLM speculation (trained MTP heads, greedy + sampled) --
     # benchmarks/llama_spec_bench.py shares the harness.  The sampled row
@@ -220,14 +272,19 @@ def main() -> None:
     lspec = measure_llama_spec(steps=200, k_draft=8, blocks=6, batch=8,
                                block=32, verbose=False)
     spec_mismatches += lspec["mismatches"]
+    _probe("llama_spec")
 
     # ---- MoE x speculation (VERDICT r4 #8): same harness, E=8/top-2
     # MoE FFN — the T=k_draft+1 verify forward must hold the drop-free
     # routing invariant AND still win wall clock
+    gc.collect()            # drop the dense lspec's train buffers first
     from benchmarks.llama_spec_bench import measure_llama_spec as _mls
-    lspec_moe = _mls(steps=200, k_draft=8, blocks=6, batch=8, block=32,
-                     verbose=False, moe=True)
+    lspec_moe = _section("llm_spec_moe", lambda: _mls(
+        steps=200, k_draft=8, blocks=6, batch=8, block=32,
+        verbose=False, moe=True),
+        {"speedup": None, "spec_agg_tok_s": None, "mismatches": 0})
     spec_mismatches += lspec_moe["mismatches"]
+    _probe("llama_spec_moe")
 
     # ---- spec accept-rate calibration on REALISTIC drafts --------------
     # (VERDICT r3 #8; benchmarks/spec_calibrate.py).  The cycle rows
@@ -236,29 +293,6 @@ def main() -> None:
     # codes) and sweeps decode-time k over ONE checkpoint — the curve
     # picks the served default (utils/config.py spec_k_draft), and the
     # speedup at the calibrated k is the realistic-drafts headline.
-    # A failed section must cost its own rows, not the whole artifact:
-    # these training-perf sections compile the biggest programs in the
-    # repo through the tunnel's compile helper, which can be resource-
-    # killed on small round hosts (observed: SIGKILL at the codec GAN
-    # compile).  Record an error marker and keep going.
-    # Every section's fate lands in the final JSON (VERDICT r4 #2): a
-    # null row in the artifact must carry its own explanation, not send
-    # the judge to stdout archaeology.
-    section_status: dict = {}
-
-    def _section(name, fn, fallback):
-        try:
-            out = fn()
-            section_status[name] = "ok"
-            return out
-        except Exception as e:              # noqa: BLE001 — record, go on
-            print(f"SECTION FAILED {name}: {e!r}", flush=True)
-            section_status[name] = f"FAILED: {type(e).__name__}: " \
-                                   f"{str(e)[:200]}"
-            out = dict(fallback)
-            out[f"{name}_error"] = str(e)[:200]
-            return out
-
     from benchmarks.spec_calibrate import calibrate
     # blocks=12 (768-token chains): at blocks=3 the rollout wall is
     # mostly tunnel transport shared by both paths, compressing every
@@ -271,21 +305,21 @@ def main() -> None:
         {"curve": [], "best_k": None, "best_speedup": None,
          "accept_ceiling_per_iter": None})
     spec_mismatches += sum(r["mismatches"] for r in calib["curve"])
+    _probe("spec_calib")
     gc.collect()
 
     # ---- training perf rows (VERDICT r3 #2: regression-guard training
     # in the driver artifact) — decoder MFU at the best realistic bucket,
     # the measured sequence-packing gain on a realistic sentence-length
-    # mix, and the codec GAN step time.  Runs BEFORE the pools allocate
-    # their KV caches (HBM headroom for the train steps' activations).
+    # mix.  Runs BEFORE the pools allocate their KV caches (HBM headroom
+    # for the train steps' activations); the codec GAN section moved to
+    # the very TOP of the bench (its remat'd batch-40 step is the
+    # hungriest program in the repo — with the engines resident it OOMs,
+    # r5).
     from benchmarks.train_bench import measure_train_perf
     train_perf = _section("train_perf",
                           lambda: measure_train_perf(verbose=False), {})
-    gc.collect()
-    from benchmarks.codec_train_bench import measure_codec_gan
-    codec_gan = _section("codec_gan",
-                         lambda: measure_codec_gan(batch=40, repeats=3),
-                         {"step_ms": None, "train_audio_s_per_s": None})
+    _probe("train_perf")
     gc.collect()
 
     # ---- pooled concurrent serving (continuous batching) ---------------
@@ -339,6 +373,7 @@ def main() -> None:
 
     (pool_first_wave_ms, pool_firsts, pool_rtf,
      pool_rtf8) = asyncio.run(pooled_bench())
+    _probe("pooled_bench")
 
     # ---- full-TPU voice chat: pooled LLM + pooled TTS on one chip ------
     # (VERDICT r2 #3: these numbers must live in the driver-recorded
@@ -390,6 +425,7 @@ def main() -> None:
     _, tok, lstate, lpos = _blocks(tok, lstate, lpos)
     dec_s, _, _, _ = _blocks(tok, lstate, lpos, n=7)
     llama_tok_s = 7 * 16 / dec_s
+    _probe("llama_b1_wall")
 
     # DEVICE-time twin (VERDICT r4 #6): the wall-clock row above carries
     # one tunnel RTT per chained fetch, so it swings with transport
@@ -397,6 +433,17 @@ def main() -> None:
     # ~25 ms RTT).  Differencing two chain lengths at one attention rung
     # cancels every fixed per-fetch cost; what remains is per-block
     # device time, attributable to code across rounds.
+    # donated step: a non-donated chain keeps every in-flight state's KV
+    # cache alive at once through the tunnel's async queue — standalone
+    # that fits, but WITH the bench's resident engines the allocator
+    # fails (surfaced as InvalidArgument, r5); donation caps the chain
+    # at one cache regardless of length
+    _b1_key = jax.random.PRNGKey(2)
+    _b1_step = jax.jit(
+        lambda lp, tk, st: llama.decode_block(lp, tk, st, _b1_key, lcfg,
+                                              block=16, attn_len=512),
+        donate_argnums=(2,))
+
     def _chain_from_fresh(n):
         st = llama.init_llama_decode_state(lcfg, 1, jnp.bfloat16)
         lg, st = llama.prefill_padded(lparams, prompt,
@@ -406,46 +453,67 @@ def main() -> None:
         np.asarray(tk)
         t0 = time.perf_counter()
         for _ in range(n):
-            toks, st = llama.decode_block(lparams, tk, st,
-                                          jax.random.PRNGKey(2), lcfg,
-                                          block=16, attn_len=512)
+            toks, st = _b1_step(lparams, tk, st)
             tk = toks[:, -1]
         np.asarray(tk)
         return time.perf_counter() - t0
 
-    _chain_from_fresh(7)                      # compile the 512-rung once
-    t_short = min(_chain_from_fresh(7) for _ in range(3))
-    t_long = min(_chain_from_fresh(21) for _ in range(3))
-    llama_dev_ms_block16 = max(t_long - t_short, 1e-9) / 14 * 1e3
-    llama_dev_tok_s = 16 / (llama_dev_ms_block16 / 1e3)
+    def _llama_dev_twins():
+        _chain_from_fresh(7)                  # compile the 512-rung once
+        _probe("twin_b1_compile")
+        t_short = min(_chain_from_fresh(7) for _ in range(3))
+        _probe("twin_b1_short")
+        t_long = min(_chain_from_fresh(21) for _ in range(3))
+        _probe("twin_b1_long")
+        dev_ms = max(t_long - t_short, 1e-9) / 14 * 1e3
 
-    # pooled B=8 step, same differencing — the llm_pool_8way row's
-    # device-time complement
-    ptoks = np.random.default_rng(1).integers(1, lcfg.vocab_size,
-                                              (8, 16)).astype(np.int32)
-    pstate0 = llama.init_llama_pool_state(lcfg, batch=8)
-    _, pstate0 = llama.prefill_slots(
-        lparams, jnp.asarray(ptoks), jnp.full((8,), 16, jnp.int32),
-        pstate0, jnp.arange(8, dtype=jnp.int32), jnp.ones((8,), bool),
-        jax.random.PRNGKey(3), lcfg)
-    jax.block_until_ready(pstate0.tok)
-    pactive = jnp.ones((8,), bool)
+        # pooled B=8 step, same differencing — the llm_pool_8way row's
+        # device-time complement
+        ptoks = np.random.default_rng(1).integers(
+            1, lcfg.vocab_size, (8, 16)).astype(np.int32)
+        # bf16 caches like every serving caller: the f32 default against
+        # bf16 params fails the pooled Pallas kernel at runtime on TPU
+        pstate0 = llama.init_llama_pool_state(lcfg, batch=8,
+                                              dtype=jnp.bfloat16)
+        _, pstate0 = llama.prefill_slots(
+            lparams, jnp.asarray(ptoks), jnp.full((8,), 16, jnp.int32),
+            pstate0, jnp.arange(8, dtype=jnp.int32), jnp.ones((8,), bool),
+            jax.random.PRNGKey(3), lcfg)
+        np.asarray(pstate0.tok)
+        _probe("twin_pool_prefill")
+        pactive = jnp.ones((8,), bool)
+        _p_key = jax.random.PRNGKey(4)
+        _pool_step = jax.jit(
+            lambda lp, st: llama.decode_block_pooled(
+                lp, st, pactive, _p_key, lcfg, block=16,
+                attn_len=512),
+            donate_argnums=(1,))
 
-    def _pool_chain(n):
-        st = pstate0
-        t0 = time.perf_counter()
-        toks = None
-        for i in range(n):
-            toks, st = llama.decode_block_pooled(
-                lparams, st, pactive, jax.random.PRNGKey(4), lcfg,
-                block=16, attn_len=512)
-        np.asarray(toks)
-        return time.perf_counter() - t0
+        def _pool_chain(n):
+            # fresh copy per chain: the donated chain consumes its input
+            st = jax.tree.map(jnp.copy, pstate0)
+            t0 = time.perf_counter()
+            toks = None
+            for i in range(n):
+                toks, st = _pool_step(lparams, st)
+            np.asarray(toks)
+            return time.perf_counter() - t0
 
-    _pool_chain(4)
-    tp_s = min(_pool_chain(4) for _ in range(3))
-    tp_l = min(_pool_chain(12) for _ in range(3))
-    pool_dev_ms_block16_b8 = max(tp_l - tp_s, 1e-9) / 8 * 1e3
+        _pool_chain(4)
+        _probe("twin_pool_compile")
+        tp_s = min(_pool_chain(4) for _ in range(3))
+        tp_l = min(_pool_chain(12) for _ in range(3))
+        _probe("twin_pool_long")
+        return {"dev_ms": dev_ms,
+                "pool_dev_ms": max(tp_l - tp_s, 1e-9) / 8 * 1e3}
+
+    twins = _section("llama_dev_twins", _llama_dev_twins,
+                     {"dev_ms": None, "pool_dev_ms": None})
+    llama_dev_ms_block16 = twins["dev_ms"]
+    llama_dev_tok_s = (None if not llama_dev_ms_block16
+                       else 16 / (llama_dev_ms_block16 / 1e3))
+    pool_dev_ms_block16_b8 = twins["pool_dev_ms"]
+    _probe("llama_dev_twins")
 
     # first_block=32 (not 16): the BYTE-level bench LLM's deltas shrink
     # through clean_text (~0.57 printable chars/byte for random bytes),
@@ -595,22 +663,34 @@ def main() -> None:
     bcfg = llama.LlamaConfig(vocab_size=32768, n_layer=16, n_head=16,
                              n_kv_head=8, n_embd=2048,
                              intermediate_size=5632, max_seq_len=1024)
+    gc.collect()            # the combined bench's pools just stopped
+    # init + cast fused in ONE jit: materializing the ~0.9B-param f32
+    # tree then casting peaked at ~5.4 GB and OOMed next to the resident
+    # serving state (r5); fused, XLA emits bf16 leaves directly
+    _init_bf16 = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        llama.init_llama_params(k, bcfg)))
     q_ms = {}
     for mode in ("bf16", "w8"):
-        bparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                               llama.init_llama_params(
-                                   jax.random.PRNGKey(2), bcfg))
+        bparams = _init_bf16(jax.random.PRNGKey(2))
         if mode != "bf16":
             bparams = quantize_llama_params(bparams, mode)
         bparams = jax.device_put(bparams, dev)
         bst = llama.init_llama_decode_state(bcfg, 1, jnp.bfloat16)
         btok = jnp.zeros((1,), jnp.int32)
 
+        _bkey = jax.random.PRNGKey(0)
+        # params as an ARGUMENT, not a closure capture: captured arrays
+        # become hoisted jit constants and the 1B-class program's compile
+        # upload broke the tunnel helper (broken pipe, r5)
+        _bstep = jax.jit(
+            lambda bp, tok, st: llama.decode_block(
+                bp, tok, st, _bkey, bcfg, block=16, attn_len=256),
+            donate_argnums=(2,))
+
         def bchain(tok, st, n=8):
             for _ in range(n):
-                toks, st = llama.decode_block(bparams, tok, st,
-                                              jax.random.PRNGKey(0), bcfg,
-                                              block=16, attn_len=256)
+                toks, st = _bstep(bparams, tok, st)
                 tok = toks[:, -1]
             np.asarray(tok)
             return tok, st
@@ -669,11 +749,15 @@ def main() -> None:
         "pooled_agg_rtf_4way": round(statistics.median(pool_rtf), 2),
         "pooled_agg_rtf_8way": round(pool_rtf8, 2),
         "llama30M_decode_tok_s": round(llama_tok_s, 1),
-        "llama30M_decode_device_ms_per_block16": round(
-            llama_dev_ms_block16, 2),
-        "llama30M_decode_device_tok_s": round(llama_dev_tok_s, 1),
-        "llm_pool_b8_device_ms_per_block16": round(
-            pool_dev_ms_block16_b8, 2),
+        "llama30M_decode_device_ms_per_block16": (
+            None if llama_dev_ms_block16 is None
+            else round(llama_dev_ms_block16, 2)),
+        "llama30M_decode_device_tok_s": (
+            None if llama_dev_tok_s is None
+            else round(llama_dev_tok_s, 1)),
+        "llm_pool_b8_device_ms_per_block16": (
+            None if pool_dev_ms_block16_b8 is None
+            else round(pool_dev_ms_block16_b8, 2)),
         "first_chunk_device_ms": round(first_chunk_dev_ms, 2),
         "llm_pool_8way_tok_s": round(llm_pool_8way_tok_s, 1),
         "combined_first_audio_1way_ms": round(combined_first_1way_ms, 1),

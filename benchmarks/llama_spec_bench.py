@@ -66,7 +66,9 @@ def measure_llama_spec(steps: int = 300, k_draft: int = 8, blocks: int = 6,
     # wanted 46 GB of HBM at compile)
     moe_kw = dict(n_experts=8, moe_top_k=2, moe_group_size=256) if moe else {}
     if moe:
-        train_batch = min(train_batch, 8)
+        # bs4: the E=8 train step must also fit WITH bench.py's resident
+        # engines (bs8 fit standalone but OOMed in-context, r5)
+        train_batch = min(train_batch, 4)
     cfg = llama.LlamaConfig(vocab_size=384, n_layer=8, n_head=8,
                             n_kv_head=4, n_embd=512,
                             intermediate_size=1408, max_seq_len=1024,
